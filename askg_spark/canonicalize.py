@@ -1,0 +1,114 @@
+"""Canonical-record reduction (A2/A3) + deterministic global IDs (P11).
+
+Merge semantics per /root/reference/src/deduplication.py:264-321,428-494:
+the most complete mention is the base; scalar gaps fill from other
+members prefer-non-empty; list fields union; popularity/download/
+last_updated take max; tools union by name.
+
+The reference's arrival-order tie-breaks are replaced by a documented
+deterministic total order: (completeness DESC, url ASC). Its sequential
+`used_ids` collision set (id_standardization.py:22-70) is replaced by a
+window rank over the candidate id — rank 1 keeps the candidate, rank k
+gets `-k` suffixed. Stability and uniqueness (the properties the
+reference's tests assert) are preserved; arrival-order dependence is not
+reproducible in a distributed engine and is deliberately dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from askg_spark import normalize as N
+
+
+def _first_nonempty(col: str, ord_col: str = "ord"):
+    """first non-null/non-empty value in (completeness desc, url asc)
+    order — min_by ignores rows whose ordering expression is NULL."""
+    c = F.col(col)
+    valid = c.isNotNull() & (c.cast("string") != "")
+    return F.min_by(c, F.when(valid, F.col(ord_col)))
+
+
+def canonical_entities(enriched_with_component: DataFrame) -> DataFrame:
+    """mentions+component -> one canonical entity row per component."""
+    w = Window.partitionBy("component").orderBy(
+        F.desc("completeness"), F.asc("url"))
+    m = enriched_with_component.withColumn("ord", F.row_number().over(w))
+
+    tools_flat = F.flatten(F.array_compact(F.collect_list("tools")))
+    ent = m.groupBy("component").agg(
+        _first_nonempty("name").alias("name"),
+        _first_nonempty("author").alias("author"),
+        _first_nonempty("description").alias("description"),
+        _first_nonempty("repository").alias("repository"),
+        _first_nonempty("homepage").alias("homepage"),
+        _first_nonempty("license").alias("license"),
+        _first_nonempty("version").alias("version"),
+        _first_nonempty("implementation_language").alias("implementation_language"),
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("categories")))).alias("categories"),
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("operations")))).alias("operations"),
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("data_types")))).alias("data_types"),
+        F.max("popularity_score").alias("popularity_score"),
+        F.max("download_count").alias("download_count"),
+        F.max("warc_ts").alias("last_updated"),
+        F.array_sort(F.array_distinct(F.collect_list("registry"))).alias("registry_sources"),
+        F.array_sort(F.collect_list("url")).alias("member_urls"),
+        F.max("completeness").alias("completeness"),
+        # tools: collected per-mention lists in ord order; dedup by name below
+        F.sort_array(F.collect_list(F.struct("ord", "tools"))).alias("_tool_lists"),
+    )
+    # union tools by name keeping the first (by ord) occurrence:
+    # flatten ordered lists, then keep each name's first struct.
+    flat = F.flatten(F.array_compact(
+        F.transform(F.col("_tool_lists"), lambda s: s["tools"])))
+    dedup_tools = F.filter(
+        flat,
+        lambda t, i: ~F.exists(
+            F.slice(flat, F.lit(1), i),
+            lambda prev: prev["name"] == t["name"],
+        ),
+    )
+    ent = ent.withColumn(
+        "tools",
+        F.when(F.size(flat) > 0, dedup_tools).otherwise(F.lit(None).cast(
+            "array<struct<name:string,description:string>>")),
+    ).drop("_tool_lists")
+    return ent
+
+
+def assign_global_ids(entities: DataFrame) -> DataFrame:
+    """P11 cascade with deterministic collision handling.
+
+    candidate = repo-id | author/name | name | 'server-'+sha256[:12]
+    (id_standardization.py:22-70); collisions ranked by
+    (completeness DESC, min member_url ASC), rank>1 suffixed '-<rank>'.
+    """
+    tool_names = F.when(
+        F.col("tools").isNotNull(),
+        F.transform(F.col("tools"), lambda t: t["name"]),
+    ).otherwise(F.array().cast("array<string>"))
+    cand = F.coalesce(
+        N.normalize_id(N.extract_repository_id(F.col("repository"))),
+        F.when(
+            (F.col("name").isNotNull()) & (F.col("name") != "")
+            & (F.col("author").isNotNull()) & (F.col("author") != ""),
+            N.normalize_id(F.concat_ws("/", F.col("author"), F.col("name"))),
+        ),
+        F.when(
+            (F.col("name").isNotNull()) & (F.col("name") != ""),
+            N.normalize_id(F.col("name")),
+        ),
+        N.content_hash_id(
+            F.col("name"), F.col("author"), F.col("description"),
+            F.col("repository"), tool_names),
+    )
+    df = entities.withColumn("candidate_id", cand)
+    w = Window.partitionBy("candidate_id").orderBy(
+        F.desc("completeness"), F.asc(F.element_at("member_urls", 1)))
+    df = df.withColumn("_rank", F.row_number().over(w))
+    df = df.withColumn(
+        "id",
+        F.when(F.col("_rank") == 1, F.col("candidate_id")).otherwise(
+            F.concat_ws("-", F.col("candidate_id"), F.col("_rank"))),
+    ).drop("_rank", "candidate_id")
+    return df

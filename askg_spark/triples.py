@@ -1,0 +1,75 @@
+"""Triple emission + normalization + dedup (north_rule).
+
+Attribute triples come from canonical entities, relationship triples
+from the inferred edge set. Dedup is a shuffle-on-key distinct over
+normalized (subj, pred, obj) — Catalyst plans this as hash/sort
+aggregate on exactly those keys, the sort-merge semantics the north
+rule asks for. Predicates follow FIXTURES.md §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def attribute_triples(entities: DataFrame) -> DataFrame:
+    """HAS_CATEGORY / HAS_OPERATION / HAS_TOOL / AUTHORED_BY per entity."""
+    cats = entities.select(
+        F.col("id").alias("subj"),
+        F.lit("HAS_CATEGORY").alias("pred"),
+        F.explode("categories").alias("obj"),
+        F.lit(1.0).alias("confidence"),
+        F.array(F.lit("classifier: keyword mention detection")).alias("evidence"),
+    )
+    ops = entities.select(
+        F.col("id").alias("subj"),
+        F.lit("HAS_OPERATION").alias("pred"),
+        F.explode("operations").alias("obj"),
+        F.lit(1.0).alias("confidence"),
+        F.array(F.lit("classifier: tool-name operation detection")).alias("evidence"),
+    )
+    tools = entities.filter(F.col("tools").isNotNull()).select(
+        F.col("id").alias("subj"),
+        F.lit("HAS_TOOL").alias("pred"),
+        F.explode(F.transform("tools", lambda t: t["name"])).alias("obj"),
+        F.lit(1.0).alias("confidence"),
+        F.array(F.lit("extracted tool")).alias("evidence"),
+    )
+    authors = entities.filter(
+        F.col("author").isNotNull() & (F.col("author") != "")
+    ).select(
+        F.col("id").alias("subj"),
+        F.lit("AUTHORED_BY").alias("pred"),
+        F.col("author").alias("obj"),
+        F.lit(1.0).alias("confidence"),
+        F.array(F.lit("extracted author")).alias("evidence"),
+    )
+    return cats.unionByName(ops).unionByName(tools).unionByName(authors)
+
+
+def relationship_triples(rel_edges: DataFrame) -> DataFrame:
+    return rel_edges.select(
+        F.col("src").alias("subj"),
+        F.col("rel_type").alias("pred"),
+        F.col("dst").alias("obj"),
+        "confidence", "evidence",
+    )
+
+
+def dedup_triples(triples: DataFrame) -> DataFrame:
+    """Normalized-key dedup: one row per (subj, pred, obj), keeping the
+    max-confidence payload deterministically."""
+    return (
+        triples
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.max("confidence").alias("confidence"),
+            F.max_by("evidence", F.struct("confidence", "evidence")).alias("evidence"),
+        )
+    )
+
+
+def build_triples(entities: DataFrame, rel_edges: DataFrame) -> DataFrame:
+    return dedup_triples(
+        attribute_triples(entities).unionByName(relationship_triples(rel_edges))
+    )
