@@ -87,16 +87,21 @@ def assign_global_ids(entities: DataFrame) -> DataFrame:
         F.col("tools").isNotNull(),
         F.transform(F.col("tools"), lambda t: t["name"]),
     ).otherwise(F.array().cast("array<string>"))
+    # normalize_id("") == "" — nullif each cascade stage so empty
+    # candidates fall through to the next strategy (reference: each
+    # strategy returns None on failure, id_standardization.py:22-70)
     cand = F.coalesce(
-        N.normalize_id(N.extract_repository_id(F.col("repository"))),
+        F.nullif(N.normalize_id(N.extract_repository_id(F.col("repository"))),
+                 F.lit("")),
         F.when(
             (F.col("name").isNotNull()) & (F.col("name") != "")
             & (F.col("author").isNotNull()) & (F.col("author") != ""),
-            N.normalize_id(F.concat_ws("/", F.col("author"), F.col("name"))),
+            F.nullif(N.normalize_id(
+                F.concat_ws("/", F.col("author"), F.col("name"))), F.lit("")),
         ),
         F.when(
             (F.col("name").isNotNull()) & (F.col("name") != ""),
-            N.normalize_id(F.col("name")),
+            F.nullif(N.normalize_id(F.col("name")), F.lit("")),
         ),
         N.content_hash_id(
             F.col("name"), F.col("author"), F.col("description"),

@@ -44,7 +44,7 @@ def enrich_mentions(mentions: DataFrame) -> DataFrame:
             F.col("repository").isNotNull(),
             F.element_at(F.split(F.col("repository"), "/"), 4)),
         "mention_id": F.md5(F.concat_ws(
-            "", F.col("url"), F.coalesce(F.col("name"), F.lit("")),
+            "\x01", F.col("url"), F.coalesce(F.col("name"), F.lit("")),
             F.coalesce(F.col("author"), F.lit("")))),
         "completeness": (
             F.when(F.col("description").isNotNull() & (F.col("description") != ""), 2).otherwise(0)

@@ -93,17 +93,19 @@ def lsh_candidates(mentions: DataFrame, cfg: LinkConfig) -> DataFrame:
     covered by J2/J3 or are legitimately distinct — reference skips the
     exact-name bucket in the fuzzy scan, deduplication.py:206-209).
     """
-    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+    from pyspark.ml.feature import HashingTF, MinHashLSH
 
     base = (
         mentions.filter(F.col("norm_name").isNotNull() & (F.length("norm_name") >= 2))
         .select(*PAIR_COLS)
         .withColumn("shingles", _shingle_col(F.col("norm_name"), cfg.shingle_size))
     )
-    cv = CountVectorizer(inputCol="shingles", outputCol="features",
-                         binary=True, minDF=1.0)
-    model = cv.fit(base)
-    feats = model.transform(base)
+    # HashingTF instead of CountVectorizer: no vocabulary fit pass (one
+    # less full scan — matters at 10^12 rows); 2^18 features keeps the
+    # shingle collision probability negligible for <=100-char names.
+    tf = HashingTF(inputCol="shingles", outputCol="features",
+                   binary=True, numFeatures=cfg.tfidf_features)
+    feats = tf.transform(base)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes",
                      numHashTables=cfg.lsh_num_hash_tables, seed=42)
     lsh_model = lsh.fit(feats)

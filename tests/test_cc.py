@@ -1,0 +1,36 @@
+"""Connected components on known graph shapes (SURVEY §5 test plan)."""
+from __future__ import annotations
+
+from askg_spark.cc import connected_components
+
+
+def _run(spark, edges, vertices):
+    e = spark.createDataFrame(edges, "src string, dst string")
+    v = spark.createDataFrame([(x,) for x in vertices], "id string")
+    rows = connected_components(e, v).collect()
+    return {r["id"]: r["component"] for r in rows}
+
+
+def test_chain_transitivity(spark):
+    # a-b, b-c, c-d: one component rooted at min id (the shape the
+    # reference's greedy merge would miss; SURVEY §4 item 1)
+    got = _run(spark, [("b", "a"), ("b", "c"), ("c", "d")], "abcd")
+    assert got == {x: "a" for x in "abcd"}
+
+
+def test_star_and_singletons(spark):
+    got = _run(spark, [("z", "m"), ("z", "n"), ("z", "o")],
+               ["z", "m", "n", "o", "solo1", "solo2"])
+    assert got["z"] == got["m"] == got["n"] == got["o"] == "m"
+    assert got["solo1"] == "solo1" and got["solo2"] == "solo2"
+
+
+def test_two_components_and_long_path(spark):
+    # 8-node path proves O(log n) label propagation converges, plus a
+    # disjoint triangle
+    path = [(str(i), str(i + 1)) for i in range(1, 8)]
+    tri = [("x1", "x2"), ("x2", "x3"), ("x1", "x3")]
+    verts = [str(i) for i in range(1, 9)] + ["x1", "x2", "x3"]
+    got = _run(spark, path + tri, verts)
+    assert {got[str(i)] for i in range(1, 9)} == {"1"}
+    assert {got[x] for x in ("x1", "x2", "x3")} == {"x1"}

@@ -1,0 +1,122 @@
+"""P4 extraction goldens: handcrafted HTML -> exact mention fields, plus
+quarantine rules and the byte-identical-text invariant."""
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from askg_spark.extract import extract_mentions, extract_page, visible_text
+
+TS = datetime(2025, 6, 1, tzinfo=timezone.utc)
+
+
+def _mcpso(body: str) -> bytes:
+    return f"<html><head><title>T by A</title></head><body>{body}</body></html>".encode()
+
+
+def test_mcpso_golden_full():
+    html = (b'<html><head><title>Quartz Hub by acme</title>'
+            b'<meta name="description" content="A quartz hub connector">'
+            b'</head><body><h1>Quartz Hub by acme</h1>'
+            b'<p>ignored because meta wins</p>'
+            b'<a href="https://github.com/acme/quartz-hub">Repo</a>'
+            b'<span class="tag">#tools</span><span class="tag">agent</span>'
+            b'<span class="tag">averyverylongtagthatisdropped</span>'
+            b'</body></html>')
+    url = "https://mcp.so/server/quartz-hub/acme"
+    mentions, reason = extract_page(url, html, None)
+    assert reason is None and len(mentions) == 1
+    m = mentions[0]
+    assert m["name"] == "Quartz Hub"
+    assert m["author"] == "acme"
+    assert m["description"] == "A quartz hub connector"
+    assert m["repository"] == "https://github.com/acme/quartz-hub"
+    assert m["tags"] == ["tools", "agent"]
+
+
+def test_mcpso_p_fallback_and_url_segments():
+    # no meta -> first <p>; no " by " in title -> url-segment author fallback
+    html = (b'<html><head><title>Solo</title></head><body>'
+            b'<p>first para wins</p></body></html>')
+    url = "https://mcp.so/server/solo-name/someone"
+    mentions, reason = extract_page(url, html, None)
+    assert reason is None
+    m = mentions[0]
+    assert m["name"] == "Solo"            # title text, no by-split
+    assert m["author"] == "someone"       # url fallback for author only
+    assert m["description"] == "first para wins"
+
+
+def test_github_mcp_predicate_and_fields():
+    ok = (b'<html><head><title>o/r</title></head><body><h1>r</h1>'
+          b'<p>An MCP server. This is a thing implementation in rust.</p>'
+          b'<ul><li>get_data</li><li>write_data</li></ul>'
+          b'<span>stars:123</span></body></html>')
+    url = "https://github.com/owner/repo"
+    mentions, reason = extract_page(url, ok, None)
+    assert reason is None
+    m = mentions[0]
+    assert (m["name"], m["author"]) == ("repo", "owner")
+    assert m["repository"] == url
+    assert m["implementation_language"] == "rust"
+    assert m["popularity_score"] == 123
+    assert [t["name"] for t in m["tools"]] == ["get_data", "write_data"]
+
+    bad = ok.replace(b"An MCP server.", b"A general library.")
+    mentions, reason = extract_page(url, bad, None)
+    assert reason == "not_mcp" and mentions == []
+
+
+def test_glama_json_explode():
+    body = (b'{"servers": [{"name": "s1", "author": "a", "tools": '
+            b'[{"name": "get_x", "description": null}], "popularity": 7},'
+            b'{"name": null}, {"name": "s2"}]}')
+    url = "https://glama.ai/api/mcp/servers?page=1"
+    mentions, reason = extract_page(url, body, None)
+    assert reason is None
+    assert [m["name"] for m in mentions] == ["s1", "s2"]
+    assert mentions[0]["popularity_score"] == 7
+    assert mentions[0]["tools"] == [{"name": "get_x", "description": None}]
+
+
+def test_quarantine_rules():
+    cases = [
+        ("https://mcp.so/server/x/y", None, None, "null_html"),
+        ("https://mcp.so/server/x/y", b"<html>tiny</html>", None, "tiny_body"),
+        ("https://mcpmarket.com/s/x",
+         b"<html><body><p>Checking your browser before access</p>"
+         b"</body></html>" + b" " * 40, None, "security_checkpoint"),
+        ("https://unknown.example/x", b"<html><body><p>%s</p></body></html>"
+         % (b"x" * 80), None, "unknown_family"),
+        ("https://glama.ai/api/mcp/servers?page=1",
+         b"not json at all " * 10, None, "bad_json"),
+    ]
+    for url, html, text, want in cases:
+        mentions, reason = extract_page(url, html, text)
+        assert reason == want and mentions == []
+
+
+def test_byte_identical_text_invariant():
+    html = _mcpso("<p>Some description here that is long enough.</p>")
+    url = "https://mcp.so/server/t/a"
+    good = visible_text(html.decode())
+    mentions, reason = extract_page(url, html, good)
+    assert reason is None and mentions
+    assert mentions[0]["extracted_text"] == good
+    # a text column that disagrees with the recomputation is quarantined
+    mentions, reason = extract_page(url, html, good + "tampered")
+    assert reason == "text_mismatch" and mentions == []
+
+
+def test_extract_mentions_split_outputs(spark):
+    rows = [
+        ("https://mcp.so/server/a/b",
+         _mcpso("<p>A fine description of this server.</p>"), TS),
+        ("https://mcp.so/server/c/d", b"<html>x</html>", TS),  # tiny
+    ]
+    pages = spark.createDataFrame(
+        [(u, TS, h, visible_text(h.decode()), "en") for u, h, _ in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    mentions, rejects = extract_mentions(pages)
+    assert mentions.count() == 1
+    rej = rejects.collect()
+    assert len(rej) == 1 and rej[0]["reason"] == "tiny_body"

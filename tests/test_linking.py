@@ -1,0 +1,96 @@
+"""Linking: exact-key stars, LSH candidate recall, scorer thresholds —
+all compared against the pure-Python oracle's decisions."""
+from __future__ import annotations
+
+from itertools import combinations
+
+from askg_spark.enrich import enrich_mentions
+from askg_spark.extract import extract_mentions
+from askg_spark.fixtures import generate_pages
+from askg_spark.linking import (LinkConfig, candidate_edges, exact_edges,
+                                lsh_candidates, score_pairs)
+from tests import ref_oracle as O
+
+N_SERVERS = 24
+
+
+def _enriched(spark):
+    pages = generate_pages(spark, n_servers=N_SERVERS, seed=42)
+    mentions, _ = extract_mentions(pages)
+    return enrich_mentions(mentions).persist()
+
+
+def _oracle_pairs(kind: str):
+    """All mention pairs the oracle links, as frozensets of mention_ids."""
+    mentions = O.extract_all_mentions(N_SERVERS, seed=42)
+    pairs = set()
+    if kind == "exact":
+        for key_fn in (
+            lambda m: O.norm_repo_url(m["repository"]) if m["repository"] else None,
+            lambda m: (O.norm_name(m["name"]) + "|" + O.norm_name(m["author"]))
+            if m["name"] and m["author"] else None,
+            O.content_hash,
+        ):
+            groups = {}
+            for m in mentions:
+                k = key_fn(m)
+                if k:
+                    groups.setdefault(k, []).append(m["mention_id"])
+            for ids in groups.values():
+                for a, b in combinations(ids, 2):
+                    pairs.add(frozenset((a, b)))
+    else:
+        for a, b in combinations(mentions, 2):
+            na, nb = O.norm_name(a["name"]), O.norm_name(b["name"])
+            if not na or not nb or na == nb:
+                continue
+            comp = O._composite(a, b)
+            similar = comp > 0.7
+            fuzzy = O._ratio(na, nb) > 0.85 and similar
+            high = (similar and a["registry"] != b["registry"]
+                    and O._detailed(a, b) > 0.9)
+            if fuzzy or high:
+                pairs.add(frozenset((a["mention_id"], b["mention_id"])))
+    return pairs
+
+
+def _closure(pairs):
+    uf = O.UnionFind()
+    for p in pairs:
+        a, b = tuple(p)
+        uf.union(a, b)
+    comps = {}
+    for p in pairs:
+        for x in p:
+            comps.setdefault(uf.find(x), set()).add(x)
+    return {frozenset(v) for v in comps.values()}
+
+
+def test_exact_edges_same_connectivity_as_oracle(spark):
+    e = _enriched(spark)
+    got = [(r["src"], r["dst"]) for r in exact_edges(e).collect()]
+    # compare transitive closures — the star decomposition is allowed to
+    # pick different edges than all-pairs, the components must match
+    assert _closure({frozenset(p) for p in got}) == _closure(_oracle_pairs("exact"))
+
+
+def test_fuzzy_pipeline_matches_oracle_decisions(spark):
+    """LSH blocking must recover 100% of the oracle's fuzzy pairs on the
+    fixture corpus (recall), and the rescoring UDF must accept exactly
+    the oracle-accepted set (precision of decisions)."""
+    e = _enriched(spark)
+    cfg = LinkConfig()
+    cands = lsh_candidates(e, cfg)
+    got = {frozenset((r["src"], r["dst"]))
+           for r in score_pairs(cands, cfg).collect()}
+    want = _oracle_pairs("fuzzy")
+    assert want - got == set(), f"LSH/scorer missed {len(want - got)} oracle pairs"
+    assert got - want == set(), f"scorer accepted {len(got - want)} extra pairs"
+    assert len(want) > 0  # fixture must actually exercise the fuzzy path
+
+
+def test_candidate_edges_union(spark):
+    e = _enriched(spark)
+    edges = candidate_edges(e, LinkConfig())
+    assert edges.count() > 0
+    assert edges.columns == ["src", "dst"]
