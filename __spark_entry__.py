@@ -1,38 +1,535 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes every operator family from SURVEY.md §2 plus the
+training-data-pipeline ops (dedup / similarity / text analysis /
+multimodal) over the driver's parquet tables; `oracle_sql()` carries an
+exact DuckDB-ANSI oracle for every deterministic query (approximate /
+sketch-based ops are rows-only by design, noted inline).
+
+Parity rules used throughout (see tools/check_oracles.py):
+  * oracle-compared outputs carry ints / strings / timestamps or
+    doubles derived from exact decimal sums — never order-dependent
+    float accumulations;
+  * every computed column is aliased identically in Spark and SQL;
+  * top-k queries fix total order with explicit tie-breaks.
+
+The flagship path renders `documents` as Common-Crawl-style pages
+(askg_spark.webcorpus) and runs the full KG pipeline — extraction,
+classification, linking, canonicalization, relations, triples — whose
+closed-form oracle is derivable because the corpus plants no fuzzy
+duplicates (the fuzzy/CC paths are exercised + oracle-checked on the
+fixture corpus in tests/, where SQL cannot express difflib scoring).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+# --------------------------------------------------------------- helpers
+
+_KG_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline over documents-rendered pages, memoized per sf."""
+    key = (id(spark), sf_dir)
+    if key not in _KG_CACHE:
+        from askg_spark.pipeline import PipelineConfig, run_pipeline
+        from askg_spark.webcorpus import render_pages
+
+        pages = render_pages(_t(spark, sf_dir, "documents"))
+        res = run_pipeline(spark, pages, PipelineConfig())
+        _KG_CACHE[key] = res.triples.persist()
+    return _KG_CACHE[key]
+
+
+# --------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: KG construction over sf0.001 documents-as-pages."""
+    return _kg_triples(spark, "/root/testdata/sf0.001").select(
+        "subj", "pred", "obj")
 
+
+# --------------------------------------------------------------- queries
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from askg_spark import dedup, multimodal, simsearch, textops
+    from askg_spark import normalize as N
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def kg_triples(spark, sf):
+        return _kg_triples(spark, sf).select("subj", "pred", "obj")
+
+    def kg_category_counts(spark, sf):
+        return (_kg_triples(spark, sf)
+                .filter(F.col("pred") == "HAS_CATEGORY")
+                .groupBy(F.col("obj").alias("category"))
+                .agg(F.count(F.lit(1)).alias("n")))
+
+    def kg_search(spark, sf):
+        # reference text2cypher fallback scoring over the doc corpus:
+        # desc-contains 8.0; deterministic tie-break by id
+        from askg_spark.webcorpus import doc_name
+        docs = _t(spark, sf, "documents")
+        ent = docs.select(
+            F.concat(F.col("source"), F.lit("/"),
+                     doc_name(F.col("doc_id"))).alias("id"),
+            F.when(F.lower("text").contains("merge"), F.lit(8.0))
+            .otherwise(F.lit(0.0)).alias("score"))
+        return (ent.filter(F.col("score") > 0)
+                .orderBy(F.desc("score"), F.asc("id")).limit(10))
+
+    def kg_fixture_entities(spark, sf):
+        # fuzzy linking + CC on the synthetic registry fixture (no SQL
+        # oracle — difflib scoring is not SQL-expressible); rows-only
+        from askg_spark.fixtures import generate_pages
+        from askg_spark.pipeline import PipelineConfig, run_pipeline
+        res = run_pipeline(spark, generate_pages(spark, n_servers=12, seed=42),
+                           PipelineConfig())
+        return res.entities.select("id", "name", "author").orderBy("id")
+
+    def doc_token_stats(spark, sf):
+        return textops.quality_counts(_t(spark, sf, "documents"))
+
+    def doc_lang_id(spark, sf):
+        return textops.lang_id(_t(spark, sf, "documents"))
+
+    def doc_fingerprints(spark, sf):
+        return textops.fingerprints(_t(spark, sf, "documents"))
+
+    def doc_category_counts(spark, sf):
+        return (textops.categorize_documents(_t(spark, sf, "documents"))
+                .groupBy("category").agg(F.count(F.lit(1)).alias("n")))
+
+    def dedup_exact_groups(spark, sf):
+        return dedup.exact_duplicate_groups(_t(spark, sf, "documents")) \
+            .select("fingerprint", "n_docs", "canonical_doc_id")
+
+    def dedup_ngram_pairs(spark, sf):
+        return dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"))
+
+    def dedup_minhash_pairs(spark, sf):
+        return dedup.minhash_pairs(_t(spark, sf, "documents"))
+
+    def dedup_simhash_pairs(spark, sf):
+        return dedup.simhash_pairs(_t(spark, sf, "documents"))
+
+    def dedup_embedding_pairs(spark, sf):
+        return dedup.embedding_dup_pairs(_t(spark, sf, "embeddings"))
+
+    def ann_topk(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        q = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        return simsearch.brute_force_topk(emb, q, k=5)
+
+    def ann_lsh_topk(spark, sf):
+        # approximate by construction -> rows-only; recall vs the exact
+        # path is asserted in tests and reported by bench.py
+        emb = _t(spark, sf, "embeddings")
+        q = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        return simsearch.lsh_topk(emb, q, k=5)
+
+    def multimodal_decode_stats(spark, sf):
+        decoded = multimodal.decode_media(
+            multimodal.attach_payload(_t(spark, sf, "documents")))
+        return multimodal.media_feature_stats(decoded)
+
+    def events_latest_per_user(spark, sf):
+        from pyspark.sql import Window
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id"))
+        return (_t(spark, sf, "events")
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("user_id", "event_id", "event_type", "ts"))
+
+    def events_counts_by_type(spark, sf):
+        return (_t(spark, sf, "events")
+                .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")))
+
+    def events_hourly_counts(spark, sf):
+        return (_t(spark, sf, "events")
+                .groupBy(F.window("ts", "1 hour"), "event_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.col("window.start").alias("hour_start"),
+                        "event_type", "n"))
+
+    def events_json_extract(spark, sf):
+        return _t(spark, sf, "events").select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k"))
+
+    def top_customers_by_revenue(spark, sf):
+        orders = _t(spark, sf, "orders")
+        cust = _t(spark, sf, "customer")
+        agg = orders.groupBy("o_custkey").agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"))
+        return (agg.join(F.broadcast(cust),
+                         agg["o_custkey"] == cust["c_custkey"])
+                .select(F.col("c_custkey"), F.col("c_name"),
+                        F.col("revenue"), F.col("n_orders"))
+                .orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(10))
+
+    def lineitem_pricing_summary(spark, sf):
+        return (_t(spark, sf, "lineitem")
+                .groupBy("l_returnflag", "l_linestatus")
+                .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                     .cast("double").alias("sum_qty"),
+                     F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                     .cast("double").alias("sum_base_price"),
+                     F.count(F.lit(1)).alias("n")))
+
+    def nation_lineitem_volume(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        supp = _t(spark, sf, "supplier")
+        nat = _t(spark, sf, "nation")
+        return (li.join(F.broadcast(supp),
+                        li["l_suppkey"] == supp["s_suppkey"])
+                .join(F.broadcast(nat),
+                      supp["s_nationkey"] == nat["n_nationkey"])
+                .groupBy("n_name").agg(F.count(F.lit(1)).alias("n_items")))
+
+    def part_name_normalized(spark, sf):
+        return _t(spark, sf, "part").select(
+            "p_partkey", N.norm_name(F.col("p_name")).alias("norm_name"))
+
+    def docs_per_lang(spark, sf):
+        return (_t(spark, sf, "documents")
+                .groupBy("lang")
+                .agg(F.countDistinct("source").alias("n_sources"),
+                     F.count(F.lit(1)).alias("n_docs")))
+
+    return {
+        "kg_triples": kg_triples,
+        "kg_category_counts": kg_category_counts,
+        "kg_search": kg_search,
+        "kg_fixture_entities": kg_fixture_entities,
+        "doc_token_stats": doc_token_stats,
+        "doc_lang_id": doc_lang_id,
+        "doc_fingerprints": doc_fingerprints,
+        "doc_category_counts": doc_category_counts,
+        "dedup_exact_groups": dedup_exact_groups,
+        "dedup_ngram_pairs": dedup_ngram_pairs,
+        "dedup_minhash_pairs": dedup_minhash_pairs,
+        "dedup_simhash_pairs": dedup_simhash_pairs,
+        "dedup_embedding_pairs": dedup_embedding_pairs,
+        "ann_topk": ann_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+        "multimodal_decode_stats": multimodal_decode_stats,
+        "events_latest_per_user": events_latest_per_user,
+        "events_counts_by_type": events_counts_by_type,
+        "events_hourly_counts": events_hourly_counts,
+        "events_json_extract": events_json_extract,
+        "top_customers_by_revenue": top_customers_by_revenue,
+        "lineitem_pricing_summary": lineitem_pricing_summary,
+        "nation_lineitem_volume": nation_lineitem_volume,
+        "part_name_normalized": part_name_normalized,
+        "docs_per_lang": docs_per_lang,
+    }
+
+
+# --------------------------------------------------------------- oracles
+
+_KG_ENT_CTE = """
+WITH m AS (
+  SELECT doc_id, source AS author,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) || '-' ||
+           CAST(doc_id AS VARCHAR) AS name,
+         text
+  FROM documents
+),
+ent AS (
+  SELECT author || '/' || name AS id, author,
+         CASE WHEN lower(text) LIKE '%data%' THEN 'data_processing'
+              ELSE 'other' END AS category
+  FROM m
+)
+"""
+
+_STOPWORDS = ("'the','a','of','and','to','der','die','das','und','nicht',"
+              "'el','los','las','que','y','le','la','les','et','ne',"
+              "'的','是','了','在','我'")
+
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+_TOKS_SAFE = (f"CASE WHEN text IS NULL OR length(trim(text)) = 0 "
+              f"THEN [] ELSE {_TOKS} END")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    grams_cte = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SAFE} AS toks FROM documents),
+g AS (SELECT doc_id,
+             CASE WHEN len(toks) >= 3 THEN list_distinct(
+               [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                for i in range(1, len(toks) - 1)])
+             ELSE [] END AS grams
+      FROM t),
+e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+sz AS (SELECT doc_id, len(grams) AS n_grams FROM g),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_common,
+       sa.n_grams + sb.n_grams - n_common AS n_union
+FROM inter
+JOIN sz sa ON doc_a = sa.doc_id
+JOIN sz sb ON doc_b = sb.doc_id
+WHERE n_common >= 0.5 * (sa.n_grams + sb.n_grams - n_common)
+"""
+    lang_scores = ", ".join(
+        f"len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in ws)})))"
+        f" AS s_{lang}"
+        for lang, ws in [
+            ("en", ["the", "a", "of", "and", "to"]),
+            ("de", ["der", "die", "das", "und", "nicht"]),
+            ("es", ["el", "los", "las", "que", "y"]),
+            ("fr", ["le", "la", "les", "et", "ne"]),
+            ("zh", ["的", "是", "了", "在", "我"]),
+        ])
+    return {
+        "kg_triples": _KG_ENT_CTE + """
+, attr AS (
+  SELECT id AS subj, 'HAS_CATEGORY' AS pred, category AS obj FROM ent
+  UNION ALL SELECT id, 'HAS_OPERATION', 'read' FROM ent
+  UNION ALL SELECT id, 'AUTHORED_BY', author FROM ent
+),
+rel AS (
+  SELECT a.id AS subj, 'same_author' AS pred, b.id AS obj
+  FROM ent a JOIN ent b ON a.author = b.author AND a.id < b.id
+  UNION ALL
+  SELECT a.id, 'similar_functionality', b.id
+  FROM ent a JOIN ent b ON a.category = b.category AND a.id < b.id
+)
+SELECT subj, pred, obj FROM attr
+UNION ALL SELECT subj, pred, obj FROM rel
+""",
+        "kg_category_counts": _KG_ENT_CTE + """
+SELECT category, count(*) AS n FROM ent GROUP BY category
+""",
+        "kg_search": """
+WITH m AS (
+  SELECT doc_id, source AS author,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) || '-' ||
+           CAST(doc_id AS VARCHAR) AS name,
+         text
+  FROM documents)
+SELECT author || '/' || name AS id, CAST(8.0 AS DOUBLE) AS score
+FROM m WHERE lower(text) LIKE '%merge%'
+ORDER BY score DESC, id LIMIT 10
+""",
+        "doc_token_stats": f"""
+WITH t AS (SELECT doc_id, text, {_TOKS_SAFE} AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_filter(toks, x -> x IN ({_STOPWORDS}))) AS n_stopword_tokens,
+       len(list_filter(toks, x -> length(x) > 20)) AS n_long_tokens,
+       length(coalesce(text, '')) AS n_chars,
+       length(regexp_replace(coalesce(text, ''), '[^A-Za-z]', '', 'g'))
+         AS n_alpha_chars
+FROM t
+""",
+        "doc_lang_id": f"""
+WITH t AS (SELECT doc_id, {_TOKS_SAFE} AS toks FROM documents),
+s AS (SELECT doc_id, {lang_scores} FROM t)
+SELECT doc_id,
+  CASE
+    WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr
+         AND s_en >= s_zh THEN 'en'
+    WHEN s_de > 0 AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh
+         THEN 'de'
+    WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+    WHEN s_fr > 0 AND s_fr >= s_zh THEN 'fr'
+    WHEN s_zh > 0 THEN 'zh'
+    ELSE 'und' END AS lang_pred
+FROM s
+""",
+        "doc_fingerprints": """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')))
+         AS fingerprint
+FROM documents
+""",
+        "doc_category_counts": """
+WITH cats AS (
+  SELECT doc_id, unnest(flatten([
+    CASE WHEN lower(coalesce(text,'') || ' ') LIKE '%database%'
+           OR lower(coalesce(text,'')) LIKE '%sql%'
+           OR lower(coalesce(text,'')) LIKE '%postgres%'
+           OR lower(coalesce(text,'')) LIKE '%mysql%'
+           OR lower(coalesce(text,'')) LIKE '%mongodb%'
+           OR lower(coalesce(text,'')) LIKE '%redis%'
+         THEN ['database'] ELSE [] END,
+    CASE WHEN lower(coalesce(text,'')) LIKE '%file%'
+           OR lower(coalesce(text,'')) LIKE '%directory%'
+           OR lower(coalesce(text,'')) LIKE '%folder%'
+           OR lower(coalesce(text,'')) LIKE '%storage%'
+         THEN ['file_system'] ELSE [] END,
+    CASE WHEN lower(coalesce(text,'')) LIKE '%api%'
+           OR lower(coalesce(text,'')) LIKE '%rest%'
+           OR lower(coalesce(text,'')) LIKE '%graphql%'
+           OR lower(coalesce(text,'')) LIKE '%webhook%'
+           OR lower(coalesce(text,'')) LIKE '%http%'
+         THEN ['api_integration'] ELSE [] END,
+    CASE WHEN lower(coalesce(text,'')) LIKE '%git%'
+           OR lower(coalesce(text,'')) LIKE '%code%'
+           OR lower(coalesce(text,'')) LIKE '%development%'
+           OR lower(coalesce(text,'')) LIKE '%build%'
+         THEN ['development_tools'] ELSE [] END,
+    CASE WHEN lower(coalesce(text,'')) LIKE '%data%'
+           OR lower(coalesce(text,'')) LIKE '%etl%'
+           OR lower(coalesce(text,'')) LIKE '%transform%'
+           OR lower(coalesce(text,'')) LIKE '%process%'
+           OR lower(coalesce(text,'')) LIKE '%analytics%'
+         THEN ['data_processing'] ELSE [] END,
+    CASE WHEN lower(coalesce(text,'')) LIKE '%aws%'
+           OR lower(coalesce(text,'')) LIKE '%azure%'
+           OR lower(coalesce(text,'')) LIKE '%gcp%'
+           OR lower(coalesce(text,'')) LIKE '%cloud%'
+           OR lower(coalesce(text,'')) LIKE '%kubernetes%'
+         THEN ['cloud_services'] ELSE [] END,
+    CASE WHEN lower(coalesce(text,'')) LIKE '%slack%'
+           OR lower(coalesce(text,'')) LIKE '%discord%'
+           OR lower(coalesce(text,'')) LIKE '%email%'
+           OR lower(coalesce(text,'')) LIKE '%notification%'
+           OR lower(coalesce(text,'')) LIKE '%message%'
+         THEN ['communication'] ELSE [] END,
+    CASE WHEN lower(coalesce(text,'')) LIKE '%auth%'
+           OR lower(coalesce(text,'')) LIKE '%login%'
+           OR lower(coalesce(text,'')) LIKE '%security%'
+           OR lower(coalesce(text,'')) LIKE '%jwt%'
+         THEN ['authentication'] ELSE [] END,
+    CASE WHEN lower(coalesce(text,'')) LIKE '%monitor%'
+           OR lower(coalesce(text,'')) LIKE '%metrics%'
+           OR lower(coalesce(text,'')) LIKE '%logging%'
+           OR lower(coalesce(text,'')) LIKE '%observability%'
+         THEN ['monitoring'] ELSE [] END,
+    CASE WHEN lower(coalesce(text,'')) LIKE '%search%'
+           OR lower(coalesce(text,'')) LIKE '%index%'
+           OR lower(coalesce(text,'')) LIKE '%elasticsearch%'
+           OR lower(coalesce(text,'')) LIKE '%solr%'
+         THEN ['search'] ELSE [] END,
+    CASE WHEN lower(coalesce(text,'')) LIKE '%ai%'
+           OR lower(coalesce(text,'')) LIKE '%ml%'
+           OR lower(coalesce(text,'')) LIKE '%machine learning%'
+           OR lower(coalesce(text,'')) LIKE '%neural%'
+           OR lower(coalesce(text,'')) LIKE '%model%'
+         THEN ['ai_ml'] ELSE [] END])) AS category
+  FROM documents),
+final AS (
+  SELECT coalesce(c.category, 'other') AS category
+  FROM documents d LEFT JOIN cats c ON d.doc_id = c.doc_id)
+SELECT category, count(*) AS n FROM final GROUP BY category
+""",
+        "dedup_exact_groups": """
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ',
+             'g'))) AS fingerprint
+  FROM documents)
+SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS canonical_doc_id
+FROM fp GROUP BY fingerprint HAVING count(*) > 1
+""",
+        "dedup_ngram_pairs": grams_cte,
+        # minhash is LSH-blocked but at this corpus's separation (planted
+        # dups >=0.8 Jaccard, background <=0.3) its pair set equals the
+        # exact join's — asserted here; recall trade documented in dedup.py
+        "dedup_minhash_pairs": f"""
+WITH pairs AS ({grams_cte})
+SELECT doc_a, doc_b FROM pairs
+""",
+        "dedup_embedding_pairs": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+""",
+        "ann_topk": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS vq FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.vq, e.v) AS cosine
+  FROM q JOIN e ON e.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+""",
+        "events_latest_per_user": """
+SELECT user_id, event_id, event_type, ts FROM (
+  SELECT user_id, event_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+""",
+        "events_counts_by_type": """
+SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+""",
+        "events_hourly_counts": """
+SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n
+FROM events GROUP BY 1, 2
+""",
+        "events_json_extract": """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+""",
+        "top_customers_by_revenue": """
+WITH agg AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+         count(*) AS n_orders
+  FROM orders GROUP BY o_custkey)
+SELECT c.c_custkey, c.c_name, a.revenue, a.n_orders
+FROM agg a JOIN customer c ON a.o_custkey = c.c_custkey
+ORDER BY a.revenue DESC, c.c_custkey LIMIT 10
+""",
+        "lineitem_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_base_price,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+        "nation_lineitem_volume": """
+SELECT n.n_name, count(*) AS n_items
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+        "part_name_normalized": """
+SELECT p_partkey,
+  regexp_replace(
+    regexp_replace(
+      trim(regexp_replace(
+        regexp_replace(lower(coalesce(p_name, '')), '[^a-z0-9\\s]', '', 'g'),
+        '\\s+', ' ', 'g')),
+      '^(mcp[-_\\s]*)?', ''),
+    '[-_\\s]*(server|mcp)$', '') AS norm_name
+FROM part
+""",
+        "docs_per_lang": """
+SELECT lang, count(DISTINCT source) AS n_sources, count(*) AS n_docs
+FROM documents GROUP BY lang
+""",
+        # rows-only (approximate / sketch-based, documented):
+        #   kg_fixture_entities  (difflib similarity not SQL-expressible)
+        #   dedup_simhash_pairs  (sketch banding, recall tested in pytest)
+        #   ann_lsh_topk         (approximate ANN, recall tested/benched)
+        #   multimodal_decode_stats (stubbed decode, schema-level check)
+    }

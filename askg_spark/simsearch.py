@@ -1,0 +1,153 @@
+"""Similarity search over an embedding column (`array<float>`).
+
+Two paths, same output contract (query_id, neighbor_id, rank):
+
+  brute_force_topk   exact cosine top-k; the QUERY side is broadcast
+                     (it is small by construction) so the big corpus
+                     never shuffles — one scan, TakeOrdered per query
+  lsh_topk           random-hyperplane LSH bucketing (deterministic,
+                     seed-derived planes) -> candidates share >=1 band
+                     -> exact rescore; sub-quadratic candidate
+                     generation, the 100 TB path. Recall vs brute force
+                     is measured, not assumed (tests/bench).
+
+Scores stay internal (floats don't travel across engine boundaries);
+ranks are ordered by (cosine desc, neighbor_id asc) — fully
+deterministic under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    `queries(query_id, embedding)` is broadcast; corpus scan stays
+    shuffle-free until the final per-query top-k (a window over the
+    small (|queries| x |corpus|) score frame, AQE-coalesced)."""
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"),
+                        _as_double(F.col("embedding")).alias("vc"))
+    q = queries.select(F.col("query_id"),
+                       _as_double(F.col("embedding")).alias("vq"))
+    scored = (
+        corpus.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine",
+                    _dot(F.col("vq"), F.col("vc"))
+                    / (_norm(F.col("vq")) * _norm(F.col("vc"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42):
+    """Deterministic pseudo-random unit hyperplanes (pure function of
+    (seed, plane, dim) via md5 — identical on every executor/run)."""
+    import hashlib
+
+    import numpy as np
+
+    planes = np.empty((n_planes, dim))
+    for p in range(n_planes):
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()
+            planes[p, d] = int.from_bytes(h[:8], "big") / 2**63 - 1.0
+    return planes
+
+
+def lsh_signatures(emb: DataFrame, n_planes: int = 16, seed: int = 42,
+                   id_col: str = "vec_id") -> DataFrame:
+    """Sign-pattern signature: bit p = (v . plane_p) >= 0. Arrow-batched
+    numpy matmul — one GEMV per batch, no per-row Python."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    def run(batches):
+        planes = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            if planes is None:
+                planes = _hyperplanes(mat.shape[1], n_planes, seed)
+            bits = (mat @ planes.T) >= 0
+            sig = (bits * (1 << np.arange(n_planes, dtype=np.uint64))).sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "signature": sig.astype(np.int64)})
+
+    schema = StructType([StructField(id_col, LongType()),
+                         StructField("signature", LongType())])
+    return emb.select(id_col, "embedding").mapInPandas(run, schema=schema)
+
+
+def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+             n_planes: int = 24, band_bits: int = 3,
+             seed: int = 42) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors sharing >=1
+    signature band with the query (banded random-hyperplane LSH), exact
+    cosine rescore + top-k within candidates.
+
+    The candidate join is an equi-join on (band index, band value) —
+    shuffle on the band key only; at 100 TB the corpus side is
+    pre-bucketed by band so probes are map-side."""
+    n_bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
+
+    def banded(sig_df, id_alias):
+        return sig_df.select(
+            F.col(sig_df.columns[0]).alias(id_alias),
+            F.explode(F.array(*[
+                F.concat_ws(":", F.lit(i),
+                            F.shiftright("signature", i * band_bits)
+                            .bitwiseAND(F.lit(mask)))
+                for i in range(n_bands)
+            ])).alias("band"),
+        )
+
+    corpus_sig = banded(lsh_signatures(emb, n_planes, seed), "neighbor_id")
+    query_sig = banded(
+        lsh_signatures(queries, n_planes, seed, id_col="query_id"),
+        "query_id")
+    cands = (
+        corpus_sig.join(F.broadcast(query_sig), "band")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id").dropDuplicates()
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"),
+                        _as_double(F.col("embedding")).alias("vc"))
+    q = queries.select(F.col("query_id").alias("qid"),
+                       _as_double(F.col("embedding")).alias("vq"))
+    scored = (
+        cands.join(corpus, "neighbor_id")
+        .join(F.broadcast(q), F.col("query_id") == F.col("qid"))
+        .withColumn("cosine",
+                    _dot(F.col("vq"), F.col("vc"))
+                    / (_norm(F.col("vq")) * _norm(F.col("vc"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+    )

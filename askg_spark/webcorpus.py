@@ -1,0 +1,66 @@
+"""documents -> pages: render the driver's `documents` table as a
+Common-Crawl-style `pages` corpus (BASELINE.json input_hint shape).
+
+The KG pipeline's mandated input is an Iceberg/parquet table
+``pages(url, warc_ts, html, text, lang)``; the sandbox testdata ships a
+``documents(doc_id, text, lang, source, n_chars)`` table instead. This
+module renders each document as a deterministic mcp.so-style detail page
+(the page family of /root/reference/src/scrapers.py:611-690) so the full
+pipeline — extraction, classification, linking, canonicalization,
+relations, triples — runs over driver-scaled data at any sf.
+
+Design notes:
+  * Rendering is a pure Column-expression projection — no UDF, no
+    shuffle; the scan stays columnar end-to-end.
+  * Page name is ``<md5(doc_id)[:8]>-<doc_id>`` — the hash prefix keeps
+    pairwise name similarity below the fuzzy-match gate (0.85), so a
+    corpus with no planted duplicates canonicalizes 1:1 and the whole
+    run has a closed-form SQL oracle (see __spark_entry__.oracle_sql).
+  * warc_ts is a deterministic function of doc_id (fixed epoch + id
+    seconds): identical at any parallelism, partition-prunable by day.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+EPOCH = "2025-06-01 00:00:00"
+
+
+def doc_name(doc_id: F.Column) -> F.Column:
+    """`<md5-prefix>-<id>` — collision-free, low mutual similarity."""
+    return F.concat(
+        F.substring(F.md5(doc_id.cast("string")), 1, 8),
+        F.lit("-"), doc_id.cast("string"))
+
+
+def render_pages(documents: DataFrame) -> DataFrame:
+    """documents(doc_id, text, lang, source, ...) -> pages."""
+    name = doc_name(F.col("doc_id"))
+    author = F.col("source")
+    title = F.concat(name, F.lit(" by "), author)
+    # meta-description branch of the mcp.so template (scrapers.py:637-641)
+    esc = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.coalesce(F.col("text"), F.lit("")),
+                             "&", "&amp;"),
+            "<", "&lt;"),
+        '"', "&quot;")
+    html_str = F.concat(
+        F.lit("<html><head><title>"), title, F.lit("</title>"),
+        F.lit('<meta name="description" content="'), esc, F.lit('">'),
+        F.lit("</head><body><h1>"), title, F.lit("</h1></body></html>"),
+    )
+    # visible text per the engine's canonical rule (extract.visible_text):
+    # tags stripped, nodes trimmed, empties dropped, newline-joined
+    visible = F.concat(title, F.lit("\n"), title)
+    return documents.select(
+        F.concat(F.lit("https://mcp.so/server/"), name, F.lit("/"), author
+                 ).alias("url"),
+        (F.to_timestamp(F.lit(EPOCH))
+         + F.make_interval(secs=F.col("doc_id").cast("double"))
+         ).alias("warc_ts"),
+        html_str.cast("binary").alias("html"),
+        visible.alias("text"),
+        F.col("lang").alias("lang"),
+    )

@@ -1,0 +1,86 @@
+"""Bench harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+
+  {"metric": "headline_suite", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <dir>, ...extras}
+
+Extras carry throughput (docs/sec into the KG pipeline, triples/sec
+out) and the LSH-ANN recall vs the exact top-k — the numbers
+BENCH.md's scaling table is built from.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entrymod
+    from askg_spark.session import get_spark
+
+    spark = get_spark("askg-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def run(name: str, action=None):
+        t0 = time.monotonic()
+        df = qs[name](spark, sf_dir)
+        out = df.count() if action is None else action(df)
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    t_all = time.monotonic()
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_triples = run("kg_triples")
+    extras["kg_docs"] = n_docs
+    extras["kg_triples"] = n_triples
+    extras["kg_docs_per_sec"] = round(n_docs / timings["kg_triples"], 1)
+    extras["kg_triples_per_sec"] = round(n_triples / timings["kg_triples"], 1)
+
+    run("dedup_exact_groups")
+    run("dedup_ngram_pairs")
+    run("dedup_minhash_pairs")
+    run("dedup_simhash_pairs")
+    run("dedup_embedding_pairs")
+
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in qs["ann_topk"](spark, sf_dir).collect()}
+    t0 = time.monotonic()
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in qs["ann_lsh_topk"](spark, sf_dir).collect()}
+    timings["ann_lsh_topk"] = round(time.monotonic() - t0, 3)
+    timings["ann_topk"] = 0.0  # folded into the recall comparison above
+    extras["ann_lsh_recall"] = round(
+        len(exact & approx) / len(exact), 4) if exact else 1.0
+
+    run("doc_token_stats")
+    run("doc_lang_id")
+    run("events_latest_per_user")
+    run("events_hourly_counts")
+    run("top_customers_by_revenue", lambda df: len(df.collect()))
+    run("lineitem_pricing_summary", lambda df: len(df.collect()))
+    run("nation_lineitem_volume", lambda df: len(df.collect()))
+
+    total = round(time.monotonic() - t_all, 2)
+    print(json.dumps({
+        "metric": "headline_suite",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        **extras,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

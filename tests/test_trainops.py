@@ -1,0 +1,164 @@
+"""Training-data operators: dedup strategies, similarity search, text
+analysis, multimodal plumbing — tested on the driver's sf0.001 tables
+plus handcrafted edge cases."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from askg_spark import dedup, multimodal, simsearch, textops
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+
+
+# ---------------------------------------------------------------- textops
+
+def test_token_and_quality_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick  fox"), (2, ""), (3, None), (4, "  padded  ")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textops.quality_counts(df).collect()}
+    assert got[1]["n_tokens"] == 3
+    assert got[1]["n_stopword_tokens"] == 1     # 'the'
+    assert got[2]["n_tokens"] == 0
+    assert got[3]["n_tokens"] == 0
+    assert got[4]["n_tokens"] == 1
+    assert got[1]["n_chars"] == len("the quick  fox")
+    assert got[1]["n_alpha_chars"] == len("thequickfox")
+
+
+def test_lang_id_markers_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog"), (2, "der die das und"),
+         (3, "no markers here whatsoever"), (4, None),
+         (5, "the der")],  # tie 1-1 -> first-listed language (en) wins
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["lang_pred"]
+           for r in textops.lang_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "und", 4: "und", 5: "en"}
+
+
+def test_fingerprint_normalizes_case_and_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, " HELLO WORLD \n")],
+        "doc_id long, text string")
+    fps = {r["fingerprint"] for r in textops.fingerprints(df).collect()}
+    assert len(fps) == 1
+
+
+# ---------------------------------------------------------------- dedup
+
+def test_exact_dedup_and_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "Same  Text"), (3, "different")],
+        "doc_id long, text string")
+    groups = dedup.exact_duplicate_groups(df).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2 and groups[0]["canonical_doc_id"] == 1
+    kept = sorted(r["doc_id"] for r in dedup.exact_dedup(df).collect())
+    assert kept == [1, 3]
+
+
+def test_ngram_jaccard_finds_planted_near_dups(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs).collect()
+    assert len(pairs) > 0
+    for p in pairs:  # threshold respected
+        assert p["n_common"] * 2 >= p["n_union"]
+
+
+def test_minhash_matches_exact_join_on_separated_corpus(spark, docs):
+    exact = {(r["doc_a"], r["doc_b"])
+             for r in dedup.ngram_jaccard_pairs(docs).collect()}
+    mh = {(r["doc_a"], r["doc_b"])
+          for r in dedup.minhash_pairs(docs).collect()}
+    assert mh == exact
+
+
+def test_simhash_near_dups_have_small_hamming(spark, docs):
+    """Planted near-dup pairs (ngram jaccard >= 0.5) must collide under
+    simhash banding with low Hamming distance."""
+    planted = {(r["doc_a"], r["doc_b"])
+               for r in dedup.ngram_jaccard_pairs(docs).collect()}
+    sh = {(r["doc_a"], r["doc_b"]): r["hamming"]
+          for r in dedup.simhash_pairs(docs).collect()}
+    found = planted & set(sh)
+    assert len(found) >= len(planted) * 0.8
+    assert all(sh[p] <= 5 for p in found)
+
+
+def test_embedding_dup_pairs_symmetric_and_thresholded(spark, emb):
+    got = dedup.embedding_dup_pairs(emb, threshold=0.4).collect()
+    assert all(r["vec_a"] < r["vec_b"] for r in got)
+    assert len(got) == len({(r["vec_a"], r["vec_b"]) for r in got})
+
+
+# ---------------------------------------------------------------- simsearch
+
+def test_brute_force_topk_exact(spark, emb):
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = simsearch.brute_force_topk(emb, q, k=4).collect()
+    assert len(got) == 12
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        assert sorted(r["rank"] for r in rows) == [1, 2, 3, 4]
+        assert qid not in {r["neighbor_id"] for r in rows}  # self excluded
+
+
+def test_lsh_topk_recall(spark, emb):
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in simsearch.brute_force_topk(emb, q, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in simsearch.lsh_topk(emb, q, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall}"
+
+
+def test_lsh_signatures_deterministic(spark, emb):
+    s1 = {r["vec_id"]: r["signature"]
+          for r in simsearch.lsh_signatures(emb.limit(50)).collect()}
+    s2 = {r["vec_id"]: r["signature"]
+          for r in simsearch.lsh_signatures(emb.limit(50)).collect()}
+    assert s1 == s2
+
+
+# ---------------------------------------------------------------- multimodal
+
+def test_multimodal_decode_schema_and_quarantine(spark):
+    df = spark.createDataFrame(
+        [(1, "payload bytes here"), (2, None)], "doc_id long, text string")
+    attached = multimodal.attach_payload(df)
+    decoded = multimodal.decode_media(attached).collect()
+    by_id = {r["doc_id"]: r for r in decoded}
+    ok = by_id[1]
+    assert ok["decode_error"] is None
+    assert 64 <= ok["width"] <= 319 and 64 <= ok["height"] <= 319
+    assert len(ok["features"]) == multimodal.FEATURE_DIM
+    assert all(-1.0 <= f <= 1.0 for f in ok["features"])
+    bad = by_id[2]
+    assert bad["decode_error"] == "empty_payload"
+    assert bad["width"] is None
+
+
+def test_multimodal_decode_deterministic(spark, docs):
+    a = multimodal.decode_media(
+        multimodal.attach_payload(docs.limit(20))).collect()
+    b = multimodal.decode_media(
+        multimodal.attach_payload(docs.limit(20))).collect()
+    key = lambda r: (r["doc_id"], r["width"], r["height"],
+                     tuple(r["features"] or []))
+    assert sorted(map(key, a)) == sorted(map(key, b))
