@@ -45,7 +45,8 @@ def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         pages = render_pages(_t(spark, sf_dir, "documents"))
         res = run_pipeline(spark, pages, PipelineConfig())
-        _KG_CACHE[key] = res.triples.persist()
+        from pyspark import StorageLevel
+        _KG_CACHE[key] = res.triples.persist(StorageLevel.MEMORY_ONLY)
     return _KG_CACHE[key]
 
 

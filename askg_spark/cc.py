@@ -15,7 +15,20 @@ and the fixture includes a chain cluster to prove transitivity).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint at MEMORY_ONLY. Two needs meet here:
+    localCheckpoint (not persist) because it TRUNCATES the logical
+    plan — the iterative loop otherwise grows a plan whose
+    canonicalization OOMs the driver around iteration 8; MEMORY_ONLY
+    (not the default MEMORY_AND_DISK) because the disk-backed level
+    costs ~10x more wall time to build on this Spark/local setup and
+    the label/edge frames are small relative to executor memory."""
+    return df.localCheckpoint(eager=True,
+                              storageLevel=StorageLevel.MEMORY_ONLY)
 
 
 def connected_components(
@@ -30,7 +43,17 @@ def connected_components(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    labels = vertices.select("id", F.col("id").alias("label"))
+    # materialize the edge set ONCE — without this, the whole upstream
+    # plan (extraction UDF, LSH join, pair scorer) re-executes on every
+    # iteration of the loop (measured: 285s -> seconds at 1k servers)
+    sym = _materialize(sym)
+    # iterate only over vertices that touch an edge; isolated vertices
+    # are trivially their own component and the caller fills them in
+    # (pipeline.py coalesces component <- mention_id) — at web scale the
+    # edge graph is far smaller than the mention set
+    touched = sym.select(F.col("u").alias("id")).distinct()
+    labels = touched.select("id", F.col("id").alias("label"))
+    prev_jumped: DataFrame | None = None
 
     for it in range(max_iter):
         # propagate: label(v) <- min(label(v), min over neighbors' labels)
@@ -60,9 +83,17 @@ def connected_components(
                            ).alias("label"),
             )
         )
-        jumped = jumped.localCheckpoint(eager=True)
+        jumped = _materialize(jumped)
         changed = jumped.filter(F.col("label") != F.col("old_label")).limit(1).count()
         labels = jumped.select("id", "label")
+        if prev_jumped is not None:
+            prev_jumped.unpersist()
+        prev_jumped = jumped
         if changed == 0:
             break
-    return labels.select("id", F.col("label").alias("component"))
+    # singletons re-attached once at the end (self-labeled), so the
+    # returned frame covers every input vertex
+    singles = vertices.join(touched, "id", "left_anti") \
+        .select("id", F.col("id").alias("label"))
+    return labels.unionByName(singles) \
+        .select("id", F.col("label").alias("component"))

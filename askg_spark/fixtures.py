@@ -69,7 +69,12 @@ def _h(seed: int, *parts) -> int:
 def server_profile(seed: int, k: int) -> dict:
     """The logical server k — the ground-truth entity behind its pages."""
     h = _h(seed, k, "base")
-    name = f"{_WORDS1[h % len(_WORDS1)]}-{_WORDS2[(h >> 8) % len(_WORDS2)]}-{k}"
+    # hex chunk keeps pairwise name similarity realistic as the corpus
+    # grows: without it, thousands of servers share 16x14 word stems and
+    # name-similar candidate pairs grow quadratically (a web corpus has
+    # name entropy; a scoring benchmark should too)
+    hexc = f"{_h(seed, k, 'hex') % 0xffffffff:08x}"
+    name = f"{_WORDS1[h % len(_WORDS1)]}-{_WORDS2[(h >> 8) % len(_WORDS2)]}-{hexc}-{k}"
     hot = (h >> 16) % 4 == 0  # ~25% owned by the hot author
     author = "anthropic" if hot else f"dev-{(h >> 20) % 97}"
     # hot category skew: ~70% carry ai_ml (scale_assessment.py:126-128)

@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, functions as F
 @dataclass(frozen=True)
 class LinkConfig:
     lsh_num_hash_tables: int = 6
-    lsh_jaccard_distance: float = 0.75   # approxSimilarityJoin threshold
+    lsh_jaccard_distance: float = 0.5    # approxSimilarityJoin threshold
     shingle_size: int = 3
     tfidf_features: int = 1 << 18
     tfidf_prune: float | None = None     # e.g. 0.05 at 100TB scale; None = off
@@ -78,9 +78,11 @@ def exact_edges(mentions: DataFrame) -> DataFrame:
 
 
 def _shingle_col(col, n: int):
-    """char n-grams of a (non-empty) string column -> array<string>."""
-    # pad short names so even 1-2 char names produce one shingle
-    padded = F.rpad(col, n, "_")
+    """char n-grams of a (non-empty) string column -> array<string>.
+
+    NB: rpad TRUNCATES strings longer than its length argument — pad
+    only the short-name case (so 1-2 char names still yield a shingle)."""
+    padded = F.when(F.length(col) < n, F.rpad(col, n, "_")).otherwise(col)
     idx = F.sequence(F.lit(1), F.length(padded) - (n - 1))
     return F.array_distinct(F.transform(idx, lambda i: padded.substr(i, F.lit(n))))
 
@@ -95,10 +97,19 @@ def lsh_candidates(mentions: DataFrame, cfg: LinkConfig) -> DataFrame:
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
+    # Shingle the DESPACED norm_name: the reference's fuzzy matches are
+    # overwhelmingly separator/affix variants of one name ("orbit bridge
+    # 3" / "orbitbridge3"), and spaces shift every character shingle —
+    # blocking on the spaced form forces a very permissive distance
+    # threshold (measured: 1.76M candidates for 9k mentions at 0.75).
+    # Despaced, variant pairs have near-identical shingle sets, so the
+    # threshold tightens to 0.5 and the candidate set collapses while
+    # fixture recall stays 100% (tests/test_linking.py).
+    despaced = F.regexp_replace(F.col("norm_name"), " ", "")
     base = (
         mentions.filter(F.col("norm_name").isNotNull() & (F.length("norm_name") >= 2))
         .select(*PAIR_COLS)
-        .withColumn("shingles", _shingle_col(F.col("norm_name"), cfg.shingle_size))
+        .withColumn("shingles", _shingle_col(despaced, cfg.shingle_size))
     )
     # HashingTF instead of CountVectorizer: no vocabulary fit pass (one
     # less full scan — matters at 10^12 rows); 2^18 features keeps the
@@ -126,19 +137,106 @@ def _ratio(x: str | None, y: str | None) -> float:
     return SequenceMatcher(None, x, y).ratio()
 
 
-def score_pairs(cands: DataFrame, cfg: LinkConfig) -> DataFrame:
+TFIDF_DIM = 1 << 14
+
+
+def description_idf(mentions: DataFrame) -> tuple[dict[int, float], int]:
+    """One aggregation over the corpus: hashed-token document
+    frequencies of `description` -> {bucket: idf} (smoothed ln).
+    The dict is tiny (<= TFIDF_DIM entries) and broadcast to the
+    scorer. Tokens are lowercased whitespace words; bucket =
+    crc32(token) % TFIDF_DIM — same hash in the Python scorer."""
+    import zlib
+
+    toks = F.array_distinct(
+        F.split(F.trim(F.lower(F.coalesce(F.col("description"), F.lit("")))),
+                r"\s+"))
+    rows = (
+        mentions.select(F.explode(toks).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("df_"))
+        .collect()
+    )
+    n_docs = mentions.count()
+    import math
+    idf: dict[int, float] = {}
+    for r in rows:
+        b = zlib.crc32(r["tok"].encode()) % TFIDF_DIM
+        # buckets colliding keep the larger df (more conservative idf)
+        idf[b] = min(idf.get(b, float("inf")),
+                     math.log((n_docs + 1) / (r["df_"] + 1)) + 1.0)
+    return idf, n_docs
+
+
+def score_pairs(cands: DataFrame, cfg: LinkConfig,
+                idf: dict[int, float] | None = None) -> DataFrame:
     """Arrow-batched exact rescoring of LSH candidates with the
-    reference's difflib formulas; returns pairs that are edges."""
+    reference's difflib formulas; returns pairs that are edges.
+
+    When ``cfg.tfidf_prune`` is set (the 100 TB path), a vectorized
+    TF-IDF cosine over the pair's descriptions runs FIRST (numpy over
+    the whole Arrow batch) and pairs below the prune threshold skip the
+    per-pair difflib scoring entirely — the quadratic-ish ratio calls
+    are the expensive part, the hashed cosine is a batch GEMV. Pairs
+    where either side lacks a description are never pruned (the
+    reference's composite score treats missing descriptions as
+    no-evidence, not negative evidence)."""
+    import math
+    import zlib
+
+    import numpy as np
+
     flat = cands.select(
         *[F.col(f"a.{c}").alias(f"a_{c}") for c in PAIR_COLS],
         *[F.col(f"b.{c}").alias(f"b_{c}") for c in PAIR_COLS],
     )
+    prune = cfg.tfidf_prune
+    default_idf = math.log(2.0) + 1.0
+    # detailed = 0.4*name + (terms summing to <= 0.6): the cross-
+    # registry branch can only fire when name_ratio exceeds this
+    min_name_high = max(0.0, (cfg.merge_threshold - 0.6) / 0.4)
+
+    def _tfidf_cos(col_a: pd.Series, col_b: pd.Series) -> "np.ndarray":
+        def vec(text):
+            if not text:
+                return None
+            buckets: dict[int, float] = {}
+            for tok in set(text.lower().split()):
+                b = zlib.crc32(tok.encode()) % TFIDF_DIM
+                buckets[b] = (idf or {}).get(b, default_idf)
+            norm = math.sqrt(sum(w * w for w in buckets.values())) or 1.0
+            return {b: w / norm for b, w in buckets.items()}
+
+        out = np.ones(len(col_a))
+        for i, (ta, tb) in enumerate(zip(col_a, col_b)):
+            va, vb = vec(ta), vec(tb)
+            if va is None or vb is None:
+                out[i] = 1.0          # no evidence -> never pruned
+            else:
+                out[i] = sum(w * vb.get(b, 0.0) for b, w in va.items())
+        return out
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if prune is not None and len(pdf):
+                cos = _tfidf_cos(pdf["a_description"], pdf["b_description"])
+                pdf = pdf[cos >= prune]
             out = {"src": [], "dst": [], "fuzzy_dup": [], "high_merge": []}
             for r in pdf.itertuples(index=False):
                 name_ratio = _ratio(r.a_norm_name, r.b_norm_name)
+                # cheap-gate ordering: every accepted pair needs
+                # name_ratio > 0.75 — fuzzy_dup requires > 0.85
+                # outright, and the cross-registry branch requires
+                # detailed > 0.9 where the non-name terms sum to at
+                # most 0.6, forcing 0.4*name_ratio > 0.3. The name
+                # ratio is a ~15-char compare; the description ratios
+                # below are 100+-char quadratic difflib calls — gating
+                # here removes them for the bulk of LSH candidates.
+                if name_ratio <= min(cfg.name_ratio_gate, min_name_high):
+                    continue
+                if name_ratio <= cfg.name_ratio_gate \
+                        and r.a_registry == r.b_registry:
+                    continue          # neither branch can accept
                 # --- composite (J5), deduplication.py:223-262
                 comp = 0.0
                 if r.a_author and r.b_author:
@@ -193,5 +291,7 @@ def candidate_edges(mentions: DataFrame, cfg: LinkConfig | None = None) -> DataF
     cfg = cfg or LinkConfig()
     exact = exact_edges(mentions)
     cands = lsh_candidates(mentions, cfg)
-    fuzzy = score_pairs(cands, cfg).select("src", "dst")
+    idf = (description_idf(mentions)[0]
+           if cfg.tfidf_prune is not None else None)
+    fuzzy = score_pairs(cands, cfg, idf).select("src", "dst")
     return exact.unionByName(fuzzy).dropDuplicates(["src", "dst"])

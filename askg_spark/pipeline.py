@@ -25,6 +25,7 @@ from __future__ import annotations
 import logging
 from dataclasses import dataclass, field
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from askg_spark.canonicalize import assign_global_ids, canonical_entities
@@ -69,7 +70,7 @@ def run_pipeline(
 
     mentions_raw, rejects = extract_mentions(pages)
     enriched = enrich_mentions(mentions_raw)
-    enriched = enriched.persist()
+    enriched = enriched.persist(StorageLevel.MEMORY_ONLY)
 
     edges = timer.time("link", lambda: candidate_edges(enriched, cfg.link))
     comps = timer.time("cc", lambda: connected_components(
@@ -82,7 +83,7 @@ def run_pipeline(
 
     entities = timer.time("canonicalize", lambda: assign_global_ids(
         canonical_entities(with_comp)))
-    entities = entities.persist()
+    entities = entities.persist(StorageLevel.MEMORY_ONLY)
 
     rel_edges = timer.time("relations", lambda: infer_relationship_edges(
         entities, cfg.max_entities_per_key))

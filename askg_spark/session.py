@@ -31,7 +31,10 @@ DEFAULT_CONFS: dict[str, str] = {
     # deterministic float formatting in checksums
     "spark.sql.legacy.allowNegativeScaleOfDecimal": "true",
     "spark.ui.enabled": "false",
-    "spark.driver.memory": os.environ.get("ASKG_DRIVER_MEM", "8g"),
+    # NB: honored only when the JVM is launched by this process (plain
+    # `python` entrypoints); under spark-submit pass --driver-memory.
+    # local[32] is one JVM doing all executor work — size accordingly.
+    "spark.driver.memory": os.environ.get("ASKG_DRIVER_MEM", "48g"),
 }
 
 

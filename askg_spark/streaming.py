@@ -1,0 +1,81 @@
+"""Incremental ingest via Structured Streaming (SURVEY §2.8 C1/C2).
+
+The reference's freshness-gated re-scrape (scrapers.py:1301-1308) and
+master-data currency check (master_data.py:58-91) are batch-incremental
+semantics: process only input that arrived since the last successful
+run. Two equivalent Spark expressions of that contract:
+
+  * the manifest-fingerprint skip in pipeline.run_pipeline_materialized
+    (pure batch, used by the CLI), and
+  * this module: `readStream` over the pages directory with
+    `Trigger.AvailableNow` + a checkpoint — Spark's own file-source
+    tracking replaces the manifest; each invocation drains exactly the
+    unseen files and stops. On a cluster the same job with a processing-
+    time trigger is a continuous ingest, no code change.
+
+Watermarking note: `warc_ts` is event time; the windowed-count demo
+keeps a 1-day watermark so late crawl records fold into the right
+window while state stays bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from askg_spark import schemas
+from askg_spark.enrich import enrich_mentions
+from askg_spark.extract import extract_mentions
+
+
+def incremental_extract(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> int:
+    """Drain unseen page files -> append enriched mentions parquet.
+
+    Returns the number of rows appended this invocation (0 when the
+    checkpoint says everything was already processed)."""
+    pages = (
+        spark.readStream.schema(schemas.PAGES)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(pages_dir)
+    )
+    mentions, _ = extract_mentions(pages)
+    enriched = enrich_mentions(mentions)
+
+    counted = {"n": 0}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        n = batch_df.count()
+        counted["n"] += n
+        if n:
+            batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        enriched.writeStream
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return counted["n"]
+
+
+def windowed_mention_counts(
+    spark: SparkSession,
+    pages_dir: str,
+    watermark: str = "1 day",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Streaming event-time windowed counts with a watermark — returns
+    the streaming DataFrame (caller attaches a sink/trigger)."""
+    pages = spark.readStream.schema(schemas.PAGES).parquet(pages_dir)
+    mentions, _ = extract_mentions(pages)
+    return (
+        mentions.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window), "registry")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+    )
