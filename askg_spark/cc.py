@@ -31,6 +31,25 @@ def _materialize(df: DataFrame) -> DataFrame:
                               storageLevel=StorageLevel.MEMORY_ONLY)
 
 
+class _AqeOff:
+    """Disable AQE for the duration of the iterative loop. AQE
+    materializes every exchange as its own sub-job; with ~4 exchanges
+    per iteration that multiplies driver round-trips on tiny label
+    frames where runtime re-planning buys nothing (measured: ~6 jobs ->
+    2 jobs per iteration). Restored on exit so the batch stages around
+    the loop keep skew-join/coalesce."""
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
+        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.adaptive.enabled", self.prev)
+
+
 def connected_components(
     edges: DataFrame, vertices: DataFrame, max_iter: int = 25
 ) -> DataFrame:
@@ -55,6 +74,8 @@ def connected_components(
     labels = touched.select("id", F.col("id").alias("label"))
     prev_jumped: DataFrame | None = None
 
+    loop = _AqeOff(edges.sparkSession)
+    loop.__enter__()
     for it in range(max_iter):
         # propagate: label(v) <- min(label(v), min over neighbors' labels)
         l2 = labels.select(F.col("id").alias("u"), F.col("label").alias("nlabel"))
@@ -83,14 +104,20 @@ def connected_components(
                            ).alias("label"),
             )
         )
-        jumped = _materialize(jumped)
-        changed = jumped.filter(F.col("label") != F.col("old_label")).limit(1).count()
+        # ONE job materializes the lazy checkpoint AND computes the
+        # convergence signal (a separate limit/count job would double
+        # the driver round-trips that dominate this loop's wall time)
+        jumped = jumped.localCheckpoint(
+            eager=False, storageLevel=StorageLevel.MEMORY_ONLY)
+        changed = jumped.agg(F.sum(
+            (F.col("label") != F.col("old_label")).cast("int"))).collect()[0][0]
         labels = jumped.select("id", "label")
         if prev_jumped is not None:
             prev_jumped.unpersist()
         prev_jumped = jumped
-        if changed == 0:
+        if not changed:
             break
+    loop.__exit__()
     # singletons re-attached once at the end (self-labeled), so the
     # returned frame covers every input vertex
     singles = vertices.join(touched, "id", "left_anti") \
