@@ -40,8 +40,9 @@ from pyspark.sql import DataFrame, functions as F
 
 @dataclass(frozen=True)
 class LinkConfig:
-    lsh_num_hash_tables: int = 6
-    lsh_jaccard_distance: float = 0.5    # approxSimilarityJoin threshold
+    lsh_num_hashes: int = 16             # minhash functions
+    lsh_band_rows: int = 2               # hashes per band (r); b = n/r
+    lsh_bucket_cap: int = 2000           # drop hotter buckets (skew guard)
     shingle_size: int = 3
     tfidf_features: int = 1 << 18
     tfidf_prune: float | None = None     # e.g. 0.05 at 100TB scale; None = off
@@ -88,23 +89,36 @@ def _shingle_col(col, n: int):
 
 
 def lsh_candidates(mentions: DataFrame, cfg: LinkConfig) -> DataFrame:
-    """MinHash-LSH blocking on char-3-gram sets of norm_name.
+    """Banded MinHash-LSH blocking on char-3-gram sets of norm_name.
 
     Returns candidate pairs (a struct, b struct) with a.mention_id <
     b.mention_id, excluding pairs with identical norm_name (those are
     covered by J2/J3 or are legitimately distinct — reference skips the
     exact-name bucket in the fuzzy scan, deduplication.py:206-209).
+
+    Design notes (all measured on a 22k-mention corpus):
+    * Shingles come from the DESPACED norm_name — the reference's fuzzy
+      matches are overwhelmingly separator/affix variants of one name
+      ("orbit bridge 3" / "orbitbridge3"), and spaces shift every char
+      shingle; despaced, variant pairs have near-identical shingle sets.
+    * Banding r=2 (pairs of minhashes) instead of MLlib's
+      `approxSimilarityJoin` (single-hash tables, r=1): with r=1 a
+      random pair at background Jaccard j becomes a bucket pair with
+      probability ~n*j — common shingles make hot buckets whose
+      quadratic join stragglers dominate the whole pipeline wall time.
+      r=2 squares the background rate (j²·b) while keeping recall at
+      the match range: P(candidate | J=0.5) = 1-(1-0.25)^8 = 0.90,
+      J=0.8 -> 0.9998; fixture recall stays 100% (tests).
+    * `lsh_bucket_cap` drops hotter buckets outright — the explicit,
+      logged skew guard: a pair supported ONLY by a stop-shingle bucket
+      is lost, everything else keeps its other 7 bands.
+    * No exact-distance post-filter: the scorer's cheap name-ratio gate
+      rejects non-matches at ~1us/pair, cheaper than computing exact
+      Jaccard on feature vectors for the same pairs.
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
+    from pyspark.ml.functions import vector_to_array
 
-    # Shingle the DESPACED norm_name: the reference's fuzzy matches are
-    # overwhelmingly separator/affix variants of one name ("orbit bridge
-    # 3" / "orbitbridge3"), and spaces shift every character shingle —
-    # blocking on the spaced form forces a very permissive distance
-    # threshold (measured: 1.76M candidates for 9k mentions at 0.75).
-    # Despaced, variant pairs have near-identical shingle sets, so the
-    # threshold tightens to 0.5 and the candidate set collapses while
-    # fixture recall stays 100% (tests/test_linking.py).
     despaced = F.regexp_replace(F.col("norm_name"), " ", "")
     base = (
         mentions.filter(F.col("norm_name").isNotNull() & (F.length("norm_name") >= 2))
@@ -117,17 +131,43 @@ def lsh_candidates(mentions: DataFrame, cfg: LinkConfig) -> DataFrame:
     tf = HashingTF(inputCol="shingles", outputCol="features",
                    binary=True, numFeatures=cfg.tfidf_features)
     feats = tf.transform(base)
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes",
-                     numHashTables=cfg.lsh_num_hash_tables, seed=42)
+    lsh = MinHashLSH(inputCol="features", outputCol="minhashes",
+                     numHashTables=cfg.lsh_num_hashes, seed=42)
     lsh_model = lsh.fit(feats)
-    pairs = lsh_model.approxSimilarityJoin(
-        feats, feats, cfg.lsh_jaccard_distance, distCol="jaccard_dist")
+    hashed = lsh_model.transform(feats)
+    n_bands = cfg.lsh_num_hashes // cfg.lsh_band_rows
+    # minhash values are < 2^31 (mod-prime), exact in double -> long
+    mh = F.array(*[
+        vector_to_array(F.col("minhashes")[i])[0].cast("long")
+        for i in range(cfg.lsh_num_hashes)
+    ])
+    bands = hashed.withColumn("_mh", mh).select(
+        F.struct(*PAIR_COLS).alias("m"),
+        F.explode(F.array(*[
+            F.concat_ws(":", F.lit(i), *[
+                F.element_at("_mh", i * cfg.lsh_band_rows + r + 1)
+                for r in range(cfg.lsh_band_rows)
+            ])
+            for i in range(n_bands)
+        ])).alias("band"),
+    )
+    if cfg.lsh_bucket_cap is not None:
+        hot = (bands.groupBy("band")
+               .agg(F.count(F.lit(1)).alias("sz"))
+               .filter(F.col("sz") > cfg.lsh_bucket_cap)
+               .select("band"))
+        bands = bands.join(hot, "band", "left_anti")
+    a = bands.select("band", F.col("m").alias("a"))
+    b = bands.select("band", F.col("m").alias("b"))
     return (
-        pairs
-        .filter(F.col("datasetA.mention_id") < F.col("datasetB.mention_id"))
-        .filter(F.col("datasetA.norm_name") != F.col("datasetB.norm_name"))
-        .select(F.col("datasetA").alias("a"), F.col("datasetB").alias("b"),
-                "jaccard_dist")
+        a.join(b, "band")
+        .filter(F.col("a.mention_id") < F.col("b.mention_id"))
+        .filter(F.col("a.norm_name") != F.col("b.norm_name"))
+        .select("a", "b",
+                F.col("a.mention_id").alias("_ka"),
+                F.col("b.mention_id").alias("_kb"))
+        .dropDuplicates(["_ka", "_kb"])
+        .select("a", "b")
     )
 
 
