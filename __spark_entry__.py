@@ -29,15 +29,17 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 # --------------------------------------------------------------- helpers
 
-_KG_CACHE: dict[tuple[int, str], DataFrame] = {}
+_KG_CACHE: dict[tuple[int, str], object] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full pipeline over documents-rendered pages, memoized per sf."""
+def _kg_run(spark: SparkSession, sf_dir: str):
+    """Full pipeline over documents-rendered pages, memoized per sf;
+    the result carries mentions / entities / triples for the whole
+    query family (one pipeline run serves them all)."""
     key = (id(spark), sf_dir)
     if key not in _KG_CACHE:
         from askg_spark.pipeline import PipelineConfig, run_pipeline
@@ -46,8 +48,13 @@ def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         pages = render_pages(_t(spark, sf_dir, "documents"))
         res = run_pipeline(spark, pages, PipelineConfig())
         from pyspark import StorageLevel
-        _KG_CACHE[key] = res.triples.persist(StorageLevel.MEMORY_ONLY)
+        res.triples = res.triples.persist(StorageLevel.MEMORY_ONLY)
+        _KG_CACHE[key] = res
     return _KG_CACHE[key]
+
+
+def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _kg_run(spark, sf_dir).triples
 
 
 # --------------------------------------------------------------- entry
@@ -85,6 +92,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .otherwise(F.lit(0.0)).alias("score"))
         return (ent.filter(F.col("score") > 0)
                 .orderBy(F.desc("score"), F.asc("id")).limit(10))
+
+    def kg_similar_servers(spark, sf):
+        # W3: per-server entity-similarity top-k
+        # (neo4j_integration.py:468-488)
+        from askg_spark.search import similar_servers
+        return similar_servers(_kg_run(spark, sf).entities, limit=10)
+
+    def kg_semantic_search(spark, sf):
+        # P14 term extraction + multi-term scoring (mcp/server.py:
+        # 314-365, 426-461); the prompt maps to category
+        # 'data_processing' (kw "process") and ops query/transform
+        from askg_spark.search import semantic_search
+        return semantic_search(_kg_run(spark, sf).entities,
+                               "find data process servers", limit=10)
+
+    def registry_completeness(spark, sf):
+        # A5 per-registry metadata completeness
+        # (analyze_deduplication.py:183-207)
+        from askg_spark.metrics import metadata_completeness
+        return metadata_completeness(_kg_run(spark, sf).mentions)
+
+    def kg_relations_capped(spark, sf):
+        # J7 with the skew cap ON (top-M entities per hot key by
+        # popularity desc, id asc — relations.py): the documented
+        # truncation that bounds the quadratic joins at web scale,
+        # exercised here against a SQL window mirror
+        from askg_spark.relations import infer_relationship_edges
+        ents = _kg_run(spark, sf).entities
+        return (infer_relationship_edges(ents, max_entities_per_key=50)
+                .select("src", "dst", "rel_type").dropDuplicates())
 
     def kg_fixture_entities(spark, sf):
         # fuzzy linking + CC on the synthetic registry fixture (no SQL
@@ -214,6 +251,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": kg_triples,
         "kg_category_counts": kg_category_counts,
         "kg_search": kg_search,
+        "kg_similar_servers": kg_similar_servers,
+        "kg_semantic_search": kg_semantic_search,
+        "registry_completeness": registry_completeness,
+        "kg_relations_capped": kg_relations_capped,
         "kg_fixture_entities": kg_fixture_entities,
         "doc_token_stats": doc_token_stats,
         "doc_lang_id": doc_lang_id,
@@ -241,6 +282,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # --------------------------------------------------------------- oracles
 
+# Full 11-category keyword classifier over the classifier probe
+# lower(description || ' ' || name) — vocabulary-independent mirror of
+# ontology.classify_categories (ADVICE r1: the old single-keyword CASE
+# only matched because the testdata vocabulary never hit other keywords)
+_CAT_KEYWORDS_SQL = [
+    ("database", ["database", "sql", "postgres", "mysql", "mongodb",
+                  "redis"]),
+    ("file_system", ["file", "filesystem", "directory", "folder",
+                     "storage"]),
+    ("api_integration", ["api", "rest", "graphql", "webhook", "http"]),
+    ("development_tools", ["git", "github", "code", "development",
+                           "build"]),
+    ("data_processing", ["data", "etl", "transform", "process",
+                         "analytics"]),
+    ("cloud_services", ["aws", "azure", "gcp", "cloud", "kubernetes"]),
+    ("communication", ["slack", "discord", "email", "notification",
+                       "message"]),
+    ("authentication", ["auth", "oauth", "login", "security", "jwt"]),
+    ("monitoring", ["monitor", "metrics", "logging", "observability"]),
+    ("search", ["search", "index", "elasticsearch", "solr"]),
+    ("ai_ml", ["ai", "ml", "machine learning", "neural", "model"]),
+]
+
+
+def _cat_case(cat: str, kws: list[str]) -> str:
+    conds = " OR ".join(f"probe LIKE '%{k}%'" for k in kws)
+    return f"CASE WHEN {conds} THEN ['{cat}'] ELSE [] END"
+
+
 _KG_ENT_CTE = """
 WITH m AS (
   SELECT doc_id, source AS author,
@@ -250,12 +320,20 @@ WITH m AS (
   FROM documents
 ),
 ent AS (
-  SELECT author || '/' || name AS id, author,
-         CASE WHEN lower(text) LIKE '%data%' THEN 'data_processing'
-              ELSE 'other' END AS category
+  SELECT author || '/' || name AS id, author, name, text,
+         lower(coalesce(text, '') || ' ' || name) AS probe
   FROM m
+),
+hits AS (
+  SELECT id, unnest(flatten([
+    %s])) AS category
+  FROM ent
+),
+ecat AS (
+  SELECT e.id, e.author, coalesce(h.category, 'other') AS category
+  FROM ent e LEFT JOIN hits h ON e.id = h.id
 )
-"""
+""" % (",\n    ".join(_cat_case(c, kws) for c, kws in _CAT_KEYWORDS_SQL))
 
 _STOPWORDS = ("'the','a','of','and','to','der','die','das','und','nicht',"
               "'el','los','las','que','y','le','la','les','et','ne',"
@@ -301,22 +379,120 @@ WHERE n_common >= 0.5 * (sa.n_grams + sb.n_grams - n_common)
     return {
         "kg_triples": _KG_ENT_CTE + """
 , attr AS (
-  SELECT id AS subj, 'HAS_CATEGORY' AS pred, category AS obj FROM ent
+  SELECT id AS subj, 'HAS_CATEGORY' AS pred, category AS obj FROM ecat
   UNION ALL SELECT id, 'HAS_OPERATION', 'read' FROM ent
   UNION ALL SELECT id, 'AUTHORED_BY', author FROM ent
 ),
 rel AS (
   SELECT a.id AS subj, 'same_author' AS pred, b.id AS obj
   FROM ent a JOIN ent b ON a.author = b.author AND a.id < b.id
-  UNION ALL
+  UNION
   SELECT a.id, 'similar_functionality', b.id
-  FROM ent a JOIN ent b ON a.category = b.category AND a.id < b.id
+  FROM ecat a JOIN ecat b ON a.category = b.category AND a.id < b.id
 )
 SELECT subj, pred, obj FROM attr
 UNION ALL SELECT subj, pred, obj FROM rel
 """,
         "kg_category_counts": _KG_ENT_CTE + """
-SELECT category, count(*) AS n FROM ent GROUP BY category
+SELECT category, count(*) AS n FROM ecat GROUP BY category
+""",
+        # W3 per-server similarity top-10: the rendered corpus has
+        # operations=['read'] for every entity (no tools in the page
+        # template) and implementation_language NULL, so every pair
+        # shares exactly one operation and no language term applies
+        "kg_similar_servers": _KG_ENT_CTE + """
+, common AS (
+  SELECT a.id AS ia, b.id AS ib, count(*) AS nc
+  FROM ecat a JOIN ecat b ON a.category = b.category AND a.id < b.id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT a.id AS ia, b.id AS ib,
+         CAST(coalesce(c.nc, 0) * 2 + 1 +
+              CASE WHEN a.author = b.author THEN 1 ELSE 0 END AS BIGINT)
+           AS score
+  FROM ent a JOIN ent b ON a.id < b.id
+  LEFT JOIN common c ON c.ia = a.id AND c.ib = b.id),
+directed AS (
+  SELECT ia AS server_id, ib AS similar_id, score FROM pairs
+  UNION ALL
+  SELECT ib, ia, score FROM pairs),
+ranked AS (
+  SELECT server_id, similar_id, score,
+         CAST(row_number() OVER (PARTITION BY server_id
+                                 ORDER BY score DESC, similar_id)
+              AS BIGINT) AS rank
+  FROM directed)
+SELECT server_id, similar_id, score, rank FROM ranked WHERE rank <= 10
+""",
+        # P14+scoring for the fixed prompt "find data process servers":
+        # matched categories = [data_processing], matched operations =
+        # [query, transform] (never held by these entities); text and
+        # popularity terms mirrored in full for robustness
+        "kg_semantic_search": _KG_ENT_CTE + """
+, cats AS (
+  SELECT id, list(category) AS cat_list FROM ecat GROUP BY id),
+scored AS (
+  SELECT e.id, e.name,
+         CAST(CASE WHEN lower(e.name) LIKE '%find data process servers%'
+               THEN 3.0
+               WHEN lower(coalesce(e.text, ''))
+                    LIKE '%find data process servers%' THEN 2.0
+               ELSE 0.0 END
+          + CASE WHEN list_contains(c.cat_list, 'data_processing')
+                 THEN 2.0 ELSE 0.0 END AS DOUBLE) AS score
+  FROM ent e JOIN cats c ON e.id = c.id)
+SELECT id, name, score FROM scored
+ORDER BY score DESC, id LIMIT 10
+""",
+        # A5: every rendered page yields one mcp.so mention; name and
+        # author are always present, description iff the document text
+        # is non-empty, repo/version/license/homepage never
+        "registry_completeness": """
+WITH base AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN text IS NOT NULL AND text <> '' THEN 1 ELSE 0 END)
+           AS n_desc
+  FROM documents)
+SELECT 'mcp.so' AS registry,
+       CAST(n AS BIGINT) AS n_servers,
+       CAST(n AS BIGINT) AS n_name,
+       CAST(n_desc AS BIGINT) AS n_description,
+       CAST(n AS BIGINT) AS n_author,
+       CAST(0 AS BIGINT) AS n_repository,
+       CAST(0 AS BIGINT) AS n_version,
+       CAST(0 AS BIGINT) AS n_license,
+       CAST(0 AS BIGINT) AS n_homepage,
+       CAST(100.0 AS DOUBLE) AS pct_name,
+       CAST(n_desc * 100.0 / n AS DOUBLE) AS pct_description,
+       CAST(100.0 AS DOUBLE) AS pct_author,
+       CAST(0.0 AS DOUBLE) AS pct_repository,
+       CAST(0.0 AS DOUBLE) AS pct_version,
+       CAST(0.0 AS DOUBLE) AS pct_license,
+       CAST(0.0 AS DOUBLE) AS pct_homepage,
+       CAST((n + n_desc + n) * 100.0 / (n * 7) AS DOUBLE) AS pct_overall
+FROM base
+""",
+        # J7 skew cap mirror: top-50 per key by (popularity DESC NULLS
+        # LAST, id ASC); popularity is NULL corpus-wide here so the id
+        # tie-break is the whole order. complementary (>=2 common ops)
+        # and alternative_to (same language) are structurally impossible
+        # on this corpus: ops = ['read'], language NULL
+        "kg_relations_capped": _KG_ENT_CTE + """
+, acap AS (
+  SELECT id, author FROM (
+    SELECT id, author,
+           row_number() OVER (PARTITION BY author ORDER BY id) AS rk
+    FROM ent WHERE author IS NOT NULL AND author <> '') WHERE rk <= 50),
+ccap AS (
+  SELECT id, category FROM (
+    SELECT id, category,
+           row_number() OVER (PARTITION BY category ORDER BY id) AS rk
+    FROM ecat) WHERE rk <= 50)
+SELECT a.id AS src, b.id AS dst, 'same_author' AS rel_type
+FROM acap a JOIN acap b ON a.author = b.author AND a.id < b.id
+UNION
+SELECT a.id, b.id, 'similar_functionality'
+FROM ccap a JOIN ccap b ON a.category = b.category AND a.id < b.id
 """,
         "kg_search": """
 WITH m AS (

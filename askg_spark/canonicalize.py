@@ -54,25 +54,41 @@ def canonical_entities(enriched_with_component: DataFrame) -> DataFrame:
         F.array_sort(F.array_distinct(F.collect_list("registry"))).alias("registry_sources"),
         F.array_sort(F.collect_list("url")).alias("member_urls"),
         F.max("completeness").alias("completeness"),
-        # tools: collected per-mention lists in ord order; dedup by name below
+        # sub-entity lists: collected per-mention in ord order; dedup by
+        # their identity key below (tools/prompts by name, resources by
+        # uri — models.py:47-57, neo4j_integration.py:269-292)
         F.sort_array(F.collect_list(F.struct("ord", "tools"))).alias("_tool_lists"),
+        F.sort_array(F.collect_list(F.struct("ord", "resources"))).alias("_res_lists"),
+        F.sort_array(F.collect_list(F.struct("ord", "prompts"))).alias("_prompt_lists"),
     )
-    # union tools by name keeping the first (by ord) occurrence:
-    # flatten ordered lists, then keep each name's first struct.
-    flat = F.flatten(F.array_compact(
-        F.transform(F.col("_tool_lists"), lambda s: s["tools"])))
-    dedup_tools = F.filter(
-        flat,
-        lambda t, i: ~F.exists(
-            F.slice(flat, F.lit(1), i),
-            lambda prev: prev["name"] == t["name"],
-        ),
-    )
-    ent = ent.withColumn(
-        "tools",
-        F.when(F.size(flat) > 0, dedup_tools).otherwise(F.lit(None).cast(
-            "array<struct<name:string,description:string>>")),
-    ).drop("_tool_lists")
+
+    # union sub-entities by key keeping the first (by ord) occurrence:
+    # flatten ordered lists, then keep each key's first struct.
+    def keyed_merge(list_col: str, field: str, key: str, typ: str):
+        flat = F.flatten(F.array_compact(
+            F.transform(F.col(list_col), lambda s: s[field])))
+        dedup = F.filter(
+            flat,
+            lambda t, i: ~F.exists(
+                F.slice(flat, F.lit(1), i),
+                lambda prev: prev[key] == t[key],
+            ),
+        )
+        return F.when(F.size(flat) > 0, dedup) \
+            .otherwise(F.lit(None).cast(typ))
+
+    ent = ent.withColumns({
+        "tools": keyed_merge(
+            "_tool_lists", "tools", "name",
+            "array<struct<name:string,description:string>>"),
+        "resources": keyed_merge(
+            "_res_lists", "resources", "uri",
+            "array<struct<uri:string,name:string,description:string,"
+            "mime_type:string>>"),
+        "prompts": keyed_merge(
+            "_prompt_lists", "prompts", "name",
+            "array<struct<name:string,description:string>>"),
+    }).drop("_tool_lists", "_res_lists", "_prompt_lists")
     return ent
 
 

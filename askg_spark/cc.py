@@ -1,10 +1,42 @@
 """Connected components over the candidate-match edge graph.
 
-Alternating large-star / small-star label propagation (Kiveris et al.,
-"Connected Components in MapReduce and Beyond", SOCC'14) expressed as
-DataFrame self-joins — no GraphFrames dependency, shuffles only on the
-label column, lineage truncated with localCheckpoint each round so the
-plan does not grow unboundedly.
+Partition-local union-find contraction, expressed as a SINGLE lazy
+DataFrame plan — zero driver-synchronized iterations:
+
+  round k: repartition edges by hash of one endpoint (alternating
+           src / dst across rounds) -> per-partition union-find
+           (Arrow-batched mapInPandas; the generator sees the WHOLE
+           partition, batch by batch) -> emit star edges
+           (x, local_min_root(x)) for every vertex seen
+  final:   collapse to one partition -> union-find -> exact labels
+
+Why this shape (vs the round-1 large-star/small-star label loop):
+each per-partition spanning forest preserves the connectivity of that
+partition's edge set, so the union of emitted stars has exactly the
+connectivity of the full graph — every round is a sound contraction,
+and the final single-partition pass resolves all cross-partition
+merges exactly, rooted at the component-min id (deterministic under
+any partitioning). Alternating the partition key between rounds makes
+chains contract (edges (a,b) hashed by dst and (b,c) hashed by src
+both land on hash(b)), the same progress guarantee alternating
+large-star/small-star relies on (Kiveris et al., SOCC'14).
+
+Scale design / measured rationale:
+  * The round-1 loop anti-scaled (cc 133s at local[8] -> 287s at
+    local[32] on identical input, BENCH.md): ~6 shuffle stages + one
+    driver collect per iteration x O(log n) iterations is pure
+    scheduling latency on tiny label frames. This plan is 3 shuffles
+    + 3 mapInPandas total, materialized once by the downstream join —
+    no localCheckpoint (the plan is linear, not iterative), so the
+    MEMORY_ONLY-eviction failure mode flagged in ADVICE.md is gone.
+  * Memory bound: the final task holds one row per vertex incident to
+    an edge — the MATCHED mention set, orders of magnitude smaller
+    than the corpus (at 10^12 pages the candidate-match graph is the
+    output of LSH blocking + exact keys, not all pages). For graphs
+    whose contracted star set exceeds single-task memory (~10^8
+    vertices), raise `contract_rounds` and split the final collapse
+    into a root-range merge — the contraction rounds themselves are
+    fully parallel and bounded by partition size.
 
 Reference analog: the greedy transitive merge of
 /root/reference/src/deduplication.py:323-373 is single-pass CC on the
@@ -15,112 +47,73 @@ and the fixture includes a chain cluster to prove transitivity).
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-
-def _materialize(df: DataFrame) -> DataFrame:
-    """Eager localCheckpoint at MEMORY_ONLY. Two needs meet here:
-    localCheckpoint (not persist) because it TRUNCATES the logical
-    plan — the iterative loop otherwise grows a plan whose
-    canonicalization OOMs the driver around iteration 8; MEMORY_ONLY
-    (not the default MEMORY_AND_DISK) because the disk-backed level
-    costs ~10x more wall time to build on this Spark/local setup and
-    the label/edge frames are small relative to executor memory."""
-    return df.localCheckpoint(eager=True,
-                              storageLevel=StorageLevel.MEMORY_ONLY)
+_STAR_SCHEMA = "u string, v string"
 
 
-class _AqeOff:
-    """Disable AQE for the duration of the iterative loop. AQE
-    materializes every exchange as its own sub-job; with ~4 exchanges
-    per iteration that multiplies driver round-trips on tiny label
-    frames where runtime re-planning buys nothing (measured: ~6 jobs ->
-    2 jobs per iteration). Restored on exit so the batch stages around
-    the loop keep skew-join/coalesce."""
+def _uf_stars(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Whole-partition union-find; emits (x, min-root(x)) per vertex.
+    Union-by-min + path compression: roots are always the component's
+    lexicographic min, so output is deterministic."""
+    parent: dict = {}
 
-    def __init__(self, spark):
-        self.spark = spark
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:          # path compression
+            parent[x], x = root, parent[x]
+        return root
 
-    def __enter__(self):
-        self.prev = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
-        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
-
-    def __exit__(self, *exc):
-        self.spark.conf.set("spark.sql.adaptive.enabled", self.prev)
+    for pdf in batches:
+        for u, v in zip(pdf["u"], pdf["v"]):
+            if u not in parent:
+                parent[u] = u
+            if v not in parent:
+                parent[v] = v
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                if rv < ru:
+                    ru, rv = rv, ru
+                parent[rv] = ru           # attach under the min id
+    ids = list(parent)
+    yield pd.DataFrame({"u": ids, "v": [find(x) for x in ids]})
 
 
 def connected_components(
-    edges: DataFrame, vertices: DataFrame, max_iter: int = 25
+    edges: DataFrame, vertices: DataFrame, max_iter: int = 25,
+    contract_rounds: int = 2, contract_partitions: int | None = None,
 ) -> DataFrame:
     """edges(src,dst) + vertices(id) -> (id, component) where component
-    is the lexicographic min id reachable. Converges in O(log n) rounds.
-    """
-    sym = (
-        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
-    # materialize the edge set ONCE — without this, the whole upstream
-    # plan (extraction UDF, LSH join, pair scorer) re-executes on every
-    # iteration of the loop (measured: 285s -> seconds at 1k servers)
-    sym = _materialize(sym)
-    # iterate only over vertices that touch an edge; isolated vertices
-    # are trivially their own component and the caller fills them in
-    # (pipeline.py coalesces component <- mention_id) — at web scale the
-    # edge graph is far smaller than the mention set
-    touched = sym.select(F.col("u").alias("id")).distinct()
-    labels = touched.select("id", F.col("id").alias("label"))
-    prev_jumped: DataFrame | None = None
+    is the lexicographic min id reachable.
 
-    loop = _AqeOff(edges.sparkSession)
-    loop.__enter__()
-    for it in range(max_iter):
-        # propagate: label(v) <- min(label(v), min over neighbors' labels)
-        l2 = labels.select(F.col("id").alias("u"), F.col("label").alias("nlabel"))
-        neigh = (
-            sym.join(l2, "u")
-            .groupBy("v")
-            .agg(F.min("nlabel").alias("min_neigh"))
-        )
-        new_labels = (
-            labels.join(neigh, labels["id"] == neigh["v"], "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce("min_neigh", F.col("label"))
-                        ).alias("new_label"),
-                F.col("label"),
-            )
-        )
-        # pointer-jumping: label <- label(label) (path halving)
-        lab_of = new_labels.select(
-            F.col("id").alias("pid"), F.col("new_label").alias("plabel"))
-        jumped = (
-            new_labels.join(lab_of, new_labels["new_label"] == lab_of["pid"], "left")
-            .select(
-                "id", F.col("label").alias("old_label"),
-                F.coalesce(F.least("new_label", "plabel"), F.col("new_label")
-                           ).alias("label"),
-            )
-        )
-        # ONE job materializes the lazy checkpoint AND computes the
-        # convergence signal (a separate limit/count job would double
-        # the driver round-trips that dominate this loop's wall time)
-        jumped = jumped.localCheckpoint(
-            eager=False, storageLevel=StorageLevel.MEMORY_ONLY)
-        changed = jumped.agg(F.sum(
-            (F.col("label") != F.col("old_label")).cast("int"))).collect()[0][0]
-        labels = jumped.select("id", "label")
-        if prev_jumped is not None:
-            prev_jumped.unpersist()
-        prev_jumped = jumped
-        if not changed:
-            break
-    loop.__exit__()
-    # singletons re-attached once at the end (self-labeled), so the
-    # returned frame covers every input vertex
-    singles = vertices.join(touched, "id", "left_anti") \
+    ``contract_rounds`` parallel contraction rounds (alternating
+    endpoint hashing) then one exact single-partition collapse; the
+    whole computation is one lazy plan with no driver round-trips.
+    ``max_iter`` caps the rounds (API compatibility with the round-1
+    iterative implementation)."""
+    spark = edges.sparkSession
+    n_part = contract_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    cur = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    for r in range(min(contract_rounds, max_iter)):
+        key = "u" if r % 2 == 0 else "v"
+        cur = cur.repartition(n_part, key).mapInPandas(
+            _uf_stars, schema=_STAR_SCHEMA)
+    labels = (
+        cur.repartition(1)
+        .mapInPandas(_uf_stars, schema=_STAR_SCHEMA)
+        .select(F.col("u").alias("id"), F.col("v").alias("label"))
+    )
+    # vertices touching no edge are their own component
+    singles = vertices.join(labels.select("id"), "id", "left_anti") \
         .select("id", F.col("id").alias("label"))
     return labels.unionByName(singles) \
         .select("id", F.col("label").alias("component"))

@@ -8,12 +8,15 @@ DataFrame -> DataFrame function designed for 100 TB inputs:
   ngram        token n-gram Jaccard via an inverted-index equi-join —
                never all-pairs; optional stop-gram cap bounds the
                posting-list blowup on hot shingles (skew policy)
-  minhash      MinHashLSH blocking (pyspark.ml) + exact Jaccard rescore
-               of candidates — the sub-quadratic scale path
-  simhash      64-bit sign-sum sketch from md5 token hashes; near-dups
-               collide on band keys (4 x 16-bit bands, Hamming<=3-ish)
-  embedding    cosine over a normalized embedding column; exact
-               threshold join at test scale, LSH-bucketed in simsearch
+  minhash      banded MinHash blocking (r=2 JVM-side minhashes, the
+               linking.py:104-112 analysis) + exact Jaccard rescore of
+               candidates — the sub-quadratic scale path
+  simhash      60-bit sign-sum sketch from md5 shingle hashes; near-dups
+               collide on band keys (6 x 10-bit bands, catching ALL
+               pairs at Hamming distance <= 5 by pigeonhole)
+  embedding    exact all-pairs cosine as a distributed block-pair GEMM
+               — no driver collect, work spread evenly over B(B+1)/2
+               block pairs
 
 Output contracts carry exact integers (intersection/union sizes), not
 float ratios, so the DuckDB oracles hash identically.
@@ -107,30 +110,68 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------- minhash
 
 def minhash_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
-                  num_hash_tables: int = 8,
-                  num_features: int = 1 << 18) -> DataFrame:
-    """MinHashLSH candidate blocking + exact-on-features Jaccard.
+                  num_hashes: int = 32, band_rows: int = 2,
+                  bucket_cap: int | None = None) -> DataFrame:
+    """Banded MinHash blocking + exact Jaccard rescore on hashed gram
+    sets — entirely JVM-side column expressions, no MLlib.
 
-    The scale path for ngram_jaccard_pairs: LSH banding makes candidate
-    generation sub-quadratic; the reported distance is exact Jaccard on
-    the hashed gram sets (collision error ~|grams|/2^18). Approximate by
-    construction — recall vs the exact join is measured in tests."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
+    Round-2 rewrite: the round-1 `approxSimilarityJoin` (r=1 banding,
+    single-hash tables) spent 110s at sf0.1 in hot-bucket quadratic
+    stragglers — the exact failure mode analyzed for names in
+    linking.py:104-112. Banding r=2 squares the background collision
+    rate; with b=16 bands the recall at the corpus's measured planted
+    separation (J >= 0.8, see BENCH.md) is 1-(1-0.64)^16 ~ 1-8e-8,
+    while background pairs (J well under 0.3 — the 0.35..0.5 band is
+    EMPTY in the testdata) almost never collide. The reported pair set
+    is exact Jaccard >= threshold on xxhash64-hashed distinct gram sets
+    (collision error ~|grams|/2^64, negligible).
 
-    base = df.select("doc_id", token_ngrams(F.col("text"), n).alias("grams")) \
-             .filter(F.size("grams") > 0)
-    tf = HashingTF(inputCol="grams", outputCol="features", binary=True,
-                   numFeatures=num_features)
-    feats = tf.transform(base)
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes",
-                     numHashTables=num_hash_tables, seed=42)
-    model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 1.0 - threshold,
-                                       distCol="jaccard_dist")
+    ``bucket_cap`` optionally drops band buckets hotter than the cap
+    (skew guard for adversarial corpora — boilerplate-heavy near-dup
+    floods; None = exact parity with the inverted-index join)."""
+    base = (
+        df.select("doc_id", token_ngrams(F.col("text"), n).alias("grams"))
+        .filter(F.size("grams") > 0)
+        .select("doc_id",
+                F.array_distinct(F.transform(
+                    "grams", lambda g: F.xxhash64(g))).alias("hg"))
+    )
+    n_bands = num_hashes // band_rows
+    mh = F.array(*[
+        F.array_min(F.transform("hg", lambda h: F.xxhash64(F.lit(j), h)))
+        for j in range(num_hashes)
+    ])
+    bands = base.withColumn("_mh", mh).select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.concat_ws(":", F.lit(i), *[
+                F.element_at("_mh", i * band_rows + r + 1)
+                for r in range(band_rows)
+            ])
+            for i in range(n_bands)
+        ])).alias("band"),
+    )
+    if bucket_cap is not None:
+        hot = (bands.groupBy("band")
+               .agg(F.count(F.lit(1)).alias("sz"))
+               .filter(F.col("sz") > bucket_cap).select("band"))
+        bands = bands.join(hot, "band", "left_anti")
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band")
+    cands = (
+        a.join(b, "band")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b").dropDuplicates()
+    )
+    ga = base.select(F.col("doc_id").alias("doc_a"), F.col("hg").alias("hg_a"))
+    gb = base.select(F.col("doc_id").alias("doc_b"), F.col("hg").alias("hg_b"))
     return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(F.col("datasetA.doc_id").alias("doc_a"),
-                F.col("datasetB.doc_id").alias("doc_b"))
+        cands.join(ga, "doc_a").join(gb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("hg_a", "hg_b")))
+        .withColumn("n_union",
+                    F.size("hg_a") + F.size("hg_b") - F.col("n_common"))
+        .filter(F.col("n_common") >= F.lit(threshold) * F.col("n_union"))
+        .select("doc_a", "doc_b")
     )
 
 
@@ -216,47 +257,79 @@ def simhash_pairs(df: DataFrame, band_bits: int = 10,
 # ---------------------------------------------------------------- embeddings
 
 def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.4,
-                        block_size: int = 4096) -> DataFrame:
+                        n_blocks: int = 32) -> DataFrame:
     """Pairs with cosine >= threshold over `embedding: array<float>`.
 
-    Plan: broadcast the corpus as one numpy matrix; each Arrow batch of
-    rows computes a dense GEMM against it (batch x corpus block) and
-    emits only qualifying pairs — vectorized BLAS instead of a per-pair
-    interpreted fold, no crossJoin row blowup. Broadcast-side memory is
-    |corpus| x dim x 8B (100 TB path: the LSH-bucketed variant in
-    simsearch.py replaces the broadcast with a band equi-join)."""
+    EXACT all-pairs cosine as a distributed block-pair GEMM (round-2
+    rewrite of the driver-collect + broadcast plan):
+
+      * each vector lands in ONE of ``n_blocks`` hash blocks; a block
+        is one row holding (ids, vectors) arrays
+      * block pairs (bi <= bj) come from a self non-equi join of the
+        B-row block frame — B(B+1)/2 rows, broadcast-nested-loop on a
+        frame of B rows, no corpus shuffle beyond the block groupBy
+      * each block-pair row runs one dense numpy GEMM and emits only
+        qualifying (vec_a < vec_b) pairs
+
+    No `.collect()` anywhere: the corpus never touches the driver, and
+    the O(n²) dot-product work — inherent to the EXACT threshold
+    semantics — is spread evenly over B(B+1)/2 independent tasks.
+    Size ``n_blocks`` ~ sqrt(n·d·8B / 32MB) so a block pair fits a
+    task comfortably.
+
+    Why not hyperplane-LSH banding here (measured, BENCH.md): the
+    corpus's qualifying pairs sit in a continuum right at the 0.4
+    threshold (no margin), where sign-LSH either misses border pairs or
+    degenerates to all-pairs — banding is the right tool for the
+    *top-k* regime (simsearch.lsh_topk) and for high thresholds, not
+    for an exact low-threshold contract."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
 
-    rows = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    spark = emb.sparkSession
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
+    blocks = (
+        emb.select(
+            F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")
+            .alias("blk"),
+            "vec_id", "embedding")
+        .groupBy("blk")
+        .agg(F.collect_list("vec_id").alias("ids"),
+             F.collect_list("embedding").alias("vecs"))
+    )
+    a = blocks.select(F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"),
+                      F.col("vecs").alias("vecs_a"))
+    b = blocks.select(F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"),
+                      F.col("vecs").alias("vecs_b"))
+    joined = a.join(b, F.col("blk_a") <= F.col("blk_b"))
 
     def run(batches):
-        cids, cmat = b_ids.value, b_mat.value
+        def mat_of(vecs):
+            m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+            return m / np.linalg.norm(m, axis=1, keepdims=True)
+
         for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            q = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
-            qids = pdf["vec_id"].to_numpy()
             out_a, out_b = [], []
-            for lo in range(0, len(cids), block_size):
-                sims = q @ cmat[lo:lo + block_size].T
-                ai, bi = np.nonzero(sims >= threshold)
-                a = qids[ai]
-                b = cids[lo:lo + block_size][bi]
-                keep = a < b
-                out_a.append(a[keep]); out_b.append(b[keep])
+            for r in pdf.itertuples(index=False):
+                ia = np.asarray(list(r.ids_a), dtype=np.int64)
+                ib = np.asarray(list(r.ids_b), dtype=np.int64)
+                sims = mat_of(r.vecs_a) @ mat_of(r.vecs_b).T
+                xi, yi = np.nonzero(sims >= threshold)
+                pa, pb = ia[xi], ib[yi]
+                keep = pa != pb
+                lo = np.minimum(pa[keep], pb[keep])
+                hi = np.maximum(pa[keep], pb[keep])
+                if r.blk_a == r.blk_b:
+                    # same list on both sides: each unordered pair
+                    # appears twice ((i,j) and (j,i)) — keep one
+                    keep2 = pa[keep] < pb[keep]
+                    lo, hi = lo[keep2], hi[keep2]
+                out_a.append(lo); out_b.append(hi)
             yield pd.DataFrame({
-                "vec_a": np.concatenate(out_a) if out_a else [],
-                "vec_b": np.concatenate(out_b) if out_b else []})
+                "vec_a": np.concatenate(out_a) if out_a else
+                np.array([], dtype=np.int64),
+                "vec_b": np.concatenate(out_b) if out_b else
+                np.array([], dtype=np.int64)})
 
     schema = StructType([StructField("vec_a", LongType()),
                          StructField("vec_b", LongType())])
-    return emb.select("vec_id", "embedding").mapInPandas(run, schema=schema)
+    return joined.mapInPandas(run, schema=schema)

@@ -8,7 +8,17 @@ Re-expresses the reference's per-page parse as an Arrow-batched
      first github.com link, tag/label/badge spans with '#' strip and
      len<20 rule, url-segment fallback for missing name/author)
   * MCP-indicator predicate  scrapers.py:309-337 (applied to github pages)
-  * glama JSON servers[]     scrapers.py:832-871 (JSON body -> explode)
+  * glama JSON servers[]     scrapers.py:832-871 (JSON body -> explode),
+    plus resources[]/prompts[] sub-entities when present
+    (models.py:47-57 — the scrapers never populate them, but the node
+    sink models them; the JSON API is their natural carrier)
+  * mcpmarket server cards   scrapers.py:1110-1177 (card containers in
+    class precedence server-card > server > article > card; name from
+    first h1/h2/h3 with len >= 2, first <p> else .description div,
+    first github link, author = repo path segment, per-page first-wins
+    name dedup) and API JSON  scrapers.py:1179-1233 (list under
+    servers/data/items/results or top-level; name|title, author|owner,
+    repository|repo_url aliases)
   * security-checkpoint / tiny-body quality gates  scrapers.py:1065-1069
 
 Contract (BASELINE.json input_hint): the recomputed visible text must be
@@ -84,8 +94,8 @@ def _empty_mention(url: str, registry: str) -> dict:
         "url": url, "registry": registry, "name": None, "author": None,
         "description": None, "repository": None, "homepage": None,
         "license": None, "version": None, "implementation_language": None,
-        "tools": None, "tags": None, "popularity_score": None,
-        "download_count": None,
+        "tools": None, "resources": None, "prompts": None, "tags": None,
+        "popularity_score": None, "download_count": None,
     }
 
 
@@ -177,6 +187,102 @@ def _parse_glama(url: str, body: str) -> tuple[list[dict], str | None]:
             {"name": str(t.get("name")), "description": t.get("description")}
             for t in tools if isinstance(t, dict) and t.get("name")
         ] or None
+        # MCPResource / MCPPrompt sub-entities (models.py:47-57); uri is
+        # the resource identity key, name the prompt's
+        m["resources"] = [
+            {"uri": str(r.get("uri")), "name": r.get("name"),
+             "description": r.get("description"),
+             "mime_type": r.get("mime_type")}
+            for r in (s.get("resources") or [])
+            if isinstance(r, dict) and r.get("uri")
+        ] or None
+        m["prompts"] = [
+            {"name": str(p.get("name")), "description": p.get("description")}
+            for p in (s.get("prompts") or [])
+            if isinstance(p, dict) and p.get("name")
+        ] or None
+        out.append(m)
+    if not out:
+        return [], "no_servers_in_json"
+    return out, None
+
+
+_RE_CARD_PATS = [
+    # class-token semantics of the reference's bs4 find_all(class_=...),
+    # in its precedence order (scrapers.py:1117-1122)
+    re.compile(r'(?s)<div\s[^>]*class="(?:[^"]*\s)?server-card(?:\s[^"]*)?"'
+               r'[^>]*>(.*?)</div>'),
+    re.compile(r'(?s)<div\s[^>]*class="(?:[^"]*\s)?server(?:\s[^"]*)?"'
+               r'[^>]*>(.*?)</div>'),
+    re.compile(r"(?s)<article[^>]*>(.*?)</article>"),
+    re.compile(r'(?s)<div\s[^>]*class="(?:[^"]*\s)?card(?:\s[^"]*)?"'
+               r'[^>]*>(.*?)</div>'),
+]
+_RE_H123 = re.compile(r"(?s)<h[123][^>]*>(.*?)</h[123]>")
+_RE_DESC_DIV = re.compile(
+    r'(?s)<div\s[^>]*class="(?:[^"]*\s)?description(?:\s[^"]*)?"[^>]*>(.*?)</div>')
+
+
+def _parse_mcpmarket_html(url: str, html_str: str) -> tuple[list[dict], str | None]:
+    """Server-card listing parse (scrapers.py:1110-1177): first class
+    family with matches wins; per card h1/h2/h3 name (len >= 2), first
+    <p> else .description div, first github link, author from the repo
+    path; first-wins name dedup within the page."""
+    blocks: list[str] = []
+    for pat in _RE_CARD_PATS:
+        blocks = pat.findall(html_str)
+        if blocks:
+            break
+    out, seen = [], set()
+    for block in blocks:
+        name = _text_of(_RE_H123.search(block))
+        if not name or len(name) < 2 or name in seen:
+            continue
+        m = _empty_mention(url, "mcpmarket.com")
+        m["name"] = name
+        m["description"] = _text_of(_RE_P.search(block)) or _text_of(
+            _RE_DESC_DIV.search(block))
+        gh = _RE_GH_LINK.search(block)
+        if gh:
+            m["repository"] = gh.group(1)
+            parts = m["repository"].split("/")
+            if len(parts) >= 5:
+                m["author"] = parts[3]       # scrapers.py:1161-1165
+        seen.add(name)
+        out.append(m)
+    if not out:
+        return [], "no_server_cards"
+    return out, None
+
+
+def _parse_mcpmarket_api(url: str, body: str) -> tuple[list[dict], str | None]:
+    """API-JSON form (scrapers.py:1179-1233): server list under
+    servers/data/items/results (or a top-level list); key aliases
+    name|title, author|owner, repository|repo_url."""
+    try:
+        doc = json.loads(body)
+    except (ValueError, TypeError):
+        return [], "bad_json"
+    server_list = None
+    if isinstance(doc, dict):
+        for key in ["servers", "data", "items", "results"]:
+            if isinstance(doc.get(key), list):
+                server_list = doc[key]
+                break
+    elif isinstance(doc, list):
+        server_list = doc
+    out = []
+    for s in server_list or []:
+        if not isinstance(s, dict):
+            continue
+        name = s.get("name") or s.get("title")
+        if not name:
+            continue
+        m = _empty_mention(url, "mcpmarket.com")
+        m["name"] = str(name)
+        m["author"] = s.get("author") or s.get("owner")
+        m["repository"] = s.get("repository") or s.get("repo_url")
+        m["description"] = s.get("description")
         out.append(m)
     if not out:
         return [], "no_servers_in_json"
@@ -201,6 +307,10 @@ def extract_page(url: str, html_bytes: bytes | None, text: str | None):
     if registry == "glama":
         body_text = html_str
         mentions, reason = _parse_glama(url, html_str)
+    elif registry == "mcpmarket.com" and ("/api/" in url
+                                          or url.endswith(".json")):
+        body_text = html_str
+        mentions, reason = _parse_mcpmarket_api(url, html_str)
     else:
         recomputed = visible_text(html_str)
         if text is not None and recomputed != text:
@@ -209,6 +319,8 @@ def extract_page(url: str, html_bytes: bytes | None, text: str | None):
             mentions, reason = _parse_github(url, html_str, recomputed)
         elif registry == "mcp.so":
             mentions, reason = _parse_mcpso(url, html_str)
+        elif registry == "mcpmarket.com":
+            mentions, reason = _parse_mcpmarket_html(url, html_str)
         else:
             return [], "unsupported_registry"
     if reason:
@@ -230,6 +342,9 @@ def extract_mentions(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
         "homepage string, license string, version string, "
         "implementation_language string, "
         "tools array<struct<name:string,description:string>>, "
+        "resources array<struct<uri:string,name:string,description:string,"
+        "mime_type:string>>, "
+        "prompts array<struct<name:string,description:string>>, "
         "tags array<string>, popularity_score long, download_count long, "
         "extracted_text string, reject_reason string"
     )

@@ -100,10 +100,27 @@ def server_profile(seed: int, k: int) -> dict:
         registries.append("github")
     if (h >> 60) % 10 < 3:
         registries.append("glama")
+    # mcpmarket pages only for repo-backed servers so the J1 repo key
+    # links them to the base entity (cards carry no independent author)
+    if has_repo and _h(seed, k, "mm") % 10 < 3:
+        registries.append("mcpmarket")
+    # MCPResource / MCPPrompt sub-entities, carried by the glama JSON
+    # form (models.py:47-57; the HTML families don't surface them)
+    rp = _h(seed, k, "respro")
+    resources = [
+        {"uri": f"file:///{name}/res{i}", "name": f"res{i}",
+         "description": f"resource {i} of {name}", "mime_type": "text/plain"}
+        for i in range(rp % 3)
+    ]
+    prompts = [
+        {"name": f"prompt_{i}_{k}", "description": f"prompt {i} of {name}"}
+        for i in range((rp >> 4) % 3)
+    ]
     return {
         "k": k, "name": name, "author": author, "description": description,
         "repository": repo, "tools": tools, "language": _LANGS[(h >> 52) % 4],
         "popularity": int(h % 5000), "registries": registries,
+        "resources": resources, "prompts": prompts,
         # extra near-name page (same-org alt repo); requires a base repo so
         # the same-github-org component lifts the composite above 0.7
         "fuzzy_twin": k % 17 == 3 and has_repo,
@@ -197,10 +214,35 @@ def _glama_json(profiles: list[dict], page_no: int) -> tuple[str, str, str]:
                 "author": p["author"], "repository": p["repository"],
                 "tools": p["tools"], "language": p["language"],
                 "popularity": p["popularity"],
+                "resources": p["resources"], "prompts": p["prompts"],
             }
             for p in profiles
         ]
     }, sort_keys=True)
+    return url, body, body
+
+
+def _mcpmarket_page(p: dict, seed: int) -> tuple[str, str, str]:
+    """mcpmarket page: card-HTML listing form or API-JSON form
+    (scrapers.py:1110-1233), alternating per server hash."""
+    h = _h(seed, p["k"], "mm_page")
+    if h % 2 == 0:
+        url = f"https://mcpmarket.com/servers/{p['k']}"
+        html_str = (
+            "<html><head><title>MCP Market</title></head><body>"
+            "<article><h2>%s</h2><p>%s</p>"
+            '<a href="%s">GitHub</a></article></body></html>'
+            % (html_mod.escape(p["name"]), html_mod.escape(p["description"]),
+               p["repository"])
+        )
+        return url, html_str, _strip_tags_text(html_str)
+    url = f"https://mcpmarket.com/api/servers?page={p['k']}"
+    # alias keys (title/owner/repo_url) exercise the API parser's
+    # fallback chain (scrapers.py:1196-1207)
+    body = json.dumps({"data": [{
+        "title": p["name"], "owner": p["author"],
+        "repo_url": p["repository"], "description": p["description"],
+    }]}, sort_keys=True)
     return url, body, body
 
 
@@ -238,6 +280,9 @@ def _rows_for_server(seed: int, k: int) -> Iterator[tuple]:
     if "glama" in p["registries"]:
         url, html_str, text = _glama_json([p], k)
         yield (url, ts0 + timedelta(minutes=3), html_str.encode(), text, "en")
+    if "mcpmarket" in p["registries"]:
+        url, html_str, text = _mcpmarket_page(p, seed)
+        yield (url, ts0 + timedelta(minutes=5), html_str.encode(), text, "en")
     # ~5% noise volume: one noise page per ~3 servers
     if k % 3 == 0:
         url, html_str, text = _noise_page(seed, k)

@@ -43,3 +43,36 @@ class StageTimer:
         dt = time.monotonic() - t0
         self.records.append({"stage": stage, "sec": round(dt, 3)})
         return out
+
+
+COMPLETENESS_FIELDS = ["name", "description", "author", "repository",
+                       "version", "license", "homepage"]
+
+
+def metadata_completeness(mentions: DataFrame) -> DataFrame:
+    """A5: per-registry metadata completeness
+    (/root/reference/src/analyze_deduplication.py:183-207): for each of
+    the seven profile fields, the count of mentions with a truthy value
+    and its percentage, plus the overall completeness percentage
+    (sum of field counts / (n * 7)).
+
+    One groupBy(registry) aggregation — the percentages are derived
+    from exact integer counts, so the output hashes deterministically.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_servers")]
+    for f in COMPLETENESS_FIELDS:
+        aggs.append(F.sum(
+            F.when(F.col(f).isNotNull() & (F.col(f).cast("string") != ""), 1)
+            .otherwise(0)).alias(f"n_{f}"))
+    out = mentions.groupBy("registry").agg(*aggs)
+    total = None
+    for f in COMPLETENESS_FIELDS:
+        out = out.withColumn(
+            f"pct_{f}",
+            (F.col(f"n_{f}") * 100.0 / F.col("n_servers")).cast("double"))
+        t = F.col(f"n_{f}")
+        total = t if total is None else total + t
+    return out.withColumn(
+        "pct_overall",
+        (total * 100.0 / (F.col("n_servers") * len(COMPLETENESS_FIELDS)))
+        .cast("double"))

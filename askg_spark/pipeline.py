@@ -7,7 +7,7 @@ across stage boundaries until a materialization point):
     extract_mentions     mapInPandas (Arrow)         [extract.py]
     enrich_mentions      Column exprs only           [enrich.py]
     candidate_edges      equi-joins + LSH + pandas UDF  [linking.py]
-    connected_components iterative self-joins        [cc.py]
+    connected_components union-find contraction (one lazy plan) [cc.py]
     canonical_entities   groupBy aggs                [canonicalize.py]
     assign_global_ids    window rank                 [canonicalize.py]
     infer_relationship_edges  equi-joins, skew-capped [relations.py]
@@ -87,9 +87,19 @@ def run_pipeline(
     ).drop("id").withColumn(
         "component", F.coalesce("component", "mention_id"))
 
+    # localCheckpoint (MEMORY_AND_DISK, the safe level per ADVICE r1)
+    # instead of persist: it TRUNCATES the logical plan at the entity
+    # boundary. The canonicalize/linking expression tree (higher-order
+    # merge lambdas, LSH joins) is large, and every downstream query
+    # that references entities re-analyzes and re-optimizes it — the
+    # relation union referenced it 6x and paid ~200s of one-time
+    # driver/codegen overhead at sf0.1 before this truncation (measured
+    # 215s -> 30s for the same job). At scale the materialized-table
+    # path (run_pipeline_materialized) provides the same cut via
+    # parquet.
     entities = timer.time("canonicalize", lambda: assign_global_ids(
-        canonical_entities(with_comp)))
-    entities = entities.persist(StorageLevel.MEMORY_ONLY)
+        canonical_entities(with_comp)).localCheckpoint(
+            eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK))
 
     rel_edges = timer.time("relations", lambda: infer_relationship_edges(
         entities, cfg.max_entities_per_key))

@@ -3,10 +3,10 @@
 The reference infers 0-4 edges per *all-pairs* nested loop
 (/root/reference/src/neo4j_integration.py:552-631). Pairwise semantics
 are reproduced exactly, but pair *generation* is decomposed into
-equi-joins so it scales (SURVEY §2.3 J7):
+salted equi-joins so it scales (SURVEY §2.3 J7):
 
   same_author            self-join on author        (confidence 1.0)
-  similar_functionality  self-join on exploded category, then exact
+  similar_functionality  self-join on exploded category; confidence
                          |∩cats| / max(|c1|,|c2|)
   complementary          pairs with >= 2 common operations, conf
                          |∩ops| / max(|ops1|,|ops2|) * 0.8
@@ -17,12 +17,33 @@ Pair orientation is normalized to id_lo < id_hi (the reference uses
 input list order, which does not exist distributed; triples are compared
 on normalized (subj, pred, obj) keys per the north rule).
 
-Skew policy (explicit, logged): hot join keys (a popular author, the
-ai_ml category) generate O(k²) pairs. `max_entities_per_key` caps each
-key's contribution to its top-M entities by (popularity DESC, id ASC)
-before pairing — a documented, deterministic truncation for web scale
-(None disables it; fixture tests run uncapped). AQE skew-join splitting
-is on for the joins themselves (session.py).
+Scale design (round-2 rewrite of the round-1 struct-join):
+  * NARROW pair generation: the self-joins carry only (key, id) — the
+    round-1 version shuffled full entity structs (arrays, descriptions)
+    through the quadratic join and dropDuplicates; at 54M pairs that is
+    the difference between a few GB and tens of GB of shuffle.
+  * The exploded-key join only DISCOVERS pairs (narrow dropDuplicates
+    on the two id columns); the common-element sets come from a
+    post-join array_intersect of the per-entity attribute arrays
+    (attached via the dims join) — no collect_list inside the 10^7-row
+    shuffle aggregation, and reference-exact sets even when the skew
+    cap truncates pair generation.
+  * SALTED self-join: the category/operation domains are small (11 and
+    8 values), so pair generation for a hot key lands on ONE reducer —
+    2 of 32 cores did all the quadratic work in round 1. Each left row
+    gets salt s = hash(id) % n_salt; the right side is replicated to
+    every salt; the join key is (key, salt), giving n_salt-way
+    parallelism per hot key while every unordered pair still meets
+    exactly once (at the left member's salt). Replication cost is
+    n_salt x the small keyed frame, paid before the quadratic blowup.
+  * Per-entity attributes needed for confidence (|cats|, |ops|, lang,
+    author) are attached AFTER aggregation via a narrow dims join
+    (AQE broadcasts it at any realistic entity count).
+
+Skew policy (explicit, logged): `max_entities_per_key` additionally
+caps each key's contribution to its top-M entities by (popularity
+DESC, id ASC) before pairing — a documented, deterministic truncation
+for web scale (None disables it; fixture tests run uncapped).
 """
 
 from __future__ import annotations
@@ -33,8 +54,7 @@ from pyspark.sql import DataFrame, functions as F
 
 log = logging.getLogger(__name__)
 
-_PAIR_FIELDS = ["id", "author", "categories", "operations",
-                "implementation_language", "popularity_score"]
+N_SALT = 32
 
 
 def _capped(df: DataFrame, key_col: str, max_per_key: int | None) -> DataFrame:
@@ -50,113 +70,151 @@ def _capped(df: DataFrame, key_col: str, max_per_key: int | None) -> DataFrame:
     return out
 
 
-def _pair_join(left_keyed: DataFrame, key: str) -> DataFrame:
-    """self equi-join on `key`, keeping each unordered pair once."""
-    a = left_keyed.select(F.col(key).alias("_k"),
-                          F.struct(*_PAIR_FIELDS).alias("e1"))
-    b = left_keyed.select(F.col(key).alias("_k"),
-                          F.struct(*_PAIR_FIELDS).alias("e2"))
+def _salted_pairs(keyed: DataFrame, key: str, n_salt: int = N_SALT) -> DataFrame:
+    """keyed(key, id) self-join -> (src, dst, key) with src < dst.
+
+    Left side salted by hash(id), right side replicated across all
+    salts; every unordered pair within a key meets exactly once, on
+    n_salt reducers per key instead of one."""
+    a = keyed.select(
+        F.col(key).alias("_k"),
+        F.pmod(F.xxhash64("id"), F.lit(n_salt)).cast("int").alias("_s"),
+        F.col("id").alias("src"))
+    b = keyed.select(
+        F.col(key).alias("_k"), F.col("id").alias("dst")) \
+        .withColumn("_s", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
     return (
-        a.join(b, "_k")
-        .filter(F.col("e1.id") < F.col("e2.id"))
-        .select("e1", "e2")
-        .dropDuplicates()
+        a.join(b, ["_k", "_s"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst", F.col("_k").alias(key))
     )
-
-
-def _common(c1, c2):
-    return F.array_intersect(c1, c2)
 
 
 def infer_relationship_edges(
-    entities: DataFrame, max_entities_per_key: int | None = None
+    entities: DataFrame, max_entities_per_key: int | None = None,
+    n_salt: int = N_SALT,
 ) -> DataFrame:
     """-> edges(src, dst, rel_type, confidence, description, evidence)."""
-    ent = entities.select(*_PAIR_FIELDS)
+    ent = entities.select("id", "author", "categories", "operations",
+                          "implementation_language", "popularity_score")
+    # narrow per-entity attributes, joined back AFTER pair aggregation;
+    # the category/operation ARRAYS ride along so the common-element
+    # set is a post-join array_intersect instead of a collect_list in
+    # the 10^7-row shuffle aggregation (and stays reference-exact when
+    # the skew cap truncates pair GENERATION: the reference intersects
+    # full attribute sets, not capped ones)
+    dims = ent.select(
+        "id", "categories", "operations",
+        F.col("implementation_language").alias("lang"))
+    dims_a = dims.select(F.col("id").alias("src"),
+                         F.col("categories").alias("cats_a"),
+                         F.col("operations").alias("ops_a"),
+                         F.col("lang").alias("lang_a"))
+    dims_b = dims.select(F.col("id").alias("dst"),
+                         F.col("categories").alias("cats_b"),
+                         F.col("operations").alias("ops_b"),
+                         F.col("lang").alias("lang_b"))
 
     # same_author: equi-join on exact author (neo4j_integration.py:571-582)
     by_author = _capped(
-        ent.filter(F.col("author").isNotNull() & (F.col("author") != "")),
+        ent.filter(F.col("author").isNotNull() & (F.col("author") != ""))
+        .select("author", "id", "popularity_score"),
         "author", max_entities_per_key)
-    same_author = _pair_join(by_author, "author").select(
-        "e1", "e2",
+    same_author = _salted_pairs(by_author, "author", n_salt).select(
+        "src", "dst",
         F.lit("same_author").alias("rel_type"),
         F.lit(1.0).alias("confidence"),
-        F.concat(F.lit("Both servers created by "), F.col("e1.author")
+        F.concat(F.lit("Both servers created by "), F.col("author")
                  ).alias("description"),
-        F.array(F.concat(F.lit("Author: "), F.col("e1.author"))).alias("evidence"),
+        F.array(F.concat(F.lit("Author: "), F.col("author"))).alias("evidence"),
     )
 
-    # category-pair base: explode categories, join, dedupe pair
+    # category-pair base: the exploded-key join DISCOVERS pairs sharing
+    # >= 1 category (dropDuplicates on the narrow pair keys only); the
+    # common set itself comes from the post-join array_intersect
     cat_keyed = _capped(
-        ent.withColumn("category", F.explode("categories")),
+        ent.select("id", "popularity_score",
+                   F.explode("categories").alias("category")),
         "category", max_entities_per_key)
-    cat_pairs = _pair_join(cat_keyed, "category").withColumn(
-        "common_cats", F.array_sort(_common(F.col("e1.categories"),
-                                            F.col("e2.categories"))))
+    cat_pairs = (
+        _salted_pairs(cat_keyed, "category", n_salt)
+        .select("src", "dst").dropDuplicates()
+        .join(dims_a, "src").join(dims_b, "dst")
+        .withColumn("common_cats",
+                    F.array_sort(F.array_intersect("cats_a", "cats_b")))
+        .withColumn("n_common", F.size("common_cats"))
+        .withColumn("n_cats_a", F.size("cats_a"))
+        .withColumn("n_cats_b", F.size("cats_b"))
+    )
 
-    # similar_functionality (neo4j_integration.py:584-597)
-    similar = cat_pairs.filter(F.size("common_cats") > 0).select(
-        "e1", "e2",
-        F.lit("similar_functionality").alias("rel_type"),
-        (F.size("common_cats") /
-         F.greatest(F.size("e1.categories"), F.size("e2.categories"))
-         ).cast("double").alias("confidence"),
-        F.concat(F.lit("Share "), F.size("common_cats"),
-                 F.lit(" common categories")).alias("description"),
-        F.array(F.concat(F.lit("Common categories: "),
-                         F.array_join("common_cats", ", "))).alias("evidence"),
+    # similar_functionality (neo4j_integration.py:584-597) and
+    # alternative_to (same language + common categories,
+    # neo4j_integration.py:615-628) both derive from cat_pairs; emit
+    # them in ONE pass so the quadratic base is not recomputed per
+    # union branch. The explode carries ONLY the rel_type string — the
+    # payload expressions are built in the codegen'd select AFTER the
+    # generator (heavy expressions inside a Generate's struct payload
+    # run interpreted per output row: measured 115s -> 10s at 8.2M
+    # rows for this exact branch).
+    is_sim = F.col("rel_type") == "similar_functionality"
+    cat_rels = cat_pairs.select(
+        "src", "dst", "common_cats", "n_common",
+        "n_cats_a", "n_cats_b", "lang_a",
+        F.explode(F.concat(
+            F.array(F.lit("similar_functionality")),
+            F.when(F.col("lang_a").isNotNull()
+                   & (F.col("lang_a") == F.col("lang_b")),
+                   F.array(F.lit("alternative_to")))
+            .otherwise(F.array().cast("array<string>")),
+        )).alias("rel_type"),
+    ).select(
+        "src", "dst", "rel_type",
+        F.when(is_sim, (F.col("n_common")
+                        / F.greatest("n_cats_a", "n_cats_b")).cast("double"))
+        .otherwise(F.lit(0.6)).alias("confidence"),
+        F.when(is_sim, F.concat(F.lit("Share "), F.col("n_common"),
+                                F.lit(" common categories")))
+        .otherwise(F.concat(F.lit("Alternative implementations in "),
+                            F.col("lang_a"))).alias("description"),
+        F.when(is_sim, F.array(F.concat(F.lit("Common categories: "),
+                                        F.array_join("common_cats", ", "))))
+        .otherwise(F.array(
+            F.concat(F.lit("Same language: "), F.col("lang_a")),
+            F.lit("Similar categories"))).alias("evidence"),
     )
 
     # complementary: >= 2 common operations (neo4j_integration.py:599-612).
     # Ops live in a tiny 8-value domain, so pair generation via the
-    # category/author joins would miss op-only pairs; explode ops instead.
+    # category/author joins would miss op-only pairs; explode ops
+    # instead. EXACT prefilter: a pair can only have >= 2 common ops if
+    # BOTH sides hold >= 2 ops — on corpora of single-op entities (the
+    # default ["read"]) this drops the op self-join from |n|² rows to
+    # zero before any shuffle happens.
     op_keyed = _capped(
-        ent.withColumn("op", F.explode("operations")),
+        ent.filter(F.size("operations") >= 2)
+        .select("id", "popularity_score", F.explode("operations").alias("op")),
         "op", max_entities_per_key)
-    op_pairs = _pair_join(op_keyed, "op").withColumn(
-        "common_ops", F.array_sort(_common(F.col("e1.operations"),
-                                           F.col("e2.operations"))))
-    complementary = op_pairs.filter(F.size("common_ops") >= 2).select(
-        "e1", "e2",
+    op_pairs = (
+        _salted_pairs(op_keyed, "op", n_salt)
+        .select("src", "dst").dropDuplicates()
+        .join(dims_a.select("src", "ops_a"), "src")
+        .join(dims_b.select("dst", "ops_b"), "dst")
+        .withColumn("common_ops",
+                    F.array_sort(F.array_intersect("ops_a", "ops_b")))
+        .withColumn("n_common", F.size("common_ops"))
+    )
+    complementary = op_pairs.filter(F.col("n_common") >= 2).select(
+        "src", "dst",
         F.lit("complementary").alias("rel_type"),
-        (F.size("common_ops") /
-         F.greatest(F.size("e1.operations"), F.size("e2.operations")) * 0.8
-         ).cast("double").alias("confidence"),
-        F.concat(F.lit("Share "), F.size("common_ops"),
+        (F.col("n_common") / F.greatest(F.size("ops_a"), F.size("ops_b"))
+         * 0.8).cast("double").alias("confidence"),
+        F.concat(F.lit("Share "), F.col("n_common"),
                  F.lit(" common operations")).alias("description"),
         F.array(F.concat(F.lit("Common operations: "),
                          F.array_join("common_ops", ", "))).alias("evidence"),
     )
 
-    # alternative_to: same language + common categories
-    # (neo4j_integration.py:615-628)
-    alternative = (
-        cat_pairs
-        .filter(F.size("common_cats") > 0)
-        .filter(
-            F.col("e1.implementation_language").isNotNull()
-            & (F.col("e1.implementation_language")
-               == F.col("e2.implementation_language")))
-        .select(
-            "e1", "e2",
-            F.lit("alternative_to").alias("rel_type"),
-            F.lit(0.6).alias("confidence"),
-            F.concat(F.lit("Alternative implementations in "),
-                     F.col("e1.implementation_language")).alias("description"),
-            F.array(
-                F.concat(F.lit("Same language: "),
-                         F.col("e1.implementation_language")),
-                F.lit("Similar categories"),
-            ).alias("evidence"),
-        )
-    )
-
     return (
-        same_author.unionByName(similar)
+        same_author.unionByName(cat_rels)
         .unionByName(complementary)
-        .unionByName(alternative)
-        .select(
-            F.col("e1.id").alias("src"), F.col("e2.id").alias("dst"),
-            "rel_type", "confidence", "description", "evidence")
     )

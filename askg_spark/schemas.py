@@ -30,6 +30,21 @@ TOOL = StructType([
     StructField("description", StringType(), True),
 ])
 
+# sub-entities per /root/reference/src/models.py:47-57 (MCPResource /
+# MCPPrompt); materialized as HAS_RESOURCE / HAS_PROMPT triples
+# (neo4j_integration.py:269-292)
+RESOURCE = StructType([
+    StructField("uri", StringType(), True),
+    StructField("name", StringType(), True),
+    StructField("description", StringType(), True),
+    StructField("mime_type", StringType(), True),
+])
+
+PROMPT = StructType([
+    StructField("name", StringType(), True),
+    StructField("description", StringType(), True),
+])
+
 # one extracted server mention per (url, registry) — pre-canonicalization
 MENTIONS = StructType([
     StructField("url", StringType(), False),
@@ -44,6 +59,8 @@ MENTIONS = StructType([
     StructField("version", StringType(), True),
     StructField("implementation_language", StringType(), True),
     StructField("tools", ArrayType(TOOL), True),
+    StructField("resources", ArrayType(RESOURCE), True),
+    StructField("prompts", ArrayType(PROMPT), True),
     StructField("tags", ArrayType(StringType()), True),
     StructField("popularity_score", LongType(), True),
     StructField("download_count", LongType(), True),

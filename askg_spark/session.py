@@ -56,8 +56,18 @@ def get_spark(
         builder = builder.master(master)
     confs = dict(DEFAULT_CONFS)
     if shuffle_partitions is None:
-        ncores = os.cpu_count() or 8
-        shuffle_partitions = int(os.environ.get("ASKG_SHUFFLE_PARTITIONS", ncores))
+        # 4x the session's actual parallelism: the salted quadratic
+        # joins hash (key, salt) combos into shuffle partitions —
+        # over-provisioning smooths collision imbalance and AQE
+        # coalesces the small ones back for free; under-provisioning
+        # serializes the hot pair-generation tasks. Derive cores from
+        # the local[N] master (not os.cpu_count) so a local[8] session
+        # is not drowned in 16 task waves per stage.
+        m = master or ""
+        digits = "".join(c for c in m if c.isdigit())
+        ncores = int(digits) if digits else (os.cpu_count() or 8)
+        shuffle_partitions = int(
+            os.environ.get("ASKG_SHUFFLE_PARTITIONS", 4 * ncores))
     confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if extra_confs:
         confs.update(extra_confs)

@@ -101,7 +101,7 @@ def lsh_signatures(emb: DataFrame, n_planes: int = 16, seed: int = 42,
 
 
 def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
-             n_planes: int = 24, band_bits: int = 3,
+             n_planes: int = 24, band_bits: int = 2,
              seed: int = 42) -> DataFrame:
     """Approximate top-k: candidates = corpus vectors sharing >=1
     signature band with the query (banded random-hyperplane LSH), exact
@@ -109,7 +109,18 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
 
     The candidate join is an equi-join on (band index, band value) —
     shuffle on the band key only; at 100 TB the corpus side is
-    pre-bucketed by band so probes are map-side."""
+    pre-bucketed by band so probes are map-side.
+
+    Default banding is recall-first (2-bit x 12 bands): the driver's
+    embeddings corpus has top-k neighbors at cosine ~0.33-0.45
+    (measured, BENCH.md) — per-plane agreement ~0.61, so a 2-bit band
+    hits with p~0.37 and 12 bands miss a true neighbor with
+    (1-0.37)^12 ~ 0.4%. Candidate pruning at that margin is weak BY
+    THE DATA (sign-LSH prunes when neighbors are meaningfully closer
+    than background); corpora with real near-dup structure (neighbor
+    cosine >= 0.8) prune hard at the same settings. Raise band_bits to
+    3-4 when the corpus has margin and candidate volume matters more
+    than the last few recall points."""
     n_bands = n_planes // band_bits
     mask = (1 << band_bits) - 1
 

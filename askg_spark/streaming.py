@@ -36,7 +36,15 @@ def incremental_extract(
     """Drain unseen page files -> append enriched mentions parquet.
 
     Returns the number of rows appended this invocation (0 when the
-    checkpoint says everything was already processed)."""
+    checkpoint says everything was already processed).
+
+    Exactly-once-per-batch output: each micro-batch OVERWRITES its own
+    `_batch=<id>` partition (dynamic partition overwrite), so a crash
+    between the write and the checkpoint commit replays the batch
+    idempotently instead of duplicating rows — the at-least-once
+    foreachBatch contract made idempotent by keying output on batch_id
+    (ADVICE r1). The batch is persisted so the row count and the write
+    share one computation."""
     pages = (
         spark.readStream.schema(schemas.PAGES)
         .option("maxFilesPerTrigger", 64)
@@ -48,10 +56,18 @@ def incremental_extract(
     counted = {"n": 0}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        n = batch_df.count()
-        counted["n"] += n
-        if n:
-            batch_df.write.mode("append").parquet(out_dir)
+        batch_df = batch_df.persist()
+        try:
+            n = batch_df.count()
+            counted["n"] += n
+            if n:
+                (batch_df.withColumn("_batch", F.lit(int(batch_id)))
+                 .write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("_batch")
+                 .parquet(out_dir))
+        finally:
+            batch_df.unpersist()
 
     q = (
         enriched.writeStream

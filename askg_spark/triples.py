@@ -35,6 +35,22 @@ def attribute_triples(entities: DataFrame) -> DataFrame:
         F.lit(1.0).alias("confidence"),
         F.array(F.lit("extracted tool")).alias("evidence"),
     )
+    # HAS_RESOURCE keyed by uri / HAS_PROMPT keyed by name
+    # (neo4j_integration.py:269-292 MERGE (r:Resource {uri...}))
+    resources = entities.filter(F.col("resources").isNotNull()).select(
+        F.col("id").alias("subj"),
+        F.lit("HAS_RESOURCE").alias("pred"),
+        F.explode(F.transform("resources", lambda r: r["uri"])).alias("obj"),
+        F.lit(1.0).alias("confidence"),
+        F.array(F.lit("extracted resource")).alias("evidence"),
+    )
+    prompts = entities.filter(F.col("prompts").isNotNull()).select(
+        F.col("id").alias("subj"),
+        F.lit("HAS_PROMPT").alias("pred"),
+        F.explode(F.transform("prompts", lambda p: p["name"])).alias("obj"),
+        F.lit(1.0).alias("confidence"),
+        F.array(F.lit("extracted prompt")).alias("evidence"),
+    )
     authors = entities.filter(
         F.col("author").isNotNull() & (F.col("author") != "")
     ).select(
@@ -44,7 +60,9 @@ def attribute_triples(entities: DataFrame) -> DataFrame:
         F.lit(1.0).alias("confidence"),
         F.array(F.lit("extracted author")).alias("evidence"),
     )
-    return cats.unionByName(ops).unionByName(tools).unionByName(authors)
+    return (cats.unionByName(ops).unionByName(tools)
+            .unionByName(resources).unionByName(prompts)
+            .unionByName(authors))
 
 
 def relationship_triples(rel_edges: DataFrame) -> DataFrame:

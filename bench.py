@@ -52,13 +52,14 @@ def main() -> int:
     run("dedup_simhash_pairs")
     run("dedup_embedding_pairs")
 
+    t0 = time.monotonic()
     exact = {(r["query_id"], r["neighbor_id"])
              for r in qs["ann_topk"](spark, sf_dir).collect()}
+    timings["ann_topk"] = round(time.monotonic() - t0, 3)
     t0 = time.monotonic()
     approx = {(r["query_id"], r["neighbor_id"])
               for r in qs["ann_lsh_topk"](spark, sf_dir).collect()}
     timings["ann_lsh_topk"] = round(time.monotonic() - t0, 3)
-    timings["ann_topk"] = 0.0  # folded into the recall comparison above
     extras["ann_lsh_recall"] = round(
         len(exact & approx) / len(exact), 4) if exact else 1.0
 

@@ -281,13 +281,15 @@ def canonicalize(components):
                 (m[field] for m in members if m[field]), None)
         for field in ("categories", "operations"):
             ent[field] = sorted({v for m in members for v in m[field]})
-        tools, seen = [], set()
-        for m in members:
-            for t in (m["tools"] or []):
-                if t["name"] not in seen:
-                    seen.add(t["name"])
-                    tools.append(t)
-        ent["tools"] = tools
+        for field, key in (("tools", "name"), ("resources", "uri"),
+                           ("prompts", "name")):
+            items, seen = [], set()
+            for m in members:
+                for t in (m.get(field) or []):
+                    if t[key] not in seen:
+                        seen.add(t[key])
+                        items.append(t)
+            ent[field] = items
         ent["popularity_score"] = max(
             (m["popularity_score"] for m in members
              if m["popularity_score"] is not None), default=None)
@@ -348,6 +350,10 @@ def triples_of(entities, rel_edges):
             triples.add((e["id"], "HAS_OPERATION", o))
         for t in e["tools"]:
             triples.add((e["id"], "HAS_TOOL", t["name"]))
+        for r in e["resources"]:
+            triples.add((e["id"], "HAS_RESOURCE", r["uri"]))
+        for p in e["prompts"]:
+            triples.add((e["id"], "HAS_PROMPT", p["name"]))
         if e["author"]:
             triples.add((e["id"], "AUTHORED_BY", e["author"]))
     return triples

@@ -16,6 +16,9 @@ MENTION_SCHEMA = (
     "homepage string, license string, version string, "
     "implementation_language string, "
     "tools array<struct<name:string,description:string>>, "
+    "resources array<struct<uri:string,name:string,description:string,"
+    "mime_type:string>>, "
+    "prompts array<struct<name:string,description:string>>, "
     "categories array<string>, operations array<string>, "
     "data_types array<string>, popularity_score long, download_count long, "
     "completeness long"
@@ -27,7 +30,8 @@ def _m(component, url, ts, **kw):
         component=component, url=url, warc_ts=ts, registry="mcp.so",
         name=None, author=None, description=None, repository=None,
         homepage=None, license=None, version=None,
-        implementation_language=None, tools=None, categories=[],
+        implementation_language=None, tools=None, resources=None,
+        prompts=None, categories=[],
         operations=[], data_types=[], popularity_score=None,
         download_count=None, completeness=0)
     base.update(kw)
@@ -111,3 +115,39 @@ def test_ord_column_not_leaked(spark):
         [_m("c1", "u1", TS1, name="n", completeness=1)], MENTION_SCHEMA)
     cols = canonical_entities(df).columns
     assert "ord" not in cols and "_tool_lists" not in cols
+
+
+def test_resources_and_prompts_merge_by_key(spark):
+    # resources union by uri, prompts by name, first (most complete
+    # member) wins on conflicts — same law as tools-by-name
+    r1 = [{"uri": "file:///a", "name": "a-hi", "description": "from r1",
+           "mime_type": "text/plain"}]
+    r2 = [{"uri": "file:///a", "name": "a-lo", "description": "from r2",
+           "mime_type": None},
+          {"uri": "file:///b", "name": "b", "description": None,
+           "mime_type": "application/json"}]
+    p1 = [{"name": "p", "description": "win"}]
+    p2 = [{"name": "p", "description": "lose"},
+          {"name": "q", "description": None}]
+    rows = [
+        _m("c1", "u1", TS1, name="x", description="full desc",
+           resources=r1, prompts=p1, completeness=5),
+        _m("c1", "u2", TS1, name="x", resources=r2, prompts=p2,
+           completeness=1),
+    ]
+    df = spark.createDataFrame(rows, MENTION_SCHEMA)
+    ent = canonical_entities(df).collect()[0]
+    res = {r["uri"]: r for r in ent["resources"]}
+    assert set(res) == {"file:///a", "file:///b"}
+    assert res["file:///a"]["name"] == "a-hi"          # first-by-ord wins
+    assert res["file:///b"]["mime_type"] == "application/json"
+    pr = {p["name"]: p for p in ent["prompts"]}
+    assert set(pr) == {"p", "q"}
+    assert pr["p"]["description"] == "win"
+
+
+def test_resources_absent_stay_null(spark):
+    rows = [_m("c1", "u1", TS1, name="x")]
+    ent = canonical_entities(
+        spark.createDataFrame(rows, MENTION_SCHEMA)).collect()[0]
+    assert ent["resources"] is None and ent["prompts"] is None

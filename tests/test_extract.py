@@ -120,3 +120,88 @@ def test_extract_mentions_split_outputs(spark):
     assert mentions.count() == 1
     rej = rejects.collect()
     assert len(rej) == 1 and rej[0]["reason"] == "tiny_body"
+
+
+def test_mcpmarket_card_golden():
+    # card precedence: server-card divs beat articles; name from first
+    # h1/h2/h3 (len >= 2), first <p>, first github link, author from
+    # the repo path, first-wins name dedup (scrapers.py:1110-1177)
+    html = (b'<html><head><title>MCP Market</title></head><body>'
+            b'<div class="server-card x"><h2>Alpha Kit</h2>'
+            b'<p>alpha description</p>'
+            b'<a href="https://github.com/ak-org/alpha-kit">gh</a></div>'
+            b'<div class="server-card"><h3>B</h3><p>too short name ok</p></div>'
+            b'<div class="server-card"><h2>Alpha Kit</h2><p>dup name</p></div>'
+            b'<article><h2>Ignored Article</h2></article>'
+            b'</body></html>')
+    url = "https://mcpmarket.com/servers"
+    mentions, reason = extract_page(url, html, None)
+    assert reason is None
+    assert [m["name"] for m in mentions] == ["Alpha Kit", "B"][:len(mentions)]
+    m = mentions[0]
+    assert m["registry"] == "mcpmarket.com"
+    assert m["description"] == "alpha description"
+    assert m["repository"] == "https://github.com/ak-org/alpha-kit"
+    assert m["author"] == "ak-org"
+    # "B" card: single-char names are rejected (len < 2)
+    assert all(m["name"] != "B" for m in mentions)
+    assert len(mentions) == 1
+
+
+def test_mcpmarket_article_fallback_and_desc_div():
+    # no card/server divs -> article family; description falls back to
+    # the .description div when no <p> exists
+    html = (b'<html><head><title>MCP Market listing page</title></head>'
+            b'<body><article><h2>Beta Scope</h2>'
+            b'<div class="description">beta desc</div></article>'
+            b'</body></html>')
+    mentions, reason = extract_page("https://mcpmarket.com/servers/2",
+                                    html, None)
+    assert reason is None and len(mentions) == 1
+    assert mentions[0]["name"] == "Beta Scope"
+    assert mentions[0]["description"] == "beta desc"
+    assert mentions[0]["repository"] is None
+    assert mentions[0]["author"] is None
+
+
+def test_mcpmarket_api_json_aliases():
+    import json as _json
+    body = _json.dumps({"data": [
+        {"title": "Gamma Flow", "owner": "gdev",
+         "repo_url": "https://github.com/gdev/gamma-flow",
+         "description": "gamma desc"},
+        {"no_name": True},
+    ]}).encode()
+    url = "https://mcpmarket.com/api/servers?page=1"
+    mentions, reason = extract_page(url, body, None)
+    assert reason is None and len(mentions) == 1
+    m = mentions[0]
+    assert (m["name"], m["author"]) == ("Gamma Flow", "gdev")
+    assert m["repository"] == "https://github.com/gdev/gamma-flow"
+
+
+def test_mcpmarket_no_cards_rejected():
+    html = (b'<html><head><title>MCP Market front page, no listings'
+            b'</title></head><body><p>welcome text only here</p></body></html>')
+    mentions, reason = extract_page("https://mcpmarket.com/about", html, None)
+    assert mentions == [] and reason == "no_server_cards"
+
+
+def test_glama_resources_and_prompts():
+    import json as _json
+    body = _json.dumps({"servers": [{
+        "name": "rp-server", "author": "dev",
+        "resources": [
+            {"uri": "file:///a", "name": "a", "mime_type": "text/plain"},
+            {"no_uri": True},
+        ],
+        "prompts": [{"name": "p1", "description": "d1"}],
+    }]}).encode()
+    mentions, reason = extract_page(
+        "https://glama.ai/api/mcp/servers?page=0", body, None)
+    assert reason is None
+    m = mentions[0]
+    assert m["resources"] == [{"uri": "file:///a", "name": "a",
+                               "description": None,
+                               "mime_type": "text/plain"}]
+    assert m["prompts"] == [{"name": "p1", "description": "d1"}]

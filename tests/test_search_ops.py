@@ -1,0 +1,83 @@
+"""W3 similar-servers, P14 term extraction + semantic search, A5
+metadata completeness — hand-computed expectations on tiny frames."""
+from __future__ import annotations
+
+from askg_spark.metrics import metadata_completeness
+from askg_spark.search import (extract_search_terms, semantic_search,
+                               similar_servers)
+
+ENT_SCHEMA = ("id string, name string, description string, author string, "
+              "categories array<string>, operations array<string>, "
+              "implementation_language string, popularity_score long")
+
+ENTS = [
+    ("a/one", "one", "a database tool", "alice",
+     ["database", "search"], ["read", "query"], "python", 100),
+    ("b/two", "two", "file things", "bob",
+     ["file_system"], ["read"], "python", None),
+    ("a/three", "three", "another database", "alice",
+     ["database"], ["write"], "go", 5),
+]
+
+
+def test_similar_servers_formula(spark):
+    ents = spark.createDataFrame(ENTS, ENT_SCHEMA)
+    got = {(r["server_id"], r["similar_id"]): (r["score"], r["rank"])
+           for r in similar_servers(ents, limit=10).collect()}
+    # one-three: 2*1 (database) + 0 ops + same_author(1) + 0 lang = 3
+    assert got[("a/one", "a/three")][0] == 3
+    assert got[("a/three", "a/one")][0] == 3
+    # one-two: 0 cats + 1 common op (read) + 0 author + same lang = 2
+    assert got[("a/one", "b/two")][0] == 2
+    # two-three: nothing shared -> no pair at all (score > 0 gate)
+    assert ("b/two", "a/three") not in got
+    # ranks are per-server, deterministic: for a/one the higher score
+    # (a/three, 3) ranks before (b/two, 2)
+    assert got[("a/one", "a/three")][1] == 1
+    assert got[("a/one", "b/two")][1] == 2
+
+
+def test_extract_search_terms_maps_and_stopwords():
+    t = extract_search_terms("Find the best database servers that can read")
+    assert "database" in t["categories"]
+    assert "read" in t["operations"]
+    # stopwords filtered from keywords, case-insensitively
+    assert "Find" not in t["keywords"] and "the" not in t["keywords"]
+    assert "database" in t["keywords"]
+
+
+def test_semantic_search_scoring(spark):
+    ents = spark.createDataFrame(ENTS, ENT_SCHEMA)
+    got = {r["id"]: r["score"]
+           for r in semantic_search(ents, "database", limit=10).collect()}
+    # 'one': desc contains 'database' (2.0; name doesn't) + category
+    # match database*2 + op match query(from kw 'database'? no -> ops
+    # matched from prompt: none besides 'query'? prompt 'database'
+    # matches category kw only) ... computed exactly below:
+    # prompt 'database' -> categories=[database], operations=[] ->
+    # one: text 2.0 + cats 2.0 + pop 100*0.1 = 14.0
+    assert got["a/one"] == 14.0
+    # three: desc contains -> 2.0 + cat 2.0 + 0.5 = 4.5
+    assert got["a/three"] == 4.5
+    # two: nothing -> 0.0 (kept: min_confidence 0)
+    assert got["b/two"] == 0.0
+
+
+def test_metadata_completeness_counts(spark):
+    m = spark.createDataFrame(
+        [("mcp.so", "n1", "d", "a", None, None, None, None),
+         ("mcp.so", "n2", None, "a", "https://x", None, None, None),
+         ("github", "n3", "d", None, None, "1.0", "MIT", "https://h")],
+        "registry string, name string, description string, author string, "
+        "repository string, version string, license string, homepage string")
+    got = {r["registry"]: r for r in metadata_completeness(m).collect()}
+    so = got["mcp.so"]
+    assert so["n_servers"] == 2
+    assert so["n_name"] == 2 and so["n_description"] == 1
+    assert so["n_author"] == 2 and so["n_repository"] == 1
+    assert so["pct_description"] == 50.0
+    # overall = (2+1+2+1+0+0+0) / (2*7) * 100
+    assert abs(so["pct_overall"] - 6 * 100.0 / 14) < 1e-9
+    gh = got["github"]
+    assert gh["n_version"] == 1 and gh["n_license"] == 1
+    assert gh["n_homepage"] == 1 and gh["n_author"] == 0

@@ -125,7 +125,7 @@ def test_lsh_topk_recall(spark, emb):
     approx = {(r["query_id"], r["neighbor_id"])
               for r in simsearch.lsh_topk(emb, q, k=5).collect()}
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.8, f"LSH recall {recall}"
+    assert recall >= 0.95, f"LSH recall {recall}"
 
 
 def test_lsh_signatures_deterministic(spark, emb):
