@@ -50,6 +50,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F
 
 _STAR_SCHEMA = "u string, v string"
@@ -92,8 +93,9 @@ def connected_components(
     is the lexicographic min id reachable.
 
     ``contract_rounds`` parallel contraction rounds (alternating
-    endpoint hashing) then one exact single-partition collapse; the
-    whole computation is one lazy plan with no driver round-trips.
+    endpoint hashing) then one exact single-partition collapse — a
+    linear plan executed once, with a single driver sync (the label
+    checkpoint below) instead of the round-1 loop's O(log n) syncs.
     ``max_iter`` caps the rounds (API compatibility with the round-1
     iterative implementation)."""
     spark = edges.sparkSession
@@ -112,6 +114,18 @@ def connected_components(
         .mapInPandas(_uf_stars, schema=_STAR_SCHEMA)
         .select(F.col("u").alias("id"), F.col("v").alias("label"))
     )
+    # The label frame is referenced TWICE below (the union and the
+    # singles anti-join). Measured on Spark 4 local mode: relying on
+    # plan-matching (persist) to dedupe the two references is NOT
+    # reliable for plans containing Python mapInPandas stages under
+    # AQE — the event log shows the full upstream DAG re-executing per
+    # reference. localCheckpoint truncates the plan to a leaf, so the
+    # contraction chain runs exactly once no matter how many consumers
+    # reference it. Labels hold one row per vertex incident to an edge
+    # (the matched-mention set), orders of magnitude smaller than the
+    # corpus, so the checkpoint is cheap even at 10^12 documents.
+    labels = labels.localCheckpoint(
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     # vertices touching no edge are their own component
     singles = vertices.join(labels.select("id"), "id", "left_anti") \
         .select("id", F.col("id").alias("label"))

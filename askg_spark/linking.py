@@ -141,8 +141,18 @@ def lsh_candidates(mentions: DataFrame, cfg: LinkConfig) -> DataFrame:
         vector_to_array(F.col("minhashes")[i])[0].cast("long")
         for i in range(cfg.lsh_num_hashes)
     ])
+    # NARROW pair generation (same scale pattern as relations.py): the
+    # band explode, the band equi-join and the pair dropDuplicates all
+    # carry only idx = xxhash64(mention_id) longs — the round-2a
+    # version shuffled two full mention structs (name, description, …)
+    # per band row and per candidate pair, which left the link phase
+    # flat across core counts (shuffle-byte-bound, ~45s at 21k
+    # mentions whether 8 or 32 cores). Structs attach AFTER the narrow
+    # dedup via two joins against the (tiny) mention dim, and the pair
+    # is re-oriented to mention_id order there. Collision bound as in
+    # relations.py (~n^2/2^65).
     bands = hashed.withColumn("_mh", mh).select(
-        F.struct(*PAIR_COLS).alias("m"),
+        F.xxhash64("mention_id").alias("idx"),
         F.explode(F.array(*[
             F.concat_ws(":", F.lit(i), *[
                 F.element_at("_mh", i * cfg.lsh_band_rows + r + 1)
@@ -157,17 +167,27 @@ def lsh_candidates(mentions: DataFrame, cfg: LinkConfig) -> DataFrame:
                .filter(F.col("sz") > cfg.lsh_bucket_cap)
                .select("band"))
         bands = bands.join(hot, "band", "left_anti")
-    a = bands.select("band", F.col("m").alias("a"))
-    b = bands.select("band", F.col("m").alias("b"))
-    return (
-        a.join(b, "band")
-        .filter(F.col("a.mention_id") < F.col("b.mention_id"))
-        .filter(F.col("a.norm_name") != F.col("b.norm_name"))
-        .select("a", "b",
-                F.col("a.mention_id").alias("_ka"),
-                F.col("b.mention_id").alias("_kb"))
-        .dropDuplicates(["_ka", "_kb"])
-        .select("a", "b")
+    pairs = (
+        bands.select("band", F.col("idx").alias("ia"))
+        .join(bands.select("band", F.col("idx").alias("ib")), "band")
+        .filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ib")
+        .dropDuplicates()
+    )
+    dims = feats.select(F.xxhash64("mention_id").alias("idx"),
+                        F.struct(*PAIR_COLS).alias("m"))
+    cands = (
+        pairs
+        .join(dims.select(F.col("idx").alias("ia"), F.col("m").alias("x")),
+              "ia")
+        .join(dims.select(F.col("idx").alias("ib"), F.col("m").alias("y")),
+              "ib")
+        .filter(F.col("x.norm_name") != F.col("y.norm_name"))
+    )
+    lt = F.col("x.mention_id") < F.col("y.mention_id")
+    return cands.select(
+        F.when(lt, F.col("x")).otherwise(F.col("y")).alias("a"),
+        F.when(lt, F.col("y")).otherwise(F.col("x")).alias("b"),
     )
 
 

@@ -45,6 +45,32 @@ class StageTimer:
         return out
 
 
+def source_manifest(mentions: DataFrame, registry: str = "glama") -> DataFrame:
+    """S13 manifest lineage: the reference's glama downloader tracks
+    every fetched glama.json in a CSV manifest with header
+    (org, repo, filename) written incrementally as provenance
+    (/root/reference/src/glama_downloader.py:113-131). Distributed
+    analog: one row per mention from ``registry`` with (org, repo)
+    parsed from the repository URL, the source file name from the page
+    url's last path segment, and the page url itself as lineage.
+
+    Narrow projection + filter — no shuffle; write the result next to
+    the snapshot tables for an auditable fetch manifest."""
+    from askg_spark.normalize import extract_repository_id
+
+    repo_id = extract_repository_id(F.col("repository"))
+    parts = F.split(repo_id, "/")
+    return (
+        mentions.filter(F.col("registry") == registry)
+        .select(
+            F.element_at(parts, 1).alias("org"),
+            F.element_at(parts, 2).alias("repo"),
+            F.element_at(F.split(F.col("url"), "/"), -1).alias("filename"),
+            F.col("url").alias("source_url"),
+        )
+    )
+
+
 COMPLETENESS_FIELDS = ["name", "description", "author", "repository",
                        "version", "license", "homepage"]
 

@@ -70,6 +70,16 @@ def run_pipeline(
 
     mentions_raw, rejects = extract_mentions(pages)
     enriched = enrich_mentions(mentions_raw)
+    # Mentions are far smaller than pages (projection drops html), so
+    # inheriting the page scan's partitioning leaves hundreds of
+    # near-empty cache partitions that every downstream AQE stage
+    # re-scans as its own task wave (measured: 201-partition cache ->
+    # 15 concurrent 201-task cache-read stages inside ONE downstream
+    # job). Re-key to the session's shuffle parallelism: one cheap
+    # shuffle of the small mention set, balanced cache reads after.
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if enriched.rdd.getNumPartitions() > 2 * n_shuffle:
+        enriched = enriched.repartition(n_shuffle)
     enriched = enriched.persist(StorageLevel.MEMORY_ONLY)
     # eager: build the extraction cache ONCE before the linking DAG
     # fans out — exact-edge branches, the LSH fit and the scorer all
@@ -78,7 +88,18 @@ def run_pipeline(
     # 616s -> ~130s for the link phase at 22k pages, local[32])
     timer.time("extract", enriched.count)
 
-    edges = timer.time("link", lambda: candidate_edges(enriched, cfg.link))
+    # localCheckpoint (not persist): the edge frame is consumed by the
+    # CC contraction AND (via the labels) by the canonicalize join.
+    # Spark 4's cache matching is unreliable for mapInPandas plans
+    # under AQE — the event log showed the exact-edge equi-joins
+    # re-executing twice inside a single downstream job despite a
+    # built MEMORY_ONLY cache (57s of a 56s CC stage at 21k mentions).
+    # Truncating the plan to a leaf makes the linking DAG run exactly
+    # once; the edge set (LSH + exact-key output) is tiny relative to
+    # the corpus at any scale.
+    edges = timer.time("link", lambda: candidate_edges(
+        enriched, cfg.link).localCheckpoint(
+            eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK))
     comps = timer.time("cc", lambda: connected_components(
         edges, enriched.select(F.col("mention_id").alias("id")),
         max_iter=cfg.cc_max_iter))

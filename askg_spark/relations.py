@@ -39,6 +39,17 @@ Scale design (round-2 rewrite of the round-1 struct-join):
   * Per-entity attributes needed for confidence (|cats|, |ops|, lang,
     author) are attached AFTER aggregation via a narrow dims join
     (AQE broadcasts it at any realistic entity count).
+  * INTEGER pair keys: the quadratic join, its src<dst filter and the
+    pair dropDuplicates all run on idx = xxhash64(id) longs (8 bytes)
+    instead of the ~40-char global-id strings — ~10x less shuffle
+    volume and cheaper hashing in exactly the stages that carry the
+    O(n²) row count. String ids enter only in the final projection via
+    the dims join, re-oriented to subj=min(id), obj=max(id) (all four
+    relationship payloads are symmetric, so orientation by string id
+    after integer-keyed generation is exact). Collision bound: two
+    entities sharing an idx would miss/fan out one pair; P(any
+    collision among n entities) ~ n^2/2^65 — 2.7e-12 at 10^4, 2.7e-4
+    at 10^8 — and is an anomaly on one pair, not global corruption.
 
 Skew policy (explicit, logged): `max_entities_per_key` additionally
 caps each key's contribution to its top-M entities by (popularity
@@ -71,22 +82,22 @@ def _capped(df: DataFrame, key_col: str, max_per_key: int | None) -> DataFrame:
 
 
 def _salted_pairs(keyed: DataFrame, key: str, n_salt: int = N_SALT) -> DataFrame:
-    """keyed(key, id) self-join -> (src, dst, key) with src < dst.
+    """keyed(key, idx) self-join -> (ia, ib, key) with ia < ib (longs).
 
-    Left side salted by hash(id), right side replicated across all
-    salts; every unordered pair within a key meets exactly once, on
-    n_salt reducers per key instead of one."""
+    Left side salted by idx, right side replicated across all salts;
+    every unordered pair within a key meets exactly once, on n_salt
+    reducers per key instead of one."""
     a = keyed.select(
         F.col(key).alias("_k"),
-        F.pmod(F.xxhash64("id"), F.lit(n_salt)).cast("int").alias("_s"),
-        F.col("id").alias("src"))
+        F.pmod(F.col("idx"), F.lit(n_salt)).cast("int").alias("_s"),
+        F.col("idx").alias("ia"))
     b = keyed.select(
-        F.col(key).alias("_k"), F.col("id").alias("dst")) \
+        F.col(key).alias("_k"), F.col("idx").alias("ib")) \
         .withColumn("_s", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
     return (
         a.join(b, ["_k", "_s"])
-        .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst", F.col("_k").alias(key))
+        .filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ib", F.col("_k").alias(key))
     )
 
 
@@ -95,8 +106,10 @@ def infer_relationship_edges(
     n_salt: int = N_SALT,
 ) -> DataFrame:
     """-> edges(src, dst, rel_type, confidence, description, evidence)."""
-    ent = entities.select("id", "author", "categories", "operations",
-                          "implementation_language", "popularity_score")
+    ent = entities.select(
+        "id", "author", "categories", "operations",
+        "implementation_language", "popularity_score",
+    ).withColumn("idx", F.xxhash64("id"))
     # narrow per-entity attributes, joined back AFTER pair aggregation;
     # the category/operation ARRAYS ride along so the common-element
     # set is a post-join array_intersect instead of a collect_list in
@@ -104,42 +117,53 @@ def infer_relationship_edges(
     # the skew cap truncates pair GENERATION: the reference intersects
     # full attribute sets, not capped ones)
     dims = ent.select(
-        "id", "categories", "operations",
+        "idx", "id", "categories", "operations",
         F.col("implementation_language").alias("lang"))
-    dims_a = dims.select(F.col("id").alias("src"),
+    dims_a = dims.select(F.col("idx").alias("ia"), F.col("id").alias("id_a"),
                          F.col("categories").alias("cats_a"),
                          F.col("operations").alias("ops_a"),
                          F.col("lang").alias("lang_a"))
-    dims_b = dims.select(F.col("id").alias("dst"),
+    dims_b = dims.select(F.col("idx").alias("ib"), F.col("id").alias("id_b"),
                          F.col("categories").alias("cats_b"),
                          F.col("operations").alias("ops_b"),
                          F.col("lang").alias("lang_b"))
+    # symmetric payloads -> re-orient pairs by STRING id after the
+    # integer-keyed generation (reference orientation: id_lo < id_hi)
+    src_col = F.least("id_a", "id_b").alias("src")
+    dst_col = F.greatest("id_a", "id_b").alias("dst")
+    ids_a = dims.select(F.col("idx").alias("ia"), F.col("id").alias("id_a"))
+    ids_b = dims.select(F.col("idx").alias("ib"), F.col("id").alias("id_b"))
 
     # same_author: equi-join on exact author (neo4j_integration.py:571-582)
     by_author = _capped(
         ent.filter(F.col("author").isNotNull() & (F.col("author") != ""))
-        .select("author", "id", "popularity_score"),
+        .select("author", "idx", "id", "popularity_score"),
         "author", max_entities_per_key)
-    same_author = _salted_pairs(by_author, "author", n_salt).select(
-        "src", "dst",
-        F.lit("same_author").alias("rel_type"),
-        F.lit(1.0).alias("confidence"),
-        F.concat(F.lit("Both servers created by "), F.col("author")
-                 ).alias("description"),
-        F.array(F.concat(F.lit("Author: "), F.col("author"))).alias("evidence"),
+    same_author = (
+        _salted_pairs(by_author, "author", n_salt)
+        .join(ids_a, "ia").join(ids_b, "ib")
+        .select(
+            src_col, dst_col,
+            F.lit("same_author").alias("rel_type"),
+            F.lit(1.0).alias("confidence"),
+            F.concat(F.lit("Both servers created by "), F.col("author")
+                     ).alias("description"),
+            F.array(F.concat(F.lit("Author: "), F.col("author"))
+                    ).alias("evidence"),
+        )
     )
 
     # category-pair base: the exploded-key join DISCOVERS pairs sharing
     # >= 1 category (dropDuplicates on the narrow pair keys only); the
     # common set itself comes from the post-join array_intersect
     cat_keyed = _capped(
-        ent.select("id", "popularity_score",
+        ent.select("idx", "id", "popularity_score",
                    F.explode("categories").alias("category")),
         "category", max_entities_per_key)
     cat_pairs = (
         _salted_pairs(cat_keyed, "category", n_salt)
-        .select("src", "dst").dropDuplicates()
-        .join(dims_a, "src").join(dims_b, "dst")
+        .select("ia", "ib").dropDuplicates()
+        .join(dims_a, "ia").join(dims_b, "ib")
         .withColumn("common_cats",
                     F.array_sort(F.array_intersect("cats_a", "cats_b")))
         .withColumn("n_common", F.size("common_cats"))
@@ -158,7 +182,7 @@ def infer_relationship_edges(
     # rows for this exact branch).
     is_sim = F.col("rel_type") == "similar_functionality"
     cat_rels = cat_pairs.select(
-        "src", "dst", "common_cats", "n_common",
+        "id_a", "id_b", "common_cats", "n_common",
         "n_cats_a", "n_cats_b", "lang_a",
         F.explode(F.concat(
             F.array(F.lit("similar_functionality")),
@@ -168,7 +192,7 @@ def infer_relationship_edges(
             .otherwise(F.array().cast("array<string>")),
         )).alias("rel_type"),
     ).select(
-        "src", "dst", "rel_type",
+        src_col, dst_col, "rel_type",
         F.when(is_sim, (F.col("n_common")
                         / F.greatest("n_cats_a", "n_cats_b")).cast("double"))
         .otherwise(F.lit(0.6)).alias("confidence"),
@@ -192,19 +216,20 @@ def infer_relationship_edges(
     # zero before any shuffle happens.
     op_keyed = _capped(
         ent.filter(F.size("operations") >= 2)
-        .select("id", "popularity_score", F.explode("operations").alias("op")),
+        .select("idx", "id", "popularity_score",
+                F.explode("operations").alias("op")),
         "op", max_entities_per_key)
     op_pairs = (
         _salted_pairs(op_keyed, "op", n_salt)
-        .select("src", "dst").dropDuplicates()
-        .join(dims_a.select("src", "ops_a"), "src")
-        .join(dims_b.select("dst", "ops_b"), "dst")
+        .select("ia", "ib").dropDuplicates()
+        .join(dims_a.select("ia", "id_a", "ops_a"), "ia")
+        .join(dims_b.select("ib", "id_b", "ops_b"), "ib")
         .withColumn("common_ops",
                     F.array_sort(F.array_intersect("ops_a", "ops_b")))
         .withColumn("n_common", F.size("common_ops"))
     )
     complementary = op_pairs.filter(F.col("n_common") >= 2).select(
-        "src", "dst",
+        src_col, dst_col,
         F.lit("complementary").alias("rel_type"),
         (F.col("n_common") / F.greatest(F.size("ops_a"), F.size("ops_b"))
          * 0.8).cast("double").alias("confidence"),

@@ -148,33 +148,44 @@ def similar_servers(entities: DataFrame, limit: int = 10,
     corpus) are salted n_salt ways — same skew policy as relations.py."""
     from askg_spark.relations import _salted_pairs
 
-    ent = entities.select("id", "author", "categories", "operations",
-                          F.col("implementation_language").alias("lang"))
+    ent = entities.select(
+        "id", "author", "categories", "operations",
+        F.col("implementation_language").alias("lang"),
+    ).withColumn("idx", F.xxhash64("id"))
     contribs = []
-    cat_keyed = ent.select("id", F.explode("categories").alias("category"))
+    cat_keyed = ent.select("idx", F.explode("categories").alias("category"))
     contribs.append(_salted_pairs(cat_keyed, "category", n_salt)
-                    .select("src", "dst", F.lit(2).alias("w")))
-    op_keyed = ent.select("id", F.explode("operations").alias("op"))
+                    .select("ia", "ib", F.lit(2).alias("w")))
+    op_keyed = ent.select("idx", F.explode("operations").alias("op"))
     contribs.append(_salted_pairs(op_keyed, "op", n_salt)
-                    .select("src", "dst", F.lit(1).alias("w")))
+                    .select("ia", "ib", F.lit(1).alias("w")))
     auth_keyed = ent.filter(
         F.col("author").isNotNull() & (F.col("author") != "")) \
-        .select("id", "author")
+        .select("idx", "author")
     contribs.append(_salted_pairs(auth_keyed, "author", n_salt)
-                    .select("src", "dst", F.lit(1).alias("w")))
-    lang_keyed = ent.filter(F.col("lang").isNotNull()).select("id", "lang")
+                    .select("ia", "ib", F.lit(1).alias("w")))
+    lang_keyed = ent.filter(F.col("lang").isNotNull()).select("idx", "lang")
     contribs.append(_salted_pairs(lang_keyed, "lang", n_salt)
-                    .select("src", "dst", F.lit(1).alias("w")))
+                    .select("ia", "ib", F.lit(1).alias("w")))
     undirected = contribs[0]
     for c in contribs[1:]:
         undirected = undirected.unionByName(c)
-    scores = (undirected.groupBy("src", "dst")
+    # integer-keyed aggregation (see relations.py scale notes); string
+    # ids attach only after the quadratic row count is reduced
+    scores = (undirected.groupBy("ia", "ib")
               .agg(F.sum("w").cast("long").alias("score")))
+    ids = ent.select("idx", "id")
+    scores = (
+        scores
+        .join(ids.select(F.col("idx").alias("ia"), F.col("id").alias("id_a")),
+              "ia")
+        .join(ids.select(F.col("idx").alias("ib"), F.col("id").alias("id_b")),
+              "ib"))
     directed = scores.select(
-        F.col("src").alias("server_id"), F.col("dst").alias("similar_id"),
+        F.col("id_a").alias("server_id"), F.col("id_b").alias("similar_id"),
         "score",
     ).unionByName(scores.select(
-        F.col("dst").alias("server_id"), F.col("src").alias("similar_id"),
+        F.col("id_b").alias("server_id"), F.col("id_a").alias("similar_id"),
         "score"))
     w = Window.partitionBy("server_id").orderBy(
         F.desc("score"), F.asc("similar_id"))

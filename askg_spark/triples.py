@@ -88,6 +88,19 @@ def dedup_triples(triples: DataFrame) -> DataFrame:
 
 
 def build_triples(entities: DataFrame, rel_edges: DataFrame) -> DataFrame:
-    return dedup_triples(
-        attribute_triples(entities).unionByName(relationship_triples(rel_edges))
-    )
+    """Union of attribute + relationship triples, distinct on
+    (subj, pred, obj).
+
+    Only the attribute branch (O(entities x attrs), tiny) runs through
+    ``dedup_triples``. The relationship branch is UNIQUE on the triple
+    key by construction — each relations.py branch either meets every
+    unordered pair exactly once (salted self-join on a single-valued
+    key) or dropDuplicates's the pair before emission, rel_types within
+    a branch are distinct per pair, and rel_types across branches are
+    disjoint — so pushing its 10^7+ rows through a payload-carrying
+    groupBy would re-shuffle the dominant row count for a no-op
+    (measured: the straggler-tail stage of the 54M-triple build).
+    ``dedup_triples`` remains the standalone J+ dedup surface for triple
+    sets without that guarantee."""
+    return dedup_triples(attribute_triples(entities)).unionByName(
+        relationship_triples(rel_edges))

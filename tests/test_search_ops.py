@@ -81,3 +81,19 @@ def test_metadata_completeness_counts(spark):
     gh = got["github"]
     assert gh["n_version"] == 1 and gh["n_license"] == 1
     assert gh["n_homepage"] == 1 and gh["n_author"] == 0
+
+
+def test_source_manifest_rows(spark):
+    from askg_spark.metrics import source_manifest
+    m = spark.createDataFrame(
+        [("glama", "https://glama.ai/api/mcp/v1/servers/a.json",
+          "https://github.com/alice/tool-a"),
+         ("glama", "https://glama.ai/api/mcp/v1/servers/b.json", None),
+         ("mcp.so", "https://mcp.so/server/x", "https://github.com/bob/x")],
+        "registry string, url string, repository string")
+    rows = {r["filename"]: r for r in source_manifest(m).collect()}
+    assert set(rows) == {"a.json", "b.json"}       # mcp.so excluded
+    assert rows["a.json"]["org"] == "alice"
+    assert rows["a.json"]["repo"] == "tool-a"
+    assert rows["b.json"]["org"] is None           # no repo URL -> null org
+    assert rows["a.json"]["source_url"].endswith("a.json")
