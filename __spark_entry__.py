@@ -377,18 +377,35 @@ WHERE n_common >= 0.5 * (sa.n_grams + sb.n_grams - n_common)
             ("zh", ["的", "是", "了", "在", "我"]),
         ])
     return {
+        # Relation pairs mirror the pipeline-default skew cap
+        # (PipelineConfig.max_entities_per_key = 1000): top-M entities
+        # per hot key ordered by (popularity DESC NULLS LAST, id ASC);
+        # rendered-doc entities all have NULL popularity, so ORDER BY
+        # id is the exact mirror. The cap does not bind at sf<=0.01
+        # (well under 1000 entities per key) — it is mirrored anyway so
+        # the oracle stays exact at any sf.
         "kg_triples": _KG_ENT_CTE + """
 , attr AS (
   SELECT id AS subj, 'HAS_CATEGORY' AS pred, category AS obj FROM ecat
   UNION ALL SELECT id, 'HAS_OPERATION', 'read' FROM ent
   UNION ALL SELECT id, 'AUTHORED_BY', author FROM ent
 ),
+acap AS (
+  SELECT id, author FROM (
+    SELECT id, author,
+           row_number() OVER (PARTITION BY author ORDER BY id) AS rk
+    FROM ent WHERE author IS NOT NULL AND author <> '') WHERE rk <= 1000),
+ccap AS (
+  SELECT id, category FROM (
+    SELECT id, category,
+           row_number() OVER (PARTITION BY category ORDER BY id) AS rk
+    FROM ecat) WHERE rk <= 1000),
 rel AS (
   SELECT a.id AS subj, 'same_author' AS pred, b.id AS obj
-  FROM ent a JOIN ent b ON a.author = b.author AND a.id < b.id
+  FROM acap a JOIN acap b ON a.author = b.author AND a.id < b.id
   UNION
   SELECT a.id, 'similar_functionality', b.id
-  FROM ecat a JOIN ecat b ON a.category = b.category AND a.id < b.id
+  FROM ccap a JOIN ccap b ON a.category = b.category AND a.id < b.id
 )
 SELECT subj, pred, obj FROM attr
 UNION ALL SELECT subj, pred, obj FROM rel

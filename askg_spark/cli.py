@@ -31,7 +31,9 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--out", type=str, default=None)
         p.add_argument("--force", action="store_true")
         p.add_argument("--max-per-key", type=int, default=None,
-                       help="relation skew cap (top-M entities per hot key)")
+                       help="relation skew cap (top-M entities per hot "
+                            "key); 0 = uncapped all-pairs; default = "
+                            "PipelineConfig default (1000)")
     args = ap.parse_args(argv)
 
     from askg_spark.fixtures import generate_pages
@@ -45,7 +47,10 @@ def main(argv: list[str] | None = None) -> int:
         pages = spark.read.parquet(args.pages)
     else:
         pages = generate_pages(spark, n_servers=args.servers, seed=args.seed)
-    cfg = PipelineConfig(max_entities_per_key=args.max_per_key)
+    if args.max_per_key is None:
+        cfg = PipelineConfig()  # config default cap
+    else:
+        cfg = PipelineConfig(max_entities_per_key=args.max_per_key or None)
 
     t0 = time.monotonic()
     if args.cmd == "build":

@@ -88,13 +88,14 @@ def _shingle_col(col, n: int):
     return F.array_distinct(F.transform(idx, lambda i: padded.substr(i, F.lit(n))))
 
 
-def lsh_candidates(mentions: DataFrame, cfg: LinkConfig) -> DataFrame:
+def _lsh_pair_ids(mentions: DataFrame, cfg: LinkConfig):
     """Banded MinHash-LSH blocking on char-3-gram sets of norm_name.
 
-    Returns candidate pairs (a struct, b struct) with a.mention_id <
-    b.mention_id, excluding pairs with identical norm_name (those are
-    covered by J2/J3 or are legitimately distinct — reference skips the
-    exact-name bucket in the fuzzy scan, deduplication.py:206-209).
+    Returns ``(feats, pairs)``: the featurized mention frame and the
+    NARROW candidate id pairs (ia, ib) as xxhash64 longs with ia < ib.
+    Same-norm_name pairs are filtered by the callers (those are covered
+    by J2/J3 or are legitimately distinct — reference skips the exact-
+    name bucket in the fuzzy scan, deduplication.py:206-209).
 
     Design notes (all measured on a 22k-mention corpus):
     * Shingles come from the DESPACED norm_name — the reference's fuzzy
@@ -174,6 +175,17 @@ def lsh_candidates(mentions: DataFrame, cfg: LinkConfig) -> DataFrame:
         .select("ia", "ib")
         .dropDuplicates()
     )
+    return feats, pairs
+
+
+def lsh_candidates(mentions: DataFrame, cfg: LinkConfig) -> DataFrame:
+    """Candidate pairs as (a struct, b struct) with a.mention_id <
+    b.mention_id — the struct surface used by the tests and ad-hoc
+    callers. The pipeline path (`fuzzy_edges`) stays narrow instead:
+    attaching two full structs to every one of ~10^2 x overgenerated
+    candidates is the single largest Arrow/shuffle cost in the link
+    phase, and ~99% of candidates die on the name gate anyway."""
+    feats, pairs = _lsh_pair_ids(mentions, cfg)
     dims = feats.select(F.xxhash64("mention_id").alias("idx"),
                         F.struct(*PAIR_COLS).alias("m"))
     cands = (
@@ -233,35 +245,87 @@ def description_idf(mentions: DataFrame) -> tuple[dict[int, float], int]:
     return idf, n_docs
 
 
-def score_pairs(cands: DataFrame, cfg: LinkConfig,
-                idf: dict[int, float] | None = None) -> DataFrame:
-    """Arrow-batched exact rescoring of LSH candidates with the
-    reference's difflib formulas; returns pairs that are edges.
+def _min_gate(cfg: LinkConfig) -> float:
+    """Floor any accepted pair's name_ratio must exceed.
 
-    When ``cfg.tfidf_prune`` is set (the 100 TB path), a vectorized
-    TF-IDF cosine over the pair's descriptions runs FIRST (numpy over
-    the whole Arrow batch) and pairs below the prune threshold skip the
-    per-pair difflib scoring entirely — the quadratic-ish ratio calls
-    are the expensive part, the hashed cosine is a batch GEMV. Pairs
-    where either side lacks a description are never pruned (the
-    reference's composite score treats missing descriptions as
-    no-evidence, not negative evidence)."""
+    detailed = 0.4*name + (terms summing to <= 0.6): the cross-registry
+    branch can only fire when 0.4*name_ratio > merge_threshold - 0.6;
+    the same-registry branch needs name_ratio > name_ratio_gate."""
+    min_name_high = max(0.0, (cfg.merge_threshold - 0.6) / 0.4)
+    return min(cfg.name_ratio_gate, min_name_high)
+
+
+def _gate(name_ratio: float, a_registry, b_registry,
+          cfg: LinkConfig) -> bool:
+    """True iff a pair with this name_ratio can still be accepted by
+    either branch (fuzzy_dup needs > name_ratio_gate outright; the
+    cross-registry high_merge branch only needs > (merge_threshold -
+    0.6) / 0.4). The name ratio is a ~15-char compare; the description
+    ratios in the full scorer are 100+-char quadratic difflib calls —
+    gating first removes them for the bulk of LSH candidates."""
+    if name_ratio <= _min_gate(cfg):
+        return False
+    if name_ratio <= cfg.name_ratio_gate and a_registry == b_registry:
+        return False
+    return True
+
+
+def _score_one(r, name_ratio: float, cfg: LinkConfig) -> tuple[bool, bool]:
+    """Full reference scoring for one gated pair (namedtuple with
+    a_*/b_* fields) -> (fuzzy_dup, high_merge). Symmetric in a/b."""
+    # --- composite (J5), deduplication.py:223-262
+    comp = 0.0
+    if r.a_author and r.b_author:
+        comp += _ratio(r.a_norm_author, r.b_norm_author) * 0.3
+    if r.a_description and r.b_description:
+        comp += _ratio(r.a_description.lower()[:100],
+                       r.b_description.lower()[:100]) * 0.2
+    # array columns arrive as numpy arrays (ambiguous truth value)
+    ca = set(r.a_categories) if r.a_categories is not None else set()
+    cb = set(r.b_categories) if r.b_categories is not None else set()
+    if ca and cb:
+        comp += (len(ca & cb) / max(len(ca), len(cb))) * 0.2
+    if (r.a_implementation_language and r.b_implementation_language
+            and r.a_implementation_language == r.b_implementation_language):
+        comp += 0.1
+    if r.a_repository and r.b_repository:
+        pa = str(r.a_repository).split("/")
+        pb = str(r.b_repository).split("/")
+        if len(pa) >= 4 and len(pb) >= 4 and pa[3] == pb[3]:
+            comp += 0.2
+    similar = comp > cfg.composite_threshold
+    fuzzy_dup = name_ratio > cfg.name_ratio_gate and similar
+    # --- detailed (J6), deduplication.py:384-426
+    det = name_ratio * 0.4
+    if r.a_author and r.b_author:
+        det += _ratio(r.a_norm_author, r.b_norm_author) * 0.2
+    if r.a_repository and r.b_repository:
+        na = str(r.a_repository).split("/")
+        nb = str(r.b_repository).split("/")
+        if len(na) >= 3 and len(nb) >= 3 and na[2] == nb[2]:
+            det += 0.2   # same netloc
+    if r.a_description and r.b_description:
+        det += _ratio(r.a_description.lower(), r.b_description.lower()) * 0.1
+    if ca and cb and (ca | cb):
+        det += (len(ca & cb) / len(ca | cb)) * 0.1
+    high = (similar and det > cfg.merge_threshold
+            and r.a_registry != r.b_registry)
+    return fuzzy_dup, high
+
+
+def _make_tfidf_cos(idf: dict[int, float] | None):
+    """Vectorized hashed-TF-IDF cosine over two description Series;
+    pairs where either side lacks a description score 1.0 (never
+    pruned — the reference's composite score treats missing
+    descriptions as no-evidence, not negative evidence)."""
     import math
     import zlib
 
     import numpy as np
 
-    flat = cands.select(
-        *[F.col(f"a.{c}").alias(f"a_{c}") for c in PAIR_COLS],
-        *[F.col(f"b.{c}").alias(f"b_{c}") for c in PAIR_COLS],
-    )
-    prune = cfg.tfidf_prune
     default_idf = math.log(2.0) + 1.0
-    # detailed = 0.4*name + (terms summing to <= 0.6): the cross-
-    # registry branch can only fire when name_ratio exceeds this
-    min_name_high = max(0.0, (cfg.merge_threshold - 0.6) / 0.4)
 
-    def _tfidf_cos(col_a: pd.Series, col_b: pd.Series) -> "np.ndarray":
+    def cos(col_a: pd.Series, col_b: pd.Series) -> "np.ndarray":
         def vec(text):
             if not text:
                 return None
@@ -281,65 +345,65 @@ def score_pairs(cands: DataFrame, cfg: LinkConfig,
                 out[i] = sum(w * vb.get(b, 0.0) for b, w in va.items())
         return out
 
+    return cos
+
+
+def _cpu_partitioned(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's parallelism before a
+    CPU-bound Python stage: AQE coalesces upstream join output by
+    BYTES (64 MB advisory), and a few MB of candidate pairs collapse
+    to 1-2 partitions — which serializes difflib scoring on one Python
+    worker no matter how many cores the cluster has (measured: the
+    link phase was FLAT from 8 to 32 cores before this)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+def _ratio_bound_filter(df: DataFrame, a_name: str, b_name: str,
+                        threshold: float) -> DataFrame:
+    """JVM-side exact prefilter: difflib ratio is at most
+    2*min(|a|,|b|)/(|a|+|b|) (every matched char is in both strings),
+    so pairs whose bound <= threshold can never pass the name gate —
+    dropped before any Arrow transfer or Python work."""
+    la, lb = F.length(a_name), F.length(b_name)
+    return df.filter((F.lit(2) * F.least(la, lb) / (la + lb))
+                     > F.lit(threshold))
+
+
+def score_pairs(cands: DataFrame, cfg: LinkConfig,
+                idf: dict[int, float] | None = None) -> DataFrame:
+    """Arrow-batched exact rescoring of struct candidate pairs with the
+    reference's difflib formulas; returns pairs that are edges.
+
+    Test/ad-hoc surface over `lsh_candidates` structs; the pipeline
+    uses the two-stage `fuzzy_edges` (same helpers, same decisions —
+    parity asserted in tests) to avoid shipping full structs for
+    pairs the name gate rejects.
+
+    When ``cfg.tfidf_prune`` is set (the 100 TB path), a vectorized
+    TF-IDF cosine over the pair's descriptions runs FIRST (numpy over
+    the whole Arrow batch) and pairs below the prune threshold skip
+    the per-pair difflib scoring entirely — the quadratic-ish ratio
+    calls are the expensive part, the hashed cosine is a batch GEMV."""
+    flat = cands.select(
+        *[F.col(f"a.{c}").alias(f"a_{c}") for c in PAIR_COLS],
+        *[F.col(f"b.{c}").alias(f"b_{c}") for c in PAIR_COLS],
+    )
+    flat = _ratio_bound_filter(flat, "a_norm_name", "b_norm_name",
+                               _min_gate(cfg))
+    prune = cfg.tfidf_prune
+    tfidf_cos = _make_tfidf_cos(idf)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if prune is not None and len(pdf):
-                cos = _tfidf_cos(pdf["a_description"], pdf["b_description"])
+                cos = tfidf_cos(pdf["a_description"], pdf["b_description"])
                 pdf = pdf[cos >= prune]
             out = {"src": [], "dst": [], "fuzzy_dup": [], "high_merge": []}
             for r in pdf.itertuples(index=False):
                 name_ratio = _ratio(r.a_norm_name, r.b_norm_name)
-                # cheap-gate ordering: every accepted pair needs
-                # name_ratio > 0.75 — fuzzy_dup requires > 0.85
-                # outright, and the cross-registry branch requires
-                # detailed > 0.9 where the non-name terms sum to at
-                # most 0.6, forcing 0.4*name_ratio > 0.3. The name
-                # ratio is a ~15-char compare; the description ratios
-                # below are 100+-char quadratic difflib calls — gating
-                # here removes them for the bulk of LSH candidates.
-                if name_ratio <= min(cfg.name_ratio_gate, min_name_high):
+                if not _gate(name_ratio, r.a_registry, r.b_registry, cfg):
                     continue
-                if name_ratio <= cfg.name_ratio_gate \
-                        and r.a_registry == r.b_registry:
-                    continue          # neither branch can accept
-                # --- composite (J5), deduplication.py:223-262
-                comp = 0.0
-                if r.a_author and r.b_author:
-                    comp += _ratio(r.a_norm_author, r.b_norm_author) * 0.3
-                if r.a_description and r.b_description:
-                    comp += _ratio(r.a_description.lower()[:100],
-                                   r.b_description.lower()[:100]) * 0.2
-                # array columns arrive as numpy arrays (ambiguous truth value)
-                ca = set(r.a_categories) if r.a_categories is not None else set()
-                cb = set(r.b_categories) if r.b_categories is not None else set()
-                if ca and cb:
-                    comp += (len(ca & cb) / max(len(ca), len(cb))) * 0.2
-                if (r.a_implementation_language and r.b_implementation_language
-                        and r.a_implementation_language == r.b_implementation_language):
-                    comp += 0.1
-                if r.a_repository and r.b_repository:
-                    pa = str(r.a_repository).split("/")
-                    pb = str(r.b_repository).split("/")
-                    if len(pa) >= 4 and len(pb) >= 4 and pa[3] == pb[3]:
-                        comp += 0.2
-                similar = comp > cfg.composite_threshold
-                fuzzy_dup = name_ratio > cfg.name_ratio_gate and similar
-                # --- detailed (J6), deduplication.py:384-426
-                det = name_ratio * 0.4
-                if r.a_author and r.b_author:
-                    det += _ratio(r.a_norm_author, r.b_norm_author) * 0.2
-                if r.a_repository and r.b_repository:
-                    na = str(r.a_repository).split("/")
-                    nb = str(r.b_repository).split("/")
-                    if len(na) >= 3 and len(nb) >= 3 and na[2] == nb[2]:
-                        det += 0.2   # same netloc
-                if r.a_description and r.b_description:
-                    det += _ratio(r.a_description.lower(),
-                                  r.b_description.lower()) * 0.1
-                if ca and cb and (ca | cb):
-                    det += (len(ca & cb) / len(ca | cb)) * 0.1
-                high = (similar and det > cfg.merge_threshold
-                        and r.a_registry != r.b_registry)
+                fuzzy_dup, high = _score_one(r, name_ratio, cfg)
                 if fuzzy_dup or high:
                     out["src"].append(r.a_mention_id)
                     out["dst"].append(r.b_mention_id)
@@ -347,16 +411,92 @@ def score_pairs(cands: DataFrame, cfg: LinkConfig,
                     out["high_merge"].append(high)
             yield pd.DataFrame(out)
 
-    return flat.mapInPandas(
+    return _cpu_partitioned(flat).mapInPandas(
         run, schema="src string, dst string, fuzzy_dup boolean, high_merge boolean")
+
+
+def fuzzy_edges(mentions: DataFrame, cfg: LinkConfig,
+                idf: dict[int, float] | None = None) -> DataFrame:
+    """Pipeline fuzzy path: LSH narrow pairs -> cheap name gate ->
+    full scoring, all in one lazy plan.
+
+    Scale design: ~99% of LSH candidates die on the name-ratio gate
+    (measured 0.75% pass rate at 21k mentions), so the gate stage
+    ships ONLY (ids, norm_name, registry) to Python — preceded by the
+    JVM ratio-bound prefilter — and the 22-column attribute structs
+    are joined to the tiny survivor set afterwards. Emits the same
+    (src, dst, fuzzy_dup, high_merge) decisions as `score_pairs` on
+    `lsh_candidates` (shared gate/scorer helpers; parity-tested)."""
+    _, pairs = _lsh_pair_ids(mentions, cfg)
+    gate_dim = mentions.select(F.xxhash64("mention_id").alias("idx"),
+                               "mention_id", "norm_name", "registry")
+
+    def side(tag: str, key: str) -> DataFrame:
+        return gate_dim.select(
+            F.col("idx").alias(key),
+            F.col("mention_id").alias(f"{tag}_mention_id"),
+            F.col("norm_name").alias(f"{tag}_norm_name"),
+            F.col("registry").alias(f"{tag}_registry"))
+
+    gated = (
+        pairs.join(side("a", "ia"), "ia").join(side("b", "ib"), "ib")
+        .filter(F.col("a_norm_name") != F.col("b_norm_name"))
+    )
+    gated = _ratio_bound_filter(gated, "a_norm_name", "b_norm_name",
+                                _min_gate(cfg))
+
+    def gate_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"a_mention_id": [], "b_mention_id": [], "name_ratio": []}
+            for r in pdf.itertuples(index=False):
+                name_ratio = _ratio(r.a_norm_name, r.b_norm_name)
+                if not _gate(name_ratio, r.a_registry, r.b_registry, cfg):
+                    continue
+                # orient by mention_id (scoring is symmetric in a/b)
+                lo, hi = sorted((r.a_mention_id, r.b_mention_id))
+                out["a_mention_id"].append(lo)
+                out["b_mention_id"].append(hi)
+                out["name_ratio"].append(name_ratio)
+            yield pd.DataFrame(out)
+
+    survivors = _cpu_partitioned(gated).mapInPandas(
+        gate_stage,
+        schema="a_mention_id string, b_mention_id string, name_ratio double")
+
+    full_a = mentions.select(
+        *[F.col(c).alias(f"a_{c}") for c in PAIR_COLS])
+    full_b = mentions.select(
+        *[F.col(c).alias(f"b_{c}") for c in PAIR_COLS])
+    full_in = survivors.join(full_a, "a_mention_id").join(
+        full_b, "b_mention_id")
+    prune = cfg.tfidf_prune
+    tfidf_cos = _make_tfidf_cos(idf)
+
+    def full_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if prune is not None and len(pdf):
+                cos = tfidf_cos(pdf["a_description"], pdf["b_description"])
+                pdf = pdf[cos >= prune]
+            out = {"src": [], "dst": [], "fuzzy_dup": [], "high_merge": []}
+            for r in pdf.itertuples(index=False):
+                fuzzy_dup, high = _score_one(r, r.name_ratio, cfg)
+                if fuzzy_dup or high:
+                    out["src"].append(r.a_mention_id)
+                    out["dst"].append(r.b_mention_id)
+                    out["fuzzy_dup"].append(fuzzy_dup)
+                    out["high_merge"].append(high)
+            yield pd.DataFrame(out)
+
+    return _cpu_partitioned(full_in).mapInPandas(
+        full_stage,
+        schema="src string, dst string, fuzzy_dup boolean, high_merge boolean")
 
 
 def candidate_edges(mentions: DataFrame, cfg: LinkConfig | None = None) -> DataFrame:
     """Full edge set for canonicalization: exact-key stars + fuzzy pairs."""
     cfg = cfg or LinkConfig()
     exact = exact_edges(mentions)
-    cands = lsh_candidates(mentions, cfg)
     idf = (description_idf(mentions)[0]
            if cfg.tfidf_prune is not None else None)
-    fuzzy = score_pairs(cands, cfg, idf).select("src", "dst")
+    fuzzy = fuzzy_edges(mentions, cfg, idf).select("src", "dst")
     return exact.unionByName(fuzzy).dropDuplicates(["src", "dst"])

@@ -44,7 +44,16 @@ log = logging.getLogger(__name__)
 @dataclass
 class PipelineConfig:
     link: LinkConfig = field(default_factory=LinkConfig)
-    max_entities_per_key: int | None = None  # relation skew cap; None=exact
+    # Relation skew cap: each hot join key (author / category / op)
+    # contributes only its top-M entities by (popularity DESC NULLS
+    # LAST, id ASC) to pair generation — the documented deterministic
+    # truncation that bounds the O(n²) relation joins at web scale
+    # (10^12 docs => ~10^10 entities sharing ~11 categories; all-pairs
+    # is infeasible for ANY engine, so top-M by popularity is the
+    # product semantics, as in relations.py). None = exact all-pairs
+    # (reference parity; fixture tests and corpora < cap are identical
+    # either way because the cap only binds past M entities per key).
+    max_entities_per_key: int | None = 1000
     cc_max_iter: int = 25
 
 
@@ -77,9 +86,17 @@ def run_pipeline(
     # 15 concurrent 201-task cache-read stages inside ONE downstream
     # job). Re-key to the session's shuffle parallelism: one cheap
     # shuffle of the small mention set, balanced cache reads after.
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    if enriched.rdd.getNumPartitions() > 2 * n_shuffle:
-        enriched = enriched.repartition(n_shuffle)
+    # Cache partition count tracks the session's CORE count, not the
+    # (4x larger) shuffle-partition conf: every downstream job re-scans
+    # this cache as one task wave, and tiny over-partitioned caches pay
+    # that wave's scheduling overhead dozens of times per pipeline.
+    # One wave of defaultParallelism tasks is the floor for any core
+    # count. (At real scale the mention set is large enough that AQE /
+    # maxPartitionBytes governs instead; this branch only fires when
+    # the cache would otherwise be over-split.)
+    n_part = spark.sparkContext.defaultParallelism
+    if enriched.rdd.getNumPartitions() > 2 * n_part:
+        enriched = enriched.repartition(n_part)
     enriched = enriched.persist(StorageLevel.MEMORY_ONLY)
     # eager: build the extraction cache ONCE before the linking DAG
     # fans out — exact-edge branches, the LSH fit and the scorer all

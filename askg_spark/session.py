@@ -46,31 +46,46 @@ def get_spark(
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
-    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default all
-    cores); on a real cluster pass None and set master via spark-submit.
+    Master resolution order: explicit ``master`` arg > ``ASKG_MASTER``
+    env > whatever spark-submit / spark-defaults already set (builder
+    left untouched so ``--master`` is honored) > ``local[$SPARK_GRAFT_
+    CPUS]`` for plain ``python`` entrypoints. NB: calling
+    ``builder.master`` unconditionally would silently override
+    spark-submit's ``--master`` — exactly the bug that made every
+    spark-submit "local[8] vs local[32]" scaling pair run at
+    local[*] twice.
     """
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    master = master or os.environ.get("ASKG_MASTER", f"local[{cpus}]")
+    master = master or os.environ.get("ASKG_MASTER")
+    # spark-submit pre-launches the JVM gateway (and has already fixed
+    # spark.master from --master / spark-defaults); a plain `python`
+    # entrypoint has no gateway yet. (SparkConf() can't be probed here:
+    # before a SparkContext exists it is a py-local dict that does NOT
+    # see the submitted JVM properties.)
+    submitted = "PYSPARK_GATEWAY_PORT" in os.environ
+    if master is None and not submitted:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)
     confs = dict(DEFAULT_CONFS)
-    if shuffle_partitions is None:
-        # 4x the session's actual parallelism: the salted quadratic
-        # joins hash (key, salt) combos into shuffle partitions —
-        # over-provisioning smooths collision imbalance and AQE
-        # coalesces the small ones back for free; under-provisioning
-        # serializes the hot pair-generation tasks. Derive cores from
-        # the local[N] master (not os.cpu_count) so a local[8] session
-        # is not drowned in 16 task waves per stage.
-        m = master or ""
-        digits = "".join(c for c in m if c.isdigit())
-        ncores = int(digits) if digits else (os.cpu_count() or 8)
-        shuffle_partitions = int(
-            os.environ.get("ASKG_SHUFFLE_PARTITIONS", 4 * ncores))
-    confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if shuffle_partitions is not None:
+        confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if extra_confs:
         confs.update(extra_confs)
     for k, v in confs.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    if shuffle_partitions is None and "spark.sql.shuffle.partitions" not in (
+            extra_confs or {}):
+        # 4x the session's ACTUAL parallelism (read back from the live
+        # context, so spark-submit masters are sized correctly too):
+        # the salted quadratic joins hash (key, salt) combos into
+        # shuffle partitions — over-provisioning smooths collision
+        # imbalance and AQE coalesces the small ones back for free;
+        # under-provisioning serializes the hot pair-generation tasks.
+        n = int(os.environ.get(
+            "ASKG_SHUFFLE_PARTITIONS",
+            4 * spark.sparkContext.defaultParallelism))
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    return spark

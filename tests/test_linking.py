@@ -89,6 +89,21 @@ def test_fuzzy_pipeline_matches_oracle_decisions(spark):
     assert len(want) > 0  # fixture must actually exercise the fuzzy path
 
 
+def test_fuzzy_edges_parity_with_struct_path(spark):
+    """The pipeline's two-stage narrow path (fuzzy_edges) must make
+    exactly the decisions of score_pairs over lsh_candidates — same
+    pairs, same fuzzy_dup/high_merge flags."""
+    from askg_spark.linking import fuzzy_edges
+    e = _enriched(spark)
+    cfg = LinkConfig()
+    via_structs = {(r["src"], r["dst"], r["fuzzy_dup"], r["high_merge"])
+                   for r in score_pairs(lsh_candidates(e, cfg), cfg).collect()}
+    via_fused = {(r["src"], r["dst"], r["fuzzy_dup"], r["high_merge"])
+                 for r in fuzzy_edges(e, cfg).collect()}
+    assert via_fused == via_structs
+    assert len(via_fused) > 0
+
+
 def test_candidate_edges_union(spark):
     e = _enriched(spark)
     edges = candidate_edges(e, LinkConfig())

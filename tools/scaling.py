@@ -1,0 +1,129 @@
+"""North-rule scaling evidence harness: same job, two parallelism levels.
+
+The rule's two-cluster-size criterion (throughput scaling efficiency
+>= 0.8 from N to 4N executors) cannot use a real cluster in this
+sandbox, so this runs the identical spark-submit bench at local[N] and
+local[4N] on the same synthetic corpus and reports throughput at both
+plus efficiency = (T_N / T_4N) / 4.
+
+Usage:
+    python tools/scaling.py --servers 40000 --n 8 --samples 3 \
+        [--max-per-key 1000] [--out /tmp/scaling.json]
+
+Runs are interleaved (N, 4N, N, 4N, ...) so slow drift in co-tenant
+load hits both levels equally; the report carries per-sample wall
+times and the 1-minute load average before each run so variance is
+auditable, and uses the MEDIAN per level.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import tempfile
+import time
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _zip_pkg() -> str:
+    path = os.path.join(tempfile.gettempdir(), "askg_spark_scaling.zip")
+    with zipfile.ZipFile(path, "w") as zf:
+        pkg = os.path.join(REPO, "askg_spark")
+        for root, _, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, REPO))
+    return path
+
+
+def _load_avg() -> float:
+    with open("/proc/loadavg") as fh:
+        return float(fh.read().split()[0])
+
+
+def _run(cores: int, servers: int, zip_path: str,
+         max_per_key: int | None, timeout: int) -> dict:
+    cmd = [
+        "spark-submit", "--master", f"local[{cores}]",
+        "--driver-memory", os.environ.get("ASKG_DRIVER_MEM", "48g"),
+        "--py-files", zip_path,
+        os.path.join(REPO, "askg_spark", "cli.py"),
+        "bench", "--servers", str(servers),
+    ]
+    if max_per_key is not None:
+        cmd += ["--max-per-key", str(max_per_key)]
+    load = _load_avg()
+    t0 = time.monotonic()
+    proc = subprocess.run(cmd, capture_output=True, text=True,
+                          timeout=timeout, cwd=REPO)
+    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    if not line:
+        raise RuntimeError(
+            f"bench produced no JSON (rc={proc.returncode}):\n"
+            + proc.stderr[-2000:])
+    rec = json.loads(line[-1])
+    rec.update(cores=cores, load_before=load,
+               harness_wall=round(time.monotonic() - t0, 1))
+    return rec
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--servers", type=int, default=40000)
+    ap.add_argument("--n", type=int, default=8, help="small level N")
+    ap.add_argument("--samples", type=int, default=3, help="per level")
+    ap.add_argument("--max-per-key", type=int, default=None,
+                    help="forwarded to cli.py bench (default: pipeline "
+                         "default cap)")
+    ap.add_argument("--timeout", type=int, default=2400)
+    ap.add_argument("--out", type=str, default=None)
+    args = ap.parse_args()
+
+    zip_path = _zip_pkg()
+    levels = [args.n, 4 * args.n]
+    runs: dict[int, list[dict]] = {lv: [] for lv in levels}
+    for s in range(args.samples):
+        for lv in levels:                      # interleaved
+            rec = _run(lv, args.servers, zip_path, args.max_per_key,
+                       args.timeout)
+            runs[lv].append(rec)
+            print(f"sample {s} local[{lv}]: {rec['sec']}s "
+                  f"({rec['pages_per_sec']} pages/s, load "
+                  f"{rec['load_before']})", file=sys.stderr, flush=True)
+
+    med = {lv: statistics.median(r["sec"] for r in runs[lv])
+           for lv in levels}
+    thr = {lv: statistics.median(r["pages_per_sec"] for r in runs[lv])
+           for lv in levels}
+    eff = (med[levels[0]] / med[levels[1]]) / 4.0
+    report = {
+        "metric": "scaling_efficiency_N_to_4N",
+        "value": round(eff, 3),
+        "unit": "fraction (1.0 = linear)",
+        "servers": args.servers,
+        "levels": {str(lv): {
+            "median_sec": med[lv],
+            "median_pages_per_sec": thr[lv],
+            "samples_sec": [r["sec"] for r in runs[lv]],
+            "load_before": [r["load_before"] for r in runs[lv]],
+        } for lv in levels},
+        "stage_sec_last": {str(lv): runs[lv][-1].get("stage_sec")
+                           for lv in levels},
+    }
+    out = json.dumps(report)
+    print(out)
+    if args.out:
+        with open(args.out, "w") as fh:
+            fh.write(out + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
