@@ -69,7 +69,9 @@ def main(argv: list[str] | None = None) -> int:
     else:
         res = run_pipeline(spark, pages, cfg)
         n_pages = pages.count()
-        n_triples = res.triples.count()
+        # the relations/triples stage timers cover lazy plan
+        # construction only; this count is the real materialization
+        n_triples = res.timer.time("materialize", res.triples.count)
         wall = time.monotonic() - t0
         print(json.dumps({
             "cmd": "bench", "pages": n_pages, "triples": n_triples,

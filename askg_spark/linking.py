@@ -35,6 +35,7 @@ from difflib import SequenceMatcher
 from typing import Iterator
 
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -42,7 +43,19 @@ from pyspark.sql import DataFrame, functions as F
 class LinkConfig:
     lsh_num_hashes: int = 16             # minhash functions
     lsh_band_rows: int = 2               # hashes per band (r); b = n/r
-    lsh_bucket_cap: int = 2000           # drop hotter buckets (skew guard)
+    # Drop band buckets larger than this outright (skew guard AND the
+    # linear-growth bound: with any fixed cap, candidate pairs are
+    # O(cap x bands x n) = O(n); uncapped they grow quadratically with
+    # corpus size as same-vocabulary name cliques fatten every bucket —
+    # measured 6.7M pairs at 42k mentions, 600M at 423k). Hot buckets
+    # are stop-shingle artifacts: true variant pairs co-occur in SMALL
+    # rare-shingle buckets too (the minhash of a near-identical shingle
+    # set lands on the pair's server-unique shingles in at least one of
+    # the 8 bands with high probability), so dropping hot buckets costs
+    # ~no recall: cap 2000 -> 256 -> 64 left the accepted edge set
+    # bit-identical at 20k servers (28,717 edges) with candidates cut
+    # 6.7M -> 2.1M -> 1.0M, and fixture recall stays 100% (tests).
+    lsh_bucket_cap: int = 64
     shingle_size: int = 3
     tfidf_features: int = 1 << 18
     tfidf_prune: float | None = None     # e.g. 0.05 at 100TB scale; None = off
@@ -162,6 +175,13 @@ def _lsh_pair_ids(mentions: DataFrame, cfg: LinkConfig):
             for i in range(n_bands)
         ])).alias("band"),
     )
+    # The band frame is referenced three times below (hot-bucket agg +
+    # both sides of the self-join); without a persist the minhash
+    # transform subtree re-executes per reference (ReuseExchange does
+    # not reliably dedupe plans under AQE). The frame is narrow — two
+    # longs and a short string per (mention, band) — so MEMORY_AND_DISK
+    # is bounded by 8x the mention count at any scale.
+    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
     if cfg.lsh_bucket_cap is not None:
         hot = (bands.groupBy("band")
                .agg(F.count(F.lit(1)).alias("sz"))
@@ -207,6 +227,22 @@ def _ratio(x: str | None, y: str | None) -> float:
     if x is None or y is None:
         return 0.0
     return SequenceMatcher(None, x, y).ratio()
+
+
+def _ratio_above(x: str | None, y: str | None, floor: float) -> float:
+    """Exact ratio if it can exceed ``floor``, else -1 (rejected).
+
+    difflib's own documented cascade: quick_ratio (character-multiset
+    overlap, O(n)) is a proven upper bound on ratio (O(n^2)-ish), so a
+    pair whose quick_ratio <= floor is rejected without running the
+    full matcher — decision-identical, ~10x cheaper for the LSH
+    candidate bulk whose names share shingles but not characters."""
+    if x is None or y is None:
+        return -1.0
+    sm = SequenceMatcher(None, x, y)
+    if sm.quick_ratio() <= floor:
+        return -1.0
+    return sm.ratio()
 
 
 TFIDF_DIM = 1 << 14
@@ -399,9 +435,14 @@ def score_pairs(cands: DataFrame, cfg: LinkConfig,
                 cos = tfidf_cos(pdf["a_description"], pdf["b_description"])
                 pdf = pdf[cos >= prune]
             out = {"src": [], "dst": [], "fuzzy_dup": [], "high_merge": []}
+            min_gate = _min_gate(cfg)
             for r in pdf.itertuples(index=False):
-                name_ratio = _ratio(r.a_norm_name, r.b_norm_name)
-                if not _gate(name_ratio, r.a_registry, r.b_registry, cfg):
+                floor = (cfg.name_ratio_gate
+                         if r.a_registry == r.b_registry else min_gate)
+                name_ratio = _ratio_above(
+                    r.a_norm_name, r.b_norm_name, floor)
+                if name_ratio < 0 or not _gate(
+                        name_ratio, r.a_registry, r.b_registry, cfg):
                     continue
                 fuzzy_dup, high = _score_one(r, name_ratio, cfg)
                 if fuzzy_dup or high:
@@ -448,9 +489,14 @@ def fuzzy_edges(mentions: DataFrame, cfg: LinkConfig,
     def gate_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"a_mention_id": [], "b_mention_id": [], "name_ratio": []}
+            min_gate = _min_gate(cfg)
             for r in pdf.itertuples(index=False):
-                name_ratio = _ratio(r.a_norm_name, r.b_norm_name)
-                if not _gate(name_ratio, r.a_registry, r.b_registry, cfg):
+                floor = (cfg.name_ratio_gate
+                         if r.a_registry == r.b_registry else min_gate)
+                name_ratio = _ratio_above(
+                    r.a_norm_name, r.b_norm_name, floor)
+                if name_ratio < 0 or not _gate(
+                        name_ratio, r.a_registry, r.b_registry, cfg):
                     continue
                 # orient by mention_id (scoring is symmetric in a/b)
                 lo, hi = sorted((r.a_mention_id, r.b_mention_id))

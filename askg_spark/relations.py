@@ -160,9 +160,22 @@ def infer_relationship_edges(
         ent.select("idx", "id", "popularity_score",
                    F.explode("categories").alias("category")),
         "category", max_entities_per_key)
+    # Explicit-width repartition of the narrow pair ids before the
+    # payload joins: AQE coalesces the dedup exchange by BYTES, and a
+    # few hundred MB of 16-byte pairs collapse to ~1 task wave — but
+    # the downstream work per pair (dims joins, array_intersect,
+    # payload concat, explode) is ~30us/row of CPU, so one wave means
+    # the whole relation materialization is bound by its slowest task
+    # (measured: 17 tasks, 429 CPU-s, 49s wall at local[16]/100k
+    # pages). A user-specified partition count is exempt from AQE
+    # coalescing; 4 waves bound the straggler tail at ~25% of the
+    # stage. The extra shuffle moves only the narrow pairs.
+    pair_width = (entities.sparkSession.sparkContext.defaultParallelism
+                  * 4)
     cat_pairs = (
         _salted_pairs(cat_keyed, "category", n_salt)
         .select("ia", "ib").dropDuplicates()
+        .repartition(pair_width, "ia", "ib")
         .join(dims_a, "ia").join(dims_b, "ib")
         .withColumn("common_cats",
                     F.array_sort(F.array_intersect("cats_a", "cats_b")))
@@ -222,6 +235,7 @@ def infer_relationship_edges(
     op_pairs = (
         _salted_pairs(op_keyed, "op", n_salt)
         .select("ia", "ib").dropDuplicates()
+        .repartition(pair_width, "ia", "ib")
         .join(dims_a.select("ia", "id_a", "ops_a"), "ia")
         .join(dims_b.select("ib", "id_b", "ops_b"), "ib")
         .withColumn("common_ops",
