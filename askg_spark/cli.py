@@ -36,7 +36,7 @@ def main(argv: list[str] | None = None) -> int:
                             "PipelineConfig default (1000)")
     args = ap.parse_args(argv)
 
-    from askg_spark.fixtures import generate_pages
+    from askg_spark.fixtures import count_pages, generate_pages
     from askg_spark.pipeline import (PipelineConfig, run_pipeline,
                                      run_pipeline_materialized)
     from askg_spark.session import get_spark
@@ -68,7 +68,11 @@ def main(argv: list[str] | None = None) -> int:
         }))
     else:
         res = run_pipeline(spark, pages, cfg)
-        n_pages = pages.count()
+        # synthetic corpora: count via profile arithmetic — counting
+        # the rendered frame re-runs the HTML renderer (792 core-s at
+        # 200k servers in the event log) for a known number
+        n_pages = (pages.count() if args.pages
+                   else count_pages(spark, args.servers, args.seed))
         # the relations/triples stage timers cover lazy plan
         # construction only; this count is the real materialization
         n_triples = res.timer.time("materialize", res.triples.count)

@@ -15,14 +15,15 @@ Reference semantics reproduced (decision thresholds are exact):
 Scale design:
   * Exact keys never pairwise-join: each key-group contributes a star to
     its group-min mention (linear edges, no O(group²) blowup).
-  * Fuzzy candidates come from MinHashLSH over char-3-gram vectors of
-    norm_name (blocking). Both fuzzy decisions mathematically require
+  * Fuzzy candidates come from banded MinHash LSH over char-3-gram
+    sets of norm_name (pure xxhash64 Column expressions — no MLlib,
+    no fit pass). Both fuzzy decisions mathematically require
     high name similarity (phase-1 gates on ratio > 0.85; phase-2's
     detailed > 0.9 forces name_sim >= 0.75 because the other components
     sum to at most 0.6), so name-based blocking bounds recall loss; the
     LSH Jaccard-distance threshold is calibrated in tests to recover
     100% of fixture fuzzy pairs.
-  * TF-IDF cosine over descriptions (HashingTF+IDF+Normalizer, JVM-side)
+  * TF-IDF cosine over descriptions (hashed-bucket idf, numpy batch)
     is computed per candidate pair and used as a cheap prune at scale
     (cfg.tfidf_prune); the final decision is the reference-exact difflib
     scorer in an Arrow-batched pandas UDF over candidate pairs only.
@@ -57,7 +58,6 @@ class LinkConfig:
     # 6.7M -> 2.1M -> 1.0M, and fixture recall stays 100% (tests).
     lsh_bucket_cap: int = 64
     shingle_size: int = 3
-    tfidf_features: int = 1 << 18
     tfidf_prune: float | None = None     # e.g. 0.05 at 100TB scale; None = off
     name_ratio_gate: float = 0.85        # deduplication.py:215
     composite_threshold: float = 0.7     # deduplication.py:262
@@ -104,7 +104,7 @@ def _shingle_col(col, n: int):
 def _lsh_pair_ids(mentions: DataFrame, cfg: LinkConfig):
     """Banded MinHash-LSH blocking on char-3-gram sets of norm_name.
 
-    Returns ``(feats, pairs)``: the featurized mention frame and the
+    Returns ``(base, pairs)``: the shingled mention frame and the
     NARROW candidate id pairs (ia, ib) as xxhash64 longs with ia < ib.
     Same-norm_name pairs are filtered by the callers (those are covered
     by J2/J3 or are legitimately distinct — reference skips the exact-
@@ -129,30 +129,32 @@ def _lsh_pair_ids(mentions: DataFrame, cfg: LinkConfig):
     * No exact-distance post-filter: the scorer's cheap name-ratio gate
       rejects non-matches at ~1us/pair, cheaper than computing exact
       Jaccard on feature vectors for the same pairs.
+    * Minhashes are pure Column expressions — h_i(S) = min over
+      shingles s of xxhash64(i, s) — entirely inside whole-stage
+      codegen, no fit pass, no per-row MLlib vector allocation. The
+      round-2a version used HashingTF + MinHashLSH; the event log
+      showed that subtree burning 1,658 core-s (83% JVM CPU + 255s GC)
+      at 423k mentions — the 16 `vector_to_array(minhashes[i])`
+      projections re-evaluated the LSH ScalaUDF per reference under
+      the band explode (no CSE), each call allocating 16 DenseVectors
+      behind a fresh 2^18-dim sparse TF vector. The xxhash64 minhash
+      is the same LSH family (min over a universal hash of the
+      shingle set) at ~1% of the cost, and removes the lsh.fit
+      barrier from the link phase entirely.
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-    from pyspark.ml.functions import vector_to_array
-
     despaced = F.regexp_replace(F.col("norm_name"), " ", "")
     base = (
         mentions.filter(F.col("norm_name").isNotNull() & (F.length("norm_name") >= 2))
         .select(*PAIR_COLS)
         .withColumn("shingles", _shingle_col(despaced, cfg.shingle_size))
     )
-    # HashingTF instead of CountVectorizer: no vocabulary fit pass (one
-    # less full scan — matters at 10^12 rows); 2^18 features keeps the
-    # shingle collision probability negligible for <=100-char names.
-    tf = HashingTF(inputCol="shingles", outputCol="features",
-                   binary=True, numFeatures=cfg.tfidf_features)
-    feats = tf.transform(base)
-    lsh = MinHashLSH(inputCol="features", outputCol="minhashes",
-                     numHashTables=cfg.lsh_num_hashes, seed=42)
-    lsh_model = lsh.fit(feats)
-    hashed = lsh_model.transform(feats)
     n_bands = cfg.lsh_num_hashes // cfg.lsh_band_rows
-    # minhash values are < 2^31 (mod-prime), exact in double -> long
+    # NB: F.transform invokes the lambda eagerly while the Column is
+    # being built, so `i` is captured by value here (same pattern as
+    # dedup.minhash_pairs).
     mh = F.array(*[
-        vector_to_array(F.col("minhashes")[i])[0].cast("long")
+        F.array_min(F.transform("shingles",
+                                lambda s: F.xxhash64(F.lit(i), s)))
         for i in range(cfg.lsh_num_hashes)
     ])
     # NARROW pair generation (same scale pattern as relations.py): the
@@ -165,7 +167,7 @@ def _lsh_pair_ids(mentions: DataFrame, cfg: LinkConfig):
     # dedup via two joins against the (tiny) mention dim, and the pair
     # is re-oriented to mention_id order there. Collision bound as in
     # relations.py (~n^2/2^65).
-    bands = hashed.withColumn("_mh", mh).select(
+    bands = base.withColumn("_mh", mh).select(
         F.xxhash64("mention_id").alias("idx"),
         F.explode(F.array(*[
             F.concat_ws(":", F.lit(i), *[
@@ -195,7 +197,7 @@ def _lsh_pair_ids(mentions: DataFrame, cfg: LinkConfig):
         .select("ia", "ib")
         .dropDuplicates()
     )
-    return feats, pairs
+    return base, pairs
 
 
 def lsh_candidates(mentions: DataFrame, cfg: LinkConfig) -> DataFrame:
@@ -205,8 +207,8 @@ def lsh_candidates(mentions: DataFrame, cfg: LinkConfig) -> DataFrame:
     attaching two full structs to every one of ~10^2 x overgenerated
     candidates is the single largest Arrow/shuffle cost in the link
     phase, and ~99% of candidates die on the name gate anyway."""
-    feats, pairs = _lsh_pair_ids(mentions, cfg)
-    dims = feats.select(F.xxhash64("mention_id").alias("idx"),
+    base, pairs = _lsh_pair_ids(mentions, cfg)
+    dims = base.select(F.xxhash64("mention_id").alias("idx"),
                         F.struct(*PAIR_COLS).alias("m"))
     cands = (
         pairs

@@ -88,3 +88,12 @@ def test_triples_unique_on_spo(result):
     n = res.triples.count()
     d = res.triples.select("subj", "pred", "obj").distinct().count()
     assert n == d
+
+
+def test_count_pages_matches_rendered_count(spark):
+    """count_pages (profile arithmetic, no HTML render) must equal the
+    rendered frame's count — it feeds the bench throughput
+    denominator."""
+    from askg_spark.fixtures import count_pages
+    n = generate_pages(spark, n_servers=173, seed=SEED).count()
+    assert count_pages(spark, 173, SEED) == n
