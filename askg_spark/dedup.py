@@ -141,10 +141,14 @@ def minhash_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
         F.array_min(F.transform("hg", lambda h: F.xxhash64(F.lit(j), h)))
         for j in range(num_hashes)
     ])
+    # long band keys (xxhash64 over the band's minhashes) — same
+    # rationale as linking._lsh_pair_ids: string-keyed self-joins
+    # dominate JVM CPU; a band hash collision only adds a candidate
+    # pair that the exact-Jaccard rescore rejects.
     bands = base.withColumn("_mh", mh).select(
         "doc_id",
         F.explode(F.array(*[
-            F.concat_ws(":", F.lit(i), *[
+            F.xxhash64(F.lit(i), *[
                 F.element_at("_mh", i * band_rows + r + 1)
                 for r in range(band_rows)
             ])

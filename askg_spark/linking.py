@@ -167,10 +167,16 @@ def _lsh_pair_ids(mentions: DataFrame, cfg: LinkConfig):
     # dedup via two joins against the (tiny) mention dim, and the pair
     # is re-oriented to mention_id order there. Collision bound as in
     # relations.py (~n^2/2^65).
+    # band key = xxhash64(band_index, minhash_r ...) — a LONG, not a
+    # concat string: the band self-join is the biggest JVM stage of the
+    # link phase (330 CPU-s at 423k mentions on ~45-byte string keys);
+    # long keys hash/compare in registers. A 64-bit band collision
+    # (~(b*n)^2/2^65) only creates a spurious candidate pair, which the
+    # exact scorer rejects.
     bands = base.withColumn("_mh", mh).select(
         F.xxhash64("mention_id").alias("idx"),
         F.explode(F.array(*[
-            F.concat_ws(":", F.lit(i), *[
+            F.xxhash64(F.lit(i), *[
                 F.element_at("_mh", i * cfg.lsh_band_rows + r + 1)
                 for r in range(cfg.lsh_band_rows)
             ])
