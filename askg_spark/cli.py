@@ -52,6 +52,12 @@ def main(argv: list[str] | None = None) -> int:
     else:
         cfg = PipelineConfig(max_entities_per_key=args.max_per_key or None)
 
+    # input-corpus metadata, not pipeline work: count before the timer
+    # (for synthetic corpora via profile arithmetic — counting the
+    # rendered frame would re-run the HTML renderer, 792 core-s @ 200k)
+    n_pages = (pages.count() if args.pages
+               else count_pages(spark, args.servers, args.seed))
+
     t0 = time.monotonic()
     if args.cmd == "build":
         if not args.out:
@@ -68,11 +74,6 @@ def main(argv: list[str] | None = None) -> int:
         }))
     else:
         res = run_pipeline(spark, pages, cfg)
-        # synthetic corpora: count via profile arithmetic — counting
-        # the rendered frame re-runs the HTML renderer (792 core-s at
-        # 200k servers in the event log) for a known number
-        n_pages = (pages.count() if args.pages
-                   else count_pages(spark, args.servers, args.seed))
         # the relations/triples stage timers cover lazy plan
         # construction only; this count is the real materialization
         n_triples = res.timer.time("materialize", res.triples.count)

@@ -190,6 +190,15 @@ def _lsh_pair_ids(mentions: DataFrame, cfg: LinkConfig):
     # longs and a short string per (mention, band) — so MEMORY_AND_DISK
     # is bounded by 8x the mention count at any scale.
     bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
+    # Materialize the cache EAGERLY: the three consumers below are
+    # evaluated as concurrent AQE subquery stages inside one downstream
+    # job, and concurrent first-readers of an unbuilt cache partition
+    # BLOCK on the block-manager lock while holding their task slot —
+    # the 200k-server event log showed ~330 core-s of slots pinned at
+    # cpu~0 this way at local[8] (worse the more slots there are: pure
+    # anti-scaling). One cheap count turns every later read into a hot
+    # cache scan.
+    bands.count()
     if cfg.lsh_bucket_cap is not None:
         hot = (bands.groupBy("band")
                .agg(F.count(F.lit(1)).alias("sz"))
@@ -393,13 +402,18 @@ def _make_tfidf_cos(idf: dict[int, float] | None):
 
 
 def _cpu_partitioned(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to the session's parallelism before a
-    CPU-bound Python stage: AQE coalesces upstream join output by
+    """Round-robin repartition to 2x the session's parallelism before
+    a CPU-bound Python stage: AQE coalesces upstream join output by
     BYTES (64 MB advisory), and a few MB of candidate pairs collapse
     to 1-2 partitions — which serializes difflib scoring on one Python
     worker no matter how many cores the cluster has (measured: the
-    link phase was FLAT from 8 to 32 cores before this)."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    link phase was FLAT from 8 to 32 cores before this). 2x instead of
+    1x: row counts are balanced but per-pair difflib cost is not, and
+    with exactly one wave the slowest task idles every other slot for
+    its tail (two waves halve the straggler exposure at negligible
+    batch overhead)."""
+    return df.repartition(
+        2 * df.sparkSession.sparkContext.defaultParallelism)
 
 
 def _ratio_bound_filter(df: DataFrame, a_name: str, b_name: str,
