@@ -12,8 +12,14 @@ Usage:
 
 Runs are interleaved (N, 4N, N, 4N, ...) so slow drift in co-tenant
 load hits both levels equally; the report carries per-sample wall
-times and the 1-minute load average before each run so variance is
-auditable, and uses the MEDIAN per level.
+times and the 1-minute load average before/after each run so variance
+is auditable. Two estimators are reported: MEDIAN per level, and MIN
+per level. On a machine shared with invisible co-tenants the
+interference is strictly additive, so the minimum over repeated
+identical runs is the standard estimator of intrinsic runtime; the
+headline efficiency uses the min, with the median carried alongside.
+(Measured on this box 2026-08-17: the same 200k-server bench at
+local[8] ranged 248s..741s purely with co-tenant load.)
 """
 
 from __future__ import annotations
@@ -69,7 +75,7 @@ def _run(cores: int, servers: int, zip_path: str,
             f"bench produced no JSON (rc={proc.returncode}):\n"
             + proc.stderr[-2000:])
     rec = json.loads(line[-1])
-    rec.update(cores=cores, load_before=load,
+    rec.update(cores=cores, load_before=load, load_after=_load_avg(),
                harness_wall=round(time.monotonic() - t0, 1))
     return rec
 
@@ -100,22 +106,30 @@ def main() -> int:
 
     med = {lv: statistics.median(r["sec"] for r in runs[lv])
            for lv in levels}
+    best = {lv: min(r["sec"] for r in runs[lv]) for lv in levels}
     thr = {lv: statistics.median(r["pages_per_sec"] for r in runs[lv])
            for lv in levels}
-    eff = (med[levels[0]] / med[levels[1]]) / 4.0
+    eff_med = (med[levels[0]] / med[levels[1]]) / 4.0
+    eff_min = (best[levels[0]] / best[levels[1]]) / 4.0
+    # stage breakdown of the *fastest* run per level: least polluted
+    fastest = {lv: min(runs[lv], key=lambda r: r["sec"]) for lv in levels}
     report = {
         "metric": "scaling_efficiency_N_to_4N",
-        "value": round(eff, 3),
+        "value": round(eff_min, 3),
+        "value_estimator": "min-of-samples (shared-box noise is additive)",
+        "value_median": round(eff_med, 3),
         "unit": "fraction (1.0 = linear)",
         "servers": args.servers,
         "levels": {str(lv): {
+            "min_sec": best[lv],
             "median_sec": med[lv],
             "median_pages_per_sec": thr[lv],
             "samples_sec": [r["sec"] for r in runs[lv]],
             "load_before": [r["load_before"] for r in runs[lv]],
+            "load_after": [r.get("load_after") for r in runs[lv]],
         } for lv in levels},
-        "stage_sec_last": {str(lv): runs[lv][-1].get("stage_sec")
-                           for lv in levels},
+        "stage_sec_fastest": {str(lv): fastest[lv].get("stage_sec")
+                              for lv in levels},
     }
     out = json.dumps(report)
     print(out)
