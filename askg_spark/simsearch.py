@@ -102,7 +102,7 @@ def lsh_signatures(emb: DataFrame, n_planes: int = 16, seed: int = 42,
 
 def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
              n_planes: int = 24, band_bits: int = 2,
-             seed: int = 42) -> DataFrame:
+             seed: int = 42, multiprobe: bool = True) -> DataFrame:
     """Approximate top-k: candidates = corpus vectors sharing >=1
     signature band with the query (banded random-hyperplane LSH), exact
     cosine rescore + top-k within candidates.
@@ -113,32 +113,45 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
 
     Default banding is recall-first (2-bit x 12 bands): the driver's
     embeddings corpus has top-k neighbors at cosine ~0.33-0.45
-    (measured, BENCH.md) — per-plane agreement ~0.61, so a 2-bit band
-    hits with p~0.37 and 12 bands miss a true neighbor with
-    (1-0.37)^12 ~ 0.4%. Candidate pruning at that margin is weak BY
-    THE DATA (sign-LSH prunes when neighbors are meaningfully closer
-    than background); corpora with real near-dup structure (neighbor
-    cosine >= 0.8) prune hard at the same settings. Raise band_bits to
-    3-4 when the corpus has margin and candidate volume matters more
-    than the last few recall points."""
+    (measured, BENCH.md) — per-plane agreement p~0.61, so a 2-bit band
+    hits with p^2~0.37 and 12 bands miss a true neighbor with
+    (1-0.37)^12 ~ 0.4%. With 40 benched pairs that still loses ~1-2
+    pairs some seeds (measured 0.95 at sf0.1), so `multiprobe` also
+    probes each band's single-bit flips ON THE QUERY SIDE ONLY: the
+    band hits when <=1 of its bits disagrees, p^2 + 2p(1-p) ~ 0.85 per
+    band, miss ~ (0.15)^12 ~ 2e-10. Cost: 1+band_bits rows per query
+    band (queries are small by construction); the CORPUS index is
+    unchanged — at scale the pre-bucketed corpus table is shared by
+    probed and unprobed reads alike. Raise band_bits to 3-4 when the
+    corpus has margin and candidate volume matters more than the last
+    few recall points."""
     n_bands = n_planes // band_bits
     mask = (1 << band_bits) - 1
 
-    def banded(sig_df, id_alias):
+    def banded(sig_df, id_alias, probe=False):
+        # per band i: value v = bits [i*band_bits, (i+1)*band_bits);
+        # with probe, also emit v ^ (1 << j) for each bit j — the
+        # Hamming<=1 neighborhood of the band value.
+        def band_val(i):
+            return (F.shiftright("signature", i * band_bits)
+                    .bitwiseAND(F.lit(mask)))
+        vals = []
+        for i in range(n_bands):
+            flips = [0] + ([1 << j for j in range(band_bits)]
+                           if probe else [])
+            for flip in flips:
+                vals.append(F.concat_ws(
+                    ":", F.lit(i),
+                    band_val(i).bitwiseXOR(F.lit(flip))))
         return sig_df.select(
             F.col(sig_df.columns[0]).alias(id_alias),
-            F.explode(F.array(*[
-                F.concat_ws(":", F.lit(i),
-                            F.shiftright("signature", i * band_bits)
-                            .bitwiseAND(F.lit(mask)))
-                for i in range(n_bands)
-            ])).alias("band"),
-        )
+            F.explode(F.array(*vals)).alias("band"),
+        ).dropDuplicates()
 
     corpus_sig = banded(lsh_signatures(emb, n_planes, seed), "neighbor_id")
     query_sig = banded(
         lsh_signatures(queries, n_planes, seed, id_col="query_id"),
-        "query_id")
+        "query_id", probe=multiprobe)
     cands = (
         corpus_sig.join(F.broadcast(query_sig), "band")
         .filter(F.col("neighbor_id") != F.col("query_id"))

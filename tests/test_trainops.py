@@ -125,7 +125,9 @@ def test_lsh_topk_recall(spark, emb):
     approx = {(r["query_id"], r["neighbor_id"])
               for r in simsearch.lsh_topk(emb, q, k=5).collect()}
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.95, f"LSH recall {recall}"
+    # multiprobe (Hamming<=1 per query band) makes a band miss
+    # ~(0.15)^12 per true pair — 40 benched pairs should never lose one
+    assert recall == 1.0, f"LSH recall {recall}"
 
 
 def test_lsh_signatures_deterministic(spark, emb):
