@@ -492,17 +492,30 @@ def fuzzy_edges(mentions: DataFrame, cfg: LinkConfig,
     `lsh_candidates` (shared gate/scorer helpers; parity-tested)."""
     _, pairs = _lsh_pair_ids(mentions, cfg)
     gate_dim = mentions.select(F.xxhash64("mention_id").alias("idx"),
-                               "mention_id", "norm_name", "registry")
+                               "norm_name", "registry")
 
     def side(tag: str, key: str) -> DataFrame:
         return gate_dim.select(
             F.col("idx").alias(key),
-            F.col("mention_id").alias(f"{tag}_mention_id"),
             F.col("norm_name").alias(f"{tag}_norm_name"),
             F.col("registry").alias(f"{tag}_registry"))
 
+    # CPU-repartition the NARROW pairs (two longs, ~32B/row) and let
+    # the gate-dim joins land in the SAME stage as the Python gate: the
+    # round-2b version repartitioned AFTER the joins, which wrote the
+    # joined rows (norm names, registries, 45-byte mention_id strings)
+    # through an extra exchange — 1.9 GB / 145 core-s of shuffle write
+    # at 423k mentions, the single biggest anti-scaling stage in the
+    # event log (concurrent writers amplify co-tenant steal). The gate
+    # dims broadcast at bench scale (AQE runtime decision under the
+    # 64 MB threshold); where they don't (10^9+ mentions), AQE falls
+    # back to shuffled joins after the round-robin exchange — the
+    # narrow shuffle is still the cheapest frame to rebalance. The
+    # gate itself emits only (ia, ib, name_ratio); mention ids attach
+    # with the full payload joins on the ~1% survivor set below.
     gated = (
-        pairs.join(side("a", "ia"), "ia").join(side("b", "ib"), "ib")
+        _cpu_partitioned(pairs)
+        .join(side("a", "ia"), "ia").join(side("b", "ib"), "ib")
         .filter(F.col("a_norm_name") != F.col("b_norm_name"))
     )
     gated = _ratio_bound_filter(gated, "a_norm_name", "b_norm_name",
@@ -510,7 +523,7 @@ def fuzzy_edges(mentions: DataFrame, cfg: LinkConfig,
 
     def gate_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"a_mention_id": [], "b_mention_id": [], "name_ratio": []}
+            out = {"ia": [], "ib": [], "name_ratio": []}
             min_gate = _min_gate(cfg)
             for r in pdf.itertuples(index=False):
                 floor = (cfg.name_ratio_gate
@@ -520,23 +533,21 @@ def fuzzy_edges(mentions: DataFrame, cfg: LinkConfig,
                 if name_ratio < 0 or not _gate(
                         name_ratio, r.a_registry, r.b_registry, cfg):
                     continue
-                # orient by mention_id (scoring is symmetric in a/b)
-                lo, hi = sorted((r.a_mention_id, r.b_mention_id))
-                out["a_mention_id"].append(lo)
-                out["b_mention_id"].append(hi)
+                out["ia"].append(r.ia)
+                out["ib"].append(r.ib)
                 out["name_ratio"].append(name_ratio)
             yield pd.DataFrame(out)
 
-    survivors = _cpu_partitioned(gated).mapInPandas(
-        gate_stage,
-        schema="a_mention_id string, b_mention_id string, name_ratio double")
+    survivors = gated.mapInPandas(
+        gate_stage, schema="ia long, ib long, name_ratio double")
 
     full_a = mentions.select(
+        F.xxhash64("mention_id").alias("ia"),
         *[F.col(c).alias(f"a_{c}") for c in PAIR_COLS])
     full_b = mentions.select(
+        F.xxhash64("mention_id").alias("ib"),
         *[F.col(c).alias(f"b_{c}") for c in PAIR_COLS])
-    full_in = survivors.join(full_a, "a_mention_id").join(
-        full_b, "b_mention_id")
+    full_in = survivors.join(full_a, "ia").join(full_b, "ib")
     prune = cfg.tfidf_prune
     tfidf_cos = _make_tfidf_cos(idf)
 
@@ -549,8 +560,10 @@ def fuzzy_edges(mentions: DataFrame, cfg: LinkConfig,
             for r in pdf.itertuples(index=False):
                 fuzzy_dup, high = _score_one(r, r.name_ratio, cfg)
                 if fuzzy_dup or high:
-                    out["src"].append(r.a_mention_id)
-                    out["dst"].append(r.b_mention_id)
+                    # orient by mention_id (scoring is symmetric in a/b)
+                    lo, hi = sorted((r.a_mention_id, r.b_mention_id))
+                    out["src"].append(lo)
+                    out["dst"].append(hi)
                     out["fuzzy_dup"].append(fuzzy_dup)
                     out["high_merge"].append(high)
             yield pd.DataFrame(out)

@@ -37,6 +37,20 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.driver.memory": os.environ.get("ASKG_DRIVER_MEM", "48g"),
 }
 
+# Shuffle/spill scratch: Spark's default is /tmp, which on this box is
+# a shared spinning-rust root volume — the 200k-server event log shows
+# 562 core-s (22% of ALL task time) inside Shuffle Write Time, and the
+# contention grows with concurrent writers (pure anti-scaling: more
+# cores = more writers on one disk queue). /dev/shm is a 126 GiB tmpfs;
+# the pipeline's total shuffle volume at bench scale is < 2 GiB, so RAM
+# scratch is safe and removes the disk from the scaling path entirely.
+# On a real cluster this maps to the standard practice of pointing
+# spark.local.dir at fast node-local NVMe (or ramdisk for small
+# shuffle tiers) rather than a shared volume.
+_SHM = "/dev/shm"
+if os.path.isdir(_SHM) and os.access(_SHM, os.W_OK):
+    DEFAULT_CONFS["spark.local.dir"] = os.path.join(_SHM, "askg-spark-local")
+
 
 def get_spark(
     app_name: str = "askg-spark",

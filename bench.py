@@ -63,6 +63,9 @@ def main() -> int:
     extras["ann_lsh_recall"] = round(
         len(exact & approx) / len(exact), 4) if exact else 1.0
 
+    run("kg_similar_servers")
+    run("kg_semantic_search")
+    run("registry_completeness")
     run("doc_token_stats")
     run("doc_lang_id")
     run("events_latest_per_user")

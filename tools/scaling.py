@@ -54,8 +54,48 @@ def _load_avg() -> float:
         return float(fh.read().split()[0])
 
 
+def _steal_ticks() -> int:
+    """Cumulative hypervisor steal ticks (all vCPUs). This box is a VM
+    whose host is shared: steal reached ~25% of user time historically,
+    and steal inflates every nanoTime-based duration in both the bench
+    and Spark's own task metrics. Recording the per-sample delta makes
+    co-tenant interference auditable per run, not just per level."""
+    with open("/proc/stat") as fh:
+        return int(fh.readline().split()[8])
+
+
+def _materialize_pages(servers: int, zip_path: str, timeout: int) -> str:
+    """Render the synthetic corpus ONCE to parquet (tmpfs) and return
+    the path. The scaling samples then run the pipeline over a real
+    input table (`bench --pages`), which is the north-rule shape — an
+    Iceberg-style table of (url, warc_ts, html, text, lang) — and keeps
+    one-time corpus *generation* (Python HTML rendering) out of every
+    measured sample."""
+    out = f"/dev/shm/askg-scaling-pages-{servers}"
+    if os.path.isdir(out):
+        return out
+    script = "/dev/shm/askg-scaling-gen.py"
+    with open(script, "w") as fh:
+        fh.write(
+            "from askg_spark.session import get_spark\n"
+            "from askg_spark.fixtures import generate_pages\n"
+            "spark = get_spark('scaling-gen')\n"
+            f"generate_pages(spark, n_servers={servers}, seed=42)"
+            f".write.mode('overwrite').parquet({out!r})\n")
+    proc = subprocess.run(
+        ["spark-submit", "--master", "local[16]", "--driver-memory",
+         os.environ.get("ASKG_DRIVER_MEM", "48g"), "--py-files", zip_path,
+         script],
+        capture_output=True, text=True, timeout=timeout, cwd=REPO)
+    if not os.path.isdir(out):
+        raise RuntimeError("page materialization failed:\n"
+                           + proc.stderr[-2000:])
+    return out
+
+
 def _run(cores: int, servers: int, zip_path: str,
-         max_per_key: int | None, timeout: int) -> dict:
+         max_per_key: int | None, timeout: int,
+         pages: str | None = None) -> dict:
     cmd = [
         "spark-submit", "--master", f"local[{cores}]",
         "--driver-memory", os.environ.get("ASKG_DRIVER_MEM", "48g"),
@@ -63,9 +103,12 @@ def _run(cores: int, servers: int, zip_path: str,
         os.path.join(REPO, "askg_spark", "cli.py"),
         "bench", "--servers", str(servers),
     ]
+    if pages:
+        cmd += ["--pages", pages]
     if max_per_key is not None:
         cmd += ["--max-per-key", str(max_per_key)]
     load = _load_avg()
+    steal0 = _steal_ticks()
     t0 = time.monotonic()
     proc = subprocess.run(cmd, capture_output=True, text=True,
                           timeout=timeout, cwd=REPO)
@@ -75,8 +118,12 @@ def _run(cores: int, servers: int, zip_path: str,
             f"bench produced no JSON (rc={proc.returncode}):\n"
             + proc.stderr[-2000:])
     rec = json.loads(line[-1])
+    wall = time.monotonic() - t0
+    # steal% of one core over the sample window (ticks are 10ms)
+    steal_pct = 100 * (_steal_ticks() - steal0) * 0.01 / wall
     rec.update(cores=cores, load_before=load, load_after=_load_avg(),
-               harness_wall=round(time.monotonic() - t0, 1))
+               steal_corepct=round(steal_pct, 1),
+               harness_wall=round(wall, 1))
     return rec
 
 
@@ -90,19 +137,25 @@ def main() -> int:
                          "default cap)")
     ap.add_argument("--timeout", type=int, default=2400)
     ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--no-materialize", action="store_true",
+                    help="fuse synthetic generation into the measured "
+                         "run instead of pre-rendering the page table")
     args = ap.parse_args()
 
     zip_path = _zip_pkg()
+    pages = (None if args.no_materialize
+             else _materialize_pages(args.servers, zip_path, args.timeout))
     levels = [args.n, 4 * args.n]
     runs: dict[int, list[dict]] = {lv: [] for lv in levels}
     for s in range(args.samples):
         for lv in levels:                      # interleaved
             rec = _run(lv, args.servers, zip_path, args.max_per_key,
-                       args.timeout)
+                       args.timeout, pages=pages)
             runs[lv].append(rec)
             print(f"sample {s} local[{lv}]: {rec['sec']}s "
                   f"({rec['pages_per_sec']} pages/s, load "
-                  f"{rec['load_before']})", file=sys.stderr, flush=True)
+                  f"{rec['load_before']}, steal {rec['steal_corepct']}% "
+                  "of a core)", file=sys.stderr, flush=True)
 
     med = {lv: statistics.median(r["sec"] for r in runs[lv])
            for lv in levels}
@@ -120,11 +173,14 @@ def main() -> int:
         "value_median": round(eff_med, 3),
         "unit": "fraction (1.0 = linear)",
         "servers": args.servers,
+        "input": ("pre-materialized page parquet" if pages
+                  else "fused synthetic generation"),
         "levels": {str(lv): {
             "min_sec": best[lv],
             "median_sec": med[lv],
             "median_pages_per_sec": thr[lv],
             "samples_sec": [r["sec"] for r in runs[lv]],
+            "steal_corepct": [r["steal_corepct"] for r in runs[lv]],
             "load_before": [r["load_before"] for r in runs[lv]],
             "load_after": [r.get("load_after") for r in runs[lv]],
         } for lv in levels},
