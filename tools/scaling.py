@@ -137,6 +137,9 @@ def main() -> int:
                          "default cap)")
     ap.add_argument("--timeout", type=int, default=2400)
     ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--bench-md", type=str, default=None,
+                    help="patch this BENCH.md's SCALING block with the "
+                         "rendered table")
     ap.add_argument("--no-materialize", action="store_true",
                     help="fuse synthetic generation into the measured "
                          "run instead of pre-rendering the page table")
@@ -192,7 +195,49 @@ def main() -> int:
     if args.out:
         with open(args.out, "w") as fh:
             fh.write(out + "\n")
+    if args.bench_md:
+        patch_bench_md(args.bench_md, report)
     return 0
+
+
+def render_md(report: dict) -> str:
+    """Markdown table for the BENCH.md SCALING block."""
+    lvls = sorted(report["levels"], key=int)
+    lines = [
+        f"200k-server corpus ({report['servers']} servers), input = "
+        f"{report.get('input', 'fused synthetic generation')}; "
+        "interleaved samples, per-sample 1-min load "
+        "and hypervisor-steal recorded.",
+        "",
+        "| level | samples (s) | min s | median s | median pages/s "
+        "| steal %core |",
+        "|---|---|---|---|---|---|",
+    ]
+    for lv in lvls:
+        d = report["levels"][lv]
+        samples = ", ".join(f"{s:.0f}" for s in d["samples_sec"])
+        steals = ", ".join(str(s) for s in d.get("steal_corepct", []))
+        lines.append(
+            f"| local[{lv}] | {samples} | {d['min_sec']:.1f} | "
+            f"{d['median_sec']:.1f} | {d['median_pages_per_sec']} | "
+            f"{steals} |")
+    lines += [
+        "",
+        f"**Efficiency N→4N (min-of-samples): "
+        f"{report['value']}** (median-of-samples: "
+        f"{report['value_median']}). Estimator rationale in "
+        "`tools/scaling.py` docstring; raw JSON in `.scaling_r2.json`.",
+    ]
+    return "\n".join(lines)
+
+
+def patch_bench_md(path: str, report: dict) -> None:
+    begin, end = "<!-- SCALING:BEGIN -->", "<!-- SCALING:END -->"
+    with open(path) as fh:
+        text = fh.read()
+    i, j = text.index(begin) + len(begin), text.index(end)
+    with open(path, "w") as fh:
+        fh.write(text[:i] + "\n" + render_md(report) + "\n" + text[j:])
 
 
 if __name__ == "__main__":
