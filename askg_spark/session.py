@@ -102,4 +102,16 @@ def get_spark(
             "ASKG_SHUFFLE_PARTITIONS",
             4 * spark.sparkContext.defaultParallelism))
         spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    if "spark.sql.files.minPartitionNum" not in (extra_confs or {}):
+        # File scans bin-pack small files by (size + 4 MB open cost) /
+        # maxPartitionBytes, which quantizes a many-small-file table
+        # into a handful of splits regardless of cores (the 200k-page
+        # corpus: 257 files -> 9 splits -> a 2-wave mapInPandas parse
+        # at local[8], +50% extract wall). Pinning the scan floor to
+        # 2x parallelism keeps the parse stage one balanced wave at
+        # any local[N]; on a real cluster file count >> cores and the
+        # floor is a no-op.
+        spark.conf.set(
+            "spark.sql.files.minPartitionNum",
+            str(2 * spark.sparkContext.defaultParallelism))
     return spark

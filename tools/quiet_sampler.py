@@ -1,0 +1,87 @@
+"""Steal-gated scaling sampler: fire bench samples only in quiet
+hypervisor windows.
+
+The interleaved harness (`tools/scaling.py`) equalizes slow co-tenant
+drift across levels, but this box's dominant noise is *bursty
+hypervisor steal* that correlates with our own vCPU usage (measured
+2026-08-18: local[8] samples drew 105-156% of a core of steal while
+local[2] samples drew 57-67% in the same hour) — bursts land on
+whichever level happens to be running. Since interference is strictly
+additive, the intrinsic runtime estimator is the MIN over samples per
+level; this sampler raises the chance of catching a steal-free sample
+by probing /proc/stat steal for a few seconds and only launching a
+sample when the box is quiet. Every sample (still annotated with its
+own steal measurement) is appended to a JSONL so the final report can
+take min-over-everything with full per-sample disclosure.
+
+Usage:
+    python tools/quiet_sampler.py --servers 400000 \
+        --pages /dev/shm/askg-scaling-pages-400000 \
+        --levels 8,2 --max-samples 6 --max-hours 2 \
+        --out /tmp/quiet_samples.jsonl
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+from scaling import _load_avg, _run, _steal_ticks, _zip_pkg  # noqa: E402
+
+
+def steal_cores(window: float = 15.0) -> float:
+    """Average stolen cores over `window` seconds."""
+    s0, t0 = _steal_ticks(), time.monotonic()
+    time.sleep(window)
+    return (_steal_ticks() - s0) * 0.01 / (time.monotonic() - t0)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--servers", type=int, required=True)
+    ap.add_argument("--pages", type=str, required=True)
+    ap.add_argument("--levels", type=str, default="8,2",
+                    help="comma list, cycled in order (scarce-clean "
+                         "level first)")
+    ap.add_argument("--max-samples", type=int, default=6)
+    ap.add_argument("--max-hours", type=float, default=2.0)
+    ap.add_argument("--steal-gate", type=float, default=0.2,
+                    help="launch only when stolen cores over the probe "
+                         "window are below this")
+    ap.add_argument("--load-gate", type=float, default=1.5)
+    ap.add_argument("--timeout", type=int, default=3000)
+    ap.add_argument("--out", type=str, required=True)
+    args = ap.parse_args()
+
+    zip_path = _zip_pkg()
+    levels = [int(x) for x in args.levels.split(",")]
+    deadline = time.monotonic() + args.max_hours * 3600
+    taken = 0
+    i = 0
+    while taken < args.max_samples and time.monotonic() < deadline:
+        sc = steal_cores()
+        load = _load_avg()
+        if sc > args.steal_gate or load > args.load_gate:
+            print(f"waiting: steal {sc:.2f} cores, load {load}",
+                  file=sys.stderr, flush=True)
+            time.sleep(45)
+            continue
+        lv = levels[i % len(levels)]
+        i += 1
+        rec = _run(lv, args.servers, zip_path, None, args.timeout,
+                   pages=args.pages)
+        rec["gated"] = True
+        with open(args.out, "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+        taken += 1
+        print(f"sample local[{lv}]: {rec['sec']}s "
+              f"(steal {rec['steal_corepct']}% of a core)",
+              file=sys.stderr, flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
