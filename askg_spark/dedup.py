@@ -24,6 +24,7 @@ float ratios, so the DuckDB oracles hash identically.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from askg_spark.textops import fingerprints, tokens
@@ -136,6 +137,14 @@ def minhash_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
                 F.array_distinct(F.transform(
                     "grams", lambda g: F.xxhash64(g))).alias("hg"))
     )
+    # The gram-hash frame feeds THREE subtrees (the band explode and
+    # both sides of the rescore join, which repartition on different
+    # keys so exchange reuse can't kick in) — without a persist the
+    # tokenize+hash work runs 3x. Same pattern (and eager-materialize
+    # rationale) as linking._lsh_pair_ids; the frame is doc_id + one
+    # long array ~ tokens/doc, bounded at any corpus size.
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    base.count()
     n_bands = num_hashes // band_rows
     mh = F.array(*[
         F.array_min(F.transform("hg", lambda h: F.xxhash64(F.lit(j), h)))
@@ -155,6 +164,11 @@ def minhash_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
             for i in range(n_bands)
         ])).alias("band"),
     )
+    # Both sides of the band self-join (and the optional hot-bucket
+    # agg) re-evaluate the 32-hash minhash transform; cache it eagerly
+    # — two longs per (doc, band) row.
+    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
+    bands.count()
     if bucket_cap is not None:
         hot = (bands.groupBy("band")
                .agg(F.count(F.lit(1)).alias("sz"))
