@@ -25,8 +25,11 @@ Scale design / measured rationale:
   * The round-1 loop anti-scaled (cc 133s at local[8] -> 287s at
     local[32] on identical input, BENCH.md): ~6 shuffle stages + one
     driver collect per iteration x O(log n) iterations is pure
-    scheduling latency on tiny label frames. This plan is 3 shuffles
-    + 3 mapInPandas total, materialized once by the downstream join —
+    scheduling latency on tiny label frames. This plan is 4 shuffles
+    + 4 mapInPandas total (3 contraction rounds u/v/u — the final
+    u-keyed round collapses each vertex's per-partition duplicate star
+    rows so the serial single-task pass reads ~one row per vertex),
+    materialized once by the downstream join —
     no localCheckpoint (the plan is linear, not iterative), so the
     MEMORY_ONLY-eviction failure mode flagged in ADVICE.md is gone.
   * Memory bound: the final task holds one row per vertex incident to
@@ -59,35 +62,55 @@ _STAR_SCHEMA = "u string, v string"
 def _uf_stars(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Whole-partition union-find; emits (x, min-root(x)) per vertex.
     Union-by-min + path compression: roots are always the component's
-    lexicographic min, so output is deterministic."""
-    parent: dict = {}
+    lexicographic min, so output is deterministic.
 
-    def find(x):
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:          # path compression
-            parent[x], x = root, parent[x]
-        return root
+    Int-coded: ids are factorized once and ranked by sorted order so
+    union-by-min over int ranks IS union-by-min over the strings; the
+    find/union loop then runs over plain Python ints (a list-backed
+    parent array), ~4x faster than the string-keyed dict this replaces
+    — the single-partition final collapse is the pipeline's one serial
+    task, so its constant factor is wall time at every scale."""
+    import numpy as np
 
-    for pdf in batches:
-        for u, v in zip(pdf["u"], pdf["v"]):
-            if u not in parent:
-                parent[u] = u
-            if v not in parent:
-                parent[v] = v
-            ru, rv = find(u), find(v)
-            if ru != rv:
-                if rv < ru:
-                    ru, rv = rv, ru
-                parent[rv] = ru           # attach under the min id
-    ids = list(parent)
-    yield pd.DataFrame({"u": ids, "v": [find(x) for x in ids]})
+    parts = [pdf for pdf in batches if len(pdf)]
+    if not parts:
+        yield pd.DataFrame({"u": pd.Series([], dtype="str"),
+                            "v": pd.Series([], dtype="str")})
+        return
+    pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+    codes, uniques = pd.factorize(
+        pd.concat([pdf["u"], pdf["v"]], ignore_index=True))
+    uniq = np.asarray(uniques)
+    n_ids = len(uniq)
+    order = np.argsort(uniq)                 # rank -> factorize code
+    rank = np.empty(n_ids, dtype=np.int64)   # factorize code -> rank
+    rank[order] = np.arange(n_ids)
+    n_edges = len(pdf)
+    eu = rank[codes[:n_edges]].tolist()
+    ev = rank[codes[n_edges:]].tolist()
+    parent = list(range(n_ids))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]    # halving
+            x = parent[x]
+        return x
+
+    for a, b in zip(eu, ev):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra                  # attach under the min rank
+    roots = np.fromiter((find(i) for i in range(n_ids)),
+                        dtype=np.int64, count=n_ids)
+    by_rank = uniq[order]                    # rank -> id string
+    yield pd.DataFrame({"u": by_rank, "v": by_rank[roots]})
 
 
 def connected_components(
     edges: DataFrame, vertices: DataFrame, max_iter: int = 25,
-    contract_rounds: int = 2, contract_partitions: int | None = None,
+    contract_rounds: int = 3, contract_partitions: int | None = None,
 ) -> DataFrame:
     """edges(src,dst) + vertices(id) -> (id, component) where component
     is the lexicographic min id reachable.
@@ -99,8 +122,17 @@ def connected_components(
     ``max_iter`` caps the rounds (API compatibility with the round-1
     iterative implementation)."""
     spark = edges.sparkSession
-    n_part = contract_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # Contraction width follows CORE count, not the (4x larger)
+    # shuffle-partition conf: a round's output carries one star row per
+    # (partition, vertex-touching-it), so over-splitting multiplies
+    # duplicate rows into the single-task final collapse — measured at
+    # a 576k-edge graph: n_part 32 vs 8 grew the collapse from ~6s to
+    # 17s of serial wall. Per-partition union-find memory is one int
+    # pair per local vertex; on a real cluster defaultParallelism =
+    # total executor cores, which scales with the data. Pass
+    # contract_partitions explicitly for graphs whose edges-per-core
+    # exceed partition memory.
+    n_part = contract_partitions or spark.sparkContext.defaultParallelism
     cur = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .filter(F.col("u") != F.col("v"))

@@ -97,7 +97,18 @@ def run_pipeline(
     n_part = spark.sparkContext.defaultParallelism
     if enriched.rdd.getNumPartitions() > 2 * n_part:
         enriched = enriched.repartition(n_part)
-    enriched = enriched.persist(StorageLevel.MEMORY_ONLY)
+    # MEMORY_AND_DISK, not MEMORY_ONLY: under the unified memory
+    # manager, concurrent join/sort tasks BORROW execution memory and
+    # evict cache blocks — and eviction pressure grows with task-slot
+    # count, so a MEMORY_ONLY cache silently re-runs the extraction
+    # UDF inside downstream stages exactly when parallelism is high
+    # (the 400k-page local[2]-vs-local[8] event logs: the full-score
+    # stage re-contained `Scan parquet` + the extract MapInPandas at
+    # local[8] only — 53% total task-time inflation, the dominant
+    # N->4N scaling loss). With spark.local.dir on tmpfs the disk
+    # tier is RAM-backed; on a real cluster it is node-local NVMe —
+    # either way strictly cheaper than recomputing a Python UDF.
+    enriched = enriched.persist(StorageLevel.MEMORY_AND_DISK)
     # eager: build the extraction cache ONCE before the linking DAG
     # fans out — exact-edge branches, the LSH fit and the scorer all
     # reference this frame, and evaluating them against a cold cache
