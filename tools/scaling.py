@@ -204,7 +204,7 @@ def render_md(report: dict) -> str:
     """Markdown table for the BENCH.md SCALING block."""
     lvls = sorted(report["levels"], key=int)
     lines = [
-        f"200k-server corpus ({report['servers']} servers), input = "
+        f"{report['servers']}-server corpus, input = "
         f"{report.get('input', 'fused synthetic generation')}; "
         "interleaved samples, per-sample 1-min load "
         "and hypervisor-steal recorded.",
@@ -226,7 +226,8 @@ def render_md(report: dict) -> str:
         f"**Efficiency N→4N (min-of-samples): "
         f"{report['value']}** (median-of-samples: "
         f"{report['value_median']}). Estimator rationale in "
-        "`tools/scaling.py` docstring; raw JSON in `.scaling_r2.json`.",
+        "`tools/scaling.py` docstring; raw JSON in the committed "
+        "`.scaling_r2*.json` files.",
     ]
     return "\n".join(lines)
 
