@@ -104,6 +104,39 @@ def test_fuzzy_edges_parity_with_struct_path(spark):
     assert len(via_fused) > 0
 
 
+def test_jvm_quick_ratio_is_exact(spark):
+    """The JVM histogram quick_ratio must equal difflib's quick_ratio
+    bit-for-bit on norm_name-charset strings (closed 37-char set), so
+    the JVM `qr <= floor` rejection is decision-identical to the
+    Python `_ratio_above` cascade."""
+    import random
+    from difflib import SequenceMatcher
+
+    from pyspark.sql import functions as F
+
+    from askg_spark.linking import _NAME_CHARSET, _char_hist, _jvm_quick_ratio
+
+    rng = random.Random(7)
+    rows = []
+    for _ in range(300):
+        a = "".join(rng.choice(_NAME_CHARSET) for _ in range(rng.randint(1, 30)))
+        b = "".join(rng.choice(_NAME_CHARSET) for _ in range(rng.randint(1, 30)))
+        rows.append((a.strip() or "a", b.strip() or "b"))
+    # adversarial: shared prefixes, near-dups, disjoint charsets
+    rows += [("alpha server", "alpha server 2"), ("abc", "xyz"),
+             ("data processing 9", "data processing 9 "),
+             ("a", "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = df.select(
+        "a", "b",
+        _jvm_quick_ratio(_char_hist("a"), _char_hist("b"),
+                         F.length("a"), F.length("b")).alias("qr"),
+    ).collect()
+    for r in got:
+        want = SequenceMatcher(None, r["a"], r["b"]).quick_ratio()
+        assert r["qr"] == want, (r["a"], r["b"], r["qr"], want)
+
+
 def test_candidate_edges_union(spark):
     e = _enriched(spark)
     edges = candidate_edges(e, LinkConfig())
