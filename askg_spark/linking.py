@@ -427,37 +427,52 @@ def _ratio_bound_filter(df: DataFrame, a_name: str, b_name: str,
                      > F.lit(threshold))
 
 
-# norm_name's charset is CLOSED: lower -> strip [^a-z0-9\s] -> collapse
-# spaces (normalize.norm_name), so exactly these 37 chars can occur.
-_NAME_CHARSET = "abcdefghijklmnopqrstuvwxyz0123456789 "
+def _np_quick_ratio(a: "pd.Series", b: "pd.Series") -> "object":
+    """difflib SequenceMatcher.quick_ratio computed EXACTLY for a whole
+    Arrow batch in vectorized numpy: 2 * multiset-char-intersection /
+    (|a|+|b|) — the same 2.0*M/T double difflib computes
+    (difflib.py _calculate_ratio), so rejecting `qr <= floor` here is
+    decision-identical to the per-row cascade in `_ratio_above` while
+    costing ~0.3us/pair instead of ~8us (no SequenceMatcher object, no
+    per-row Counter). norm_name's charset is closed ASCII (lower ->
+    strip [^a-z0-9\\s] -> collapse spaces), so utf-8 bytes == chars and
+    a 128-wide byte histogram is the exact multiset.
 
+    Returns (qr ndarray, lengths la+lb ndarray); rows where both
+    strings are empty get qr = 1.0 (difflib: two empty sequences have
+    ratio 1.0).
 
-def _char_hist(col) -> "F.Column":
-    """Exact per-char histogram of a norm_name as array<int>(37).
+    Two JVM-side variants of this gate were measured and REJECTED at a
+    423k-mention corpus before landing here (identical decisions, worse
+    plans): array<int> histograms with zip_with/aggregate are
+    interpreted per element (~30-50us/pair, ~5,000 core-s), and 37
+    scalar int histogram columns are codegen-cheap per pair but fatten
+    the per-mention gate dimension past the AQE broadcast threshold —
+    both id joins fell back to sort-merge, sorting the ~10^7-row
+    candidate frame twice (link phase 119s -> 356s). The narrow
+    broadcast-join plan + batch numpy inside the already-necessary
+    Python stage keeps the join shape and removes ~95% of the difflib
+    work."""
+    import numpy as np
 
-    count(ch) = len(s) - len(replace(s, ch, '')) — 37 whole-stage-
-    codegen string expressions, computed ONCE per mention (in the
-    narrow gate dimension), not per candidate pair."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.array(*[
-        (F.length(c) - F.length(F.replace(c, F.lit(ch)))).cast("int")
-        for ch in _NAME_CHARSET])
+    av, bv = a.to_numpy(dtype=object), b.to_numpy(dtype=object)
+    n = len(av)
+    la = np.fromiter((len(x) for x in av), dtype=np.int64, count=n)
+    lb = np.fromiter((len(x) for x in bv), dtype=np.int64, count=n)
+    tot = la + lb
 
+    def hist(vals, lens):
+        # 256-wide so any uint8 value indexes in bounds; on the closed
+        # ascii charset utf-8 byte == char, so byte counts == difflib's
+        # per-char counts (lens are char counts == byte counts here)
+        buf = np.frombuffer(("".join(vals)).encode("utf-8"), dtype=np.uint8)
+        rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+        return np.bincount(rows * 256 + buf,
+                           minlength=n * 256).reshape(n, 256)
 
-def _jvm_quick_ratio(a_hist, b_hist, a_len, b_len) -> "F.Column":
-    """difflib SequenceMatcher.quick_ratio computed EXACTLY in the JVM:
-    2 * multiset-char-intersection / (|a|+|b|). Because the charset is
-    closed (37 chars, see _NAME_CHARSET) the histogram intersection IS
-    the multiset intersection — the same 2.0*M/T double difflib
-    computes (difflib.py _calculate_ratio), so a JVM-side rejection at
-    `qr <= floor` is decision-identical to the Python cascade in
-    `_ratio_above` (quick_ratio is a documented upper bound on ratio).
-    Caller must guarantee |a|+|b| > 0 (the pipeline filters
-    a_norm_name != b_norm_name first, so two empties cannot meet)."""
-    inter = F.aggregate(
-        F.zip_with(a_hist, b_hist, lambda x, y: F.least(x, y)),
-        F.lit(0), lambda acc, x: acc + x)
-    return F.lit(2.0) * inter / (a_len + b_len)
+    inter = np.minimum(hist(av, la), hist(bv, lb)).sum(axis=1)
+    qr = np.where(tot > 0, 2.0 * inter / np.maximum(tot, 1), 1.0)
+    return qr
 
 
 def score_pairs(cands: DataFrame, cfg: LinkConfig,
@@ -513,32 +528,29 @@ def score_pairs(cands: DataFrame, cfg: LinkConfig,
 
 def fuzzy_edges(mentions: DataFrame, cfg: LinkConfig,
                 idf: dict[int, float] | None = None) -> DataFrame:
-    """Pipeline fuzzy path: LSH narrow pairs -> JVM quick_ratio gate ->
+    """Pipeline fuzzy path: LSH narrow pairs -> batch-numpy name gate ->
     full scoring, all in one lazy plan.
 
     Scale design: ~99% of LSH candidates die on the name-ratio gate
-    (measured 0.75% pass rate at 21k mentions). The gate's rejection
-    step — difflib's quick_ratio upper-bound cascade — is computed
-    EXACTLY in the JVM over per-mention char histograms (closed
-    norm_name charset), so the bulk rejection costs no Arrow transfer
-    and no Python-worker time; only the ~1-3% quick_ratio survivors
-    join the 22-column attribute structs and reach the single Python
-    scoring stage. Emits the same (src, dst, fuzzy_dup, high_merge)
-    decisions as `score_pairs` on `lsh_candidates` (shared gate/scorer
-    helpers; parity-tested)."""
+    (measured 0.75% pass rate at 21k mentions), so the gate stage
+    ships ONLY (ids, norm_name, registry) to Python — preceded by the
+    JVM ratio-bound prefilter — and the 22-column attribute structs
+    are joined to the tiny survivor set afterwards. Inside the gate
+    stage the quick_ratio rejection runs EXACTLY but vectorized over
+    the whole Arrow batch (`_np_quick_ratio`); per-row difflib only
+    touches the few % of pairs whose quick_ratio clears the floor.
+    Emits the same (src, dst, fuzzy_dup, high_merge) decisions as
+    `score_pairs` on `lsh_candidates` (shared gate/scorer helpers;
+    parity-tested)."""
     _, pairs = _lsh_pair_ids(mentions, cfg)
     gate_dim = mentions.select(F.xxhash64("mention_id").alias("idx"),
-                               "norm_name", "registry",
-                               _char_hist("norm_name").alias("chist"),
-                               F.length("norm_name").alias("nlen"))
+                               "norm_name", "registry")
 
     def side(tag: str, key: str) -> DataFrame:
         return gate_dim.select(
             F.col("idx").alias(key),
             F.col("norm_name").alias(f"{tag}_norm_name"),
-            F.col("registry").alias(f"{tag}_registry"),
-            F.col("chist").alias(f"{tag}_chist"),
-            F.col("nlen").alias(f"{tag}_nlen"))
+            F.col("registry").alias(f"{tag}_registry"))
 
     # CPU-repartition the NARROW pairs (two longs, ~32B/row) and let
     # the gate-dim joins land in the SAME stage as the Python gate: the
@@ -558,25 +570,42 @@ def fuzzy_edges(mentions: DataFrame, cfg: LinkConfig,
         .join(side("a", "ia"), "ia").join(side("b", "ib"), "ib")
         .filter(F.col("a_norm_name") != F.col("b_norm_name"))
     )
-    # JVM quick_ratio rejection with the PER-PAIR floor (same-registry
-    # pairs must clear name_ratio_gate, cross-registry only _min_gate)
-    # — exactly the first step of the `_ratio_above` cascade, evaluated
-    # EXACTLY (closed charset, see _jvm_quick_ratio) inside the join
-    # stage. The bulk of LSH candidates (measured ~99% at 21k mentions)
-    # dies here with zero Arrow transfer or Python-worker time — the
-    # round-2a difflib gate stage was the largest Python stage in the
-    # scaling event logs and the main source of 4N worker-concurrency
-    # inflation on one box; with it gone, the separate narrow gate
-    # stage is redundant and the survivors (~1-3% of candidates) join
-    # the full payload dims directly and are scored in ONE Python
-    # stage: one fewer exchange + one fewer mapInPandas per run.
-    floor = F.when(F.col("a_registry") == F.col("b_registry"),
-                   F.lit(cfg.name_ratio_gate)).otherwise(
-                       F.lit(_min_gate(cfg)))
-    gated = gated.filter(
-        _jvm_quick_ratio(F.col("a_chist"), F.col("b_chist"),
-                         F.col("a_nlen"), F.col("b_nlen")) > floor
-    ).select("ia", "ib")
+    gated = _ratio_bound_filter(gated, "a_norm_name", "b_norm_name",
+                                _min_gate(cfg))
+
+    def gate_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        min_gate = _min_gate(cfg)
+        gate = cfg.name_ratio_gate
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            # exact quick_ratio for the whole batch in numpy, with the
+            # per-pair floor (same-registry pairs must clear the
+            # name_ratio_gate, cross-registry only min_gate): the
+            # identical rejection `_ratio_above` makes per row, at
+            # ~0.3us/pair instead of ~8us
+            qr = _np_quick_ratio(pdf["a_norm_name"], pdf["b_norm_name"])
+            floors = np.where(
+                pdf["a_registry"].to_numpy() == pdf["b_registry"].to_numpy(),
+                gate, min_gate)
+            pdf = pdf[qr > floors]
+            out = {"ia": [], "ib": [], "name_ratio": []}
+            for r in pdf.itertuples(index=False):
+                floor = (gate if r.a_registry == r.b_registry else min_gate)
+                name_ratio = _ratio_above(
+                    r.a_norm_name, r.b_norm_name, floor)
+                if name_ratio < 0 or not _gate(
+                        name_ratio, r.a_registry, r.b_registry, cfg):
+                    continue
+                out["ia"].append(r.ia)
+                out["ib"].append(r.ib)
+                out["name_ratio"].append(name_ratio)
+            yield pd.DataFrame(out)
+
+    survivors = gated.mapInPandas(
+        gate_stage, schema="ia long, ib long, name_ratio double")
 
     full_a = mentions.select(
         F.xxhash64("mention_id").alias("ia"),
@@ -584,26 +613,18 @@ def fuzzy_edges(mentions: DataFrame, cfg: LinkConfig,
     full_b = mentions.select(
         F.xxhash64("mention_id").alias("ib"),
         *[F.col(c).alias(f"b_{c}") for c in PAIR_COLS])
-    full_in = gated.join(full_a, "ia").join(full_b, "ib")
+    full_in = survivors.join(full_a, "ia").join(full_b, "ib")
     prune = cfg.tfidf_prune
     tfidf_cos = _make_tfidf_cos(idf)
 
-    def score_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        min_gate = _min_gate(cfg)
+    def full_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if prune is not None and len(pdf):
                 cos = tfidf_cos(pdf["a_description"], pdf["b_description"])
                 pdf = pdf[cos >= prune]
             out = {"src": [], "dst": [], "fuzzy_dup": [], "high_merge": []}
             for r in pdf.itertuples(index=False):
-                floor = (cfg.name_ratio_gate
-                         if r.a_registry == r.b_registry else min_gate)
-                name_ratio = _ratio_above(
-                    r.a_norm_name, r.b_norm_name, floor)
-                if name_ratio < 0 or not _gate(
-                        name_ratio, r.a_registry, r.b_registry, cfg):
-                    continue
-                fuzzy_dup, high = _score_one(r, name_ratio, cfg)
+                fuzzy_dup, high = _score_one(r, r.name_ratio, cfg)
                 if fuzzy_dup or high:
                     # orient by mention_id (scoring is symmetric in a/b)
                     lo, hi = sorted((r.a_mention_id, r.b_mention_id))
@@ -613,8 +634,8 @@ def fuzzy_edges(mentions: DataFrame, cfg: LinkConfig,
                     out["high_merge"].append(high)
             yield pd.DataFrame(out)
 
-    return full_in.mapInPandas(
-        score_stage,
+    return _cpu_partitioned(full_in).mapInPandas(
+        full_stage,
         schema="src string, dst string, fuzzy_dup boolean, high_merge boolean")
 
 

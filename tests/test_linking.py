@@ -104,37 +104,36 @@ def test_fuzzy_edges_parity_with_struct_path(spark):
     assert len(via_fused) > 0
 
 
-def test_jvm_quick_ratio_is_exact(spark):
-    """The JVM histogram quick_ratio must equal difflib's quick_ratio
-    bit-for-bit on norm_name-charset strings (closed 37-char set), so
-    the JVM `qr <= floor` rejection is decision-identical to the
-    Python `_ratio_above` cascade."""
+def test_np_quick_ratio_is_exact():
+    """The batched numpy quick_ratio must equal difflib's quick_ratio
+    bit-for-bit on norm_name-charset strings, so the vectorized
+    `qr <= floor` rejection in the gate stage is decision-identical to
+    the per-row `_ratio_above` cascade."""
     import random
     from difflib import SequenceMatcher
 
-    from pyspark.sql import functions as F
+    import pandas as pd
 
-    from askg_spark.linking import _NAME_CHARSET, _char_hist, _jvm_quick_ratio
+    from askg_spark.linking import _np_quick_ratio
 
+    charset = "abcdefghijklmnopqrstuvwxyz0123456789 "
     rng = random.Random(7)
     rows = []
     for _ in range(300):
-        a = "".join(rng.choice(_NAME_CHARSET) for _ in range(rng.randint(1, 30)))
-        b = "".join(rng.choice(_NAME_CHARSET) for _ in range(rng.randint(1, 30)))
+        a = "".join(rng.choice(charset) for _ in range(rng.randint(1, 30)))
+        b = "".join(rng.choice(charset) for _ in range(rng.randint(1, 30)))
         rows.append((a.strip() or "a", b.strip() or "b"))
-    # adversarial: shared prefixes, near-dups, disjoint charsets
+    # adversarial: shared prefixes, near-dups, disjoint charsets,
+    # extreme length skew, one-side-empty
     rows += [("alpha server", "alpha server 2"), ("abc", "xyz"),
              ("data processing 9", "data processing 9 "),
-             ("a", "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa")]
-    df = spark.createDataFrame(rows, "a string, b string")
-    got = df.select(
-        "a", "b",
-        _jvm_quick_ratio(_char_hist("a"), _char_hist("b"),
-                         F.length("a"), F.length("b")).alias("qr"),
-    ).collect()
-    for r in got:
-        want = SequenceMatcher(None, r["a"], r["b"]).quick_ratio()
-        assert r["qr"] == want, (r["a"], r["b"], r["qr"], want)
+             ("a", "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"), ("", "abc")]
+    a = pd.Series([r[0] for r in rows])
+    b = pd.Series([r[1] for r in rows])
+    qr = _np_quick_ratio(a, b)
+    for i, (x, y) in enumerate(rows):
+        want = SequenceMatcher(None, x, y).quick_ratio()
+        assert qr[i] == want, (x, y, qr[i], want)
 
 
 def test_candidate_edges_union(spark):
