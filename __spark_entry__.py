@@ -48,7 +48,15 @@ def _kg_run(spark: SparkSession, sf_dir: str):
         pages = render_pages(_t(spark, sf_dir, "documents"))
         res = run_pipeline(spark, pages, PipelineConfig())
         from pyspark import StorageLevel
-        res.triples = res.triples.persist(StorageLevel.MEMORY_ONLY)
+        # every frame the query family consumes is persisted — entities
+        # feed kg_similar_servers / kg_semantic_search /
+        # kg_relations_capped and mentions feed registry_completeness;
+        # without the persists each consumer re-executes the whole
+        # extract->link->cc->canonicalize chain (measured 73.9s for
+        # kg_similar_servers at sf0.1, ~50s of it recompute)
+        res.triples = res.triples.persist(StorageLevel.MEMORY_AND_DISK)
+        res.entities = res.entities.persist(StorageLevel.MEMORY_AND_DISK)
+        res.mentions = res.mentions.persist(StorageLevel.MEMORY_AND_DISK)
         _KG_CACHE[key] = res
     return _KG_CACHE[key]
 
