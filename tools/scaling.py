@@ -95,8 +95,20 @@ def _materialize_pages(servers: int, zip_path: str, timeout: int) -> str:
 
 def _run(cores: int, servers: int, zip_path: str,
          max_per_key: int | None, timeout: int,
-         pages: str | None = None) -> dict:
-    cmd = [
+         pages: str | None = None, pin: bool = False) -> dict:
+    cmd = []
+    if pin:
+        # Bound the ENTIRE process tree (JVM + shuffle/GC threads +
+        # Python workers) to exactly `cores` physical cores. Unpinned
+        # local[N] undercounts the resources a level really uses: a
+        # mapInPandas task keeps ~2 threads runnable (JVM Arrow writer
+        # + Python worker), so unpinned local[2] consumes ~4-6 cores of
+        # machine — the levels are not 4x apart and measured efficiency
+        # is biased DOWN. A real N->4N executor comparison holds
+        # cores-per-executor fixed; taskset is the single-box
+        # equivalent (cores ratio exactly 4).
+        cmd += ["taskset", "-c", f"0-{cores - 1}"]
+    cmd += [
         "spark-submit", "--master", f"local[{cores}]",
         "--driver-memory", os.environ.get("ASKG_DRIVER_MEM", "48g"),
         "--py-files", zip_path,
@@ -143,6 +155,10 @@ def main() -> int:
     ap.add_argument("--no-materialize", action="store_true",
                     help="fuse synthetic generation into the measured "
                          "run instead of pre-rendering the page table")
+    ap.add_argument("--pin", action="store_true",
+                    help="taskset the whole job tree to exactly "
+                         "`cores` CPUs per level (cluster-faithful "
+                         "N vs 4N: resource ratio exactly 4)")
     args = ap.parse_args()
 
     zip_path = _zip_pkg()
@@ -153,7 +169,7 @@ def main() -> int:
     for s in range(args.samples):
         for lv in levels:                      # interleaved
             rec = _run(lv, args.servers, zip_path, args.max_per_key,
-                       args.timeout, pages=pages)
+                       args.timeout, pages=pages, pin=args.pin)
             runs[lv].append(rec)
             print(f"sample {s} local[{lv}]: {rec['sec']}s "
                   f"({rec['pages_per_sec']} pages/s, load "
@@ -178,6 +194,7 @@ def main() -> int:
         "servers": args.servers,
         "input": ("pre-materialized page parquet" if pages
                   else "fused synthetic generation"),
+        "pinned_cores": bool(args.pin),
         "levels": {str(lv): {
             "min_sec": best[lv],
             "median_sec": med[lv],
