@@ -94,9 +94,17 @@ def run_pipeline(
     # count. (At real scale the mention set is large enough that AQE /
     # maxPartitionBytes governs instead; this branch only fires when
     # the cache would otherwise be over-split.)
+    # Cache width: up to 4x cores is fine (short balanced waves); only
+    # genuinely over-split scans (many-small-file tables) pay the
+    # re-key shuffle. Re-keying when the scan is already ~4x cores was
+    # measured NEGATIVE at the 1M-page corpus: the repartition
+    # round-trip added ~100 core-s (serialize + shuffle + rebuild) and
+    # the narrower cache throttled every downstream python stage that
+    # inherits its partitioning (link 95s -> 121s at local[8] with a
+    # cores-wide cache).
     n_part = spark.sparkContext.defaultParallelism
-    if enriched.rdd.getNumPartitions() > 2 * n_part:
-        enriched = enriched.repartition(n_part)
+    if enriched.rdd.getNumPartitions() > 8 * n_part:
+        enriched = enriched.repartition(2 * n_part)
     # MEMORY_AND_DISK, not MEMORY_ONLY: under the unified memory
     # manager, concurrent join/sort tasks BORROW execution memory and
     # evict cache blocks — and eviction pressure grows with task-slot

@@ -25,6 +25,20 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Keep Python workers warm for the whole app. The pipeline
+    # alternates Python (mapInPandas) and JVM-only stages; with Spark
+    # 4.1's idle-worker reaping at its defaults, workers released
+    # after a Python stage are culled during the JVM stages in
+    # between, so every later Python stage pays daemon re-fork +
+    # pandas/numpy re-import PER WORKER — measured 571 core-s of
+    # worker-init time at local[8] on the 1M-page corpus (vs 72 at
+    # local[2]: the cost scales with worker count, a pure
+    # anti-scaling term). Pinning an app-lifetime pool removed ~9%
+    # of wall at local[8] (188.9s -> 175.2s, identical output).
+    "spark.python.worker.reuse": "true",
+    "spark.python.factory.idleWorkerMaxPoolSize": "64",
+    "spark.python.worker.idleTimeoutSeconds": "0",
+    "spark.python.worker.killOnIdleTimeout": "false",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.parquet.compression.codec": "snappy",
     "spark.sql.session.timeZone": "UTC",
@@ -108,10 +122,13 @@ def get_spark(
         # into a handful of splits regardless of cores (the 200k-page
         # corpus: 257 files -> 9 splits -> a 2-wave mapInPandas parse
         # at local[8], +50% extract wall). Pinning the scan floor to
-        # 2x parallelism keeps the parse stage one balanced wave at
-        # any local[N]; on a real cluster file count >> cores and the
-        # floor is a no-op.
+        # 4x parallelism keeps the parse stage in short balanced waves
+        # at any local[N] (2x left a 39s max-task straggler spanning
+        # most of a 52s extract stage at the 1M-page corpus — per-task
+        # parse cost varies with template mix, so finer splits cut the
+        # last-wave tail); on a real cluster file count >> cores and
+        # the floor is a no-op.
         spark.conf.set(
             "spark.sql.files.minPartitionNum",
-            str(2 * spark.sparkContext.defaultParallelism))
+            str(4 * spark.sparkContext.defaultParallelism))
     return spark
