@@ -56,7 +56,9 @@ class LinkConfig:
     # ~no recall: cap 2000 -> 256 -> 64 left the accepted edge set
     # bit-identical at 20k servers (28,717 edges) with candidates cut
     # 6.7M -> 2.1M -> 1.0M, and fixture recall stays 100% (tests).
-    lsh_bucket_cap: int = 64
+    # 64 -> 32 re-verified the same way at 40k servers (100k pages):
+    # triple count AND (subj,pred,obj) hash-sum identical.
+    lsh_bucket_cap: int = 32
     shingle_size: int = 3
     tfidf_prune: float | None = None     # e.g. 0.05 at 100TB scale; None = off
     name_ratio_gate: float = 0.85        # deduplication.py:215
@@ -173,8 +175,21 @@ def _lsh_pair_ids(mentions: DataFrame, cfg: LinkConfig):
     # long keys hash/compare in registers. A 64-bit band collision
     # (~(b*n)^2/2^65) only creates a spurious candidate pair, which the
     # exact scorer rejects.
+    # nh = hash of the (spaced) norm_name rides along so SAME-NAME
+    # candidate pairs are dropped inside the band self-join, before the
+    # pair dropDuplicates exchange. Same-norm_name pairs are filtered
+    # by every consumer anyway (reference skips the exact-name bucket,
+    # deduplication.py:206-209), but they are the worst candidates to
+    # generate: identical names -> identical shingle sets -> identical
+    # minhashes -> the pair collides in ALL b bands (b rows into the
+    # dedup shuffle each), and registry cross-listings make same-name
+    # groups of 3-4 per server corpus-wide. Filtering on the 8-byte
+    # hash keeps the join narrow; a 64-bit collision only drops a
+    # would-be candidate whose names differ (P ~ n²/2^65, and the pair
+    # usually survives via its other bands' non-colliding partners).
     bands = base.withColumn("_mh", mh).select(
         F.xxhash64("mention_id").alias("idx"),
+        F.xxhash64("norm_name").alias("nh"),
         F.explode(F.array(*[
             F.xxhash64(F.lit(i), *[
                 F.element_at("_mh", i * cfg.lsh_band_rows + r + 1)
@@ -206,9 +221,12 @@ def _lsh_pair_ids(mentions: DataFrame, cfg: LinkConfig):
                .select("band"))
         bands = bands.join(hot, "band", "left_anti")
     pairs = (
-        bands.select("band", F.col("idx").alias("ia"))
-        .join(bands.select("band", F.col("idx").alias("ib")), "band")
-        .filter(F.col("ia") < F.col("ib"))
+        bands.select("band", F.col("idx").alias("ia"),
+                     F.col("nh").alias("nha"))
+        .join(bands.select("band", F.col("idx").alias("ib"),
+                           F.col("nh").alias("nhb")), "band")
+        .filter((F.col("ia") < F.col("ib"))
+                & (F.col("nha") != F.col("nhb")))
         .select("ia", "ib")
         .dropDuplicates()
     )

@@ -133,6 +133,8 @@ def infer_relationship_edges(
     dst_col = F.greatest("id_a", "id_b").alias("dst")
     ids_a = dims.select(F.col("idx").alias("ia"), F.col("id").alias("id_a"))
     ids_b = dims.select(F.col("idx").alias("ib"), F.col("id").alias("id_b"))
+    pair_width = (entities.sparkSession.sparkContext.defaultParallelism
+                  * 4)
 
     # same_author: equi-join on exact author (neo4j_integration.py:571-582)
     by_author = _capped(
@@ -141,6 +143,12 @@ def infer_relationship_edges(
         "author", max_entities_per_key)
     same_author = (
         _salted_pairs(by_author, "author", n_salt)
+        # author rides through the repartition (it feeds the payload
+        # strings); same explicit-width rebalance as the cat/op
+        # branches — without it the payload compute inherits the
+        # salted join's AQE-coalesced width and one straggler wave
+        # bounds the branch
+        .repartition(pair_width, "ia", "ib")
         .join(ids_a, "ia").join(ids_b, "ib")
         .select(
             src_col, dst_col,
@@ -170,8 +178,6 @@ def infer_relationship_edges(
     # pages). A user-specified partition count is exempt from AQE
     # coalescing; 4 waves bound the straggler tail at ~25% of the
     # stage. The extra shuffle moves only the narrow pairs.
-    pair_width = (entities.sparkSession.sparkContext.defaultParallelism
-                  * 4)
     cat_pairs = (
         _salted_pairs(cat_keyed, "category", n_salt)
         .select("ia", "ib").dropDuplicates()

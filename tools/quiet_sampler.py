@@ -53,6 +53,9 @@ def main() -> int:
                          "window are below this")
     ap.add_argument("--load-gate", type=float, default=1.5)
     ap.add_argument("--timeout", type=int, default=3000)
+    ap.add_argument("--pin", action="store_true",
+                    help="taskset each sample's whole job tree to "
+                         "exactly `cores` CPUs (see tools/scaling.py)")
     ap.add_argument("--out", type=str, required=True)
     args = ap.parse_args()
 
@@ -72,7 +75,7 @@ def main() -> int:
         lv = levels[i % len(levels)]
         i += 1
         rec = _run(lv, args.servers, zip_path, None, args.timeout,
-                   pages=args.pages)
+                   pages=args.pages, pin=args.pin)
         rec["gated"] = True
         with open(args.out, "a") as fh:
             fh.write(json.dumps(rec) + "\n")
