@@ -56,8 +56,13 @@ class LinkConfig:
     # ~no recall: cap 2000 -> 256 -> 64 left the accepted edge set
     # bit-identical at 20k servers (28,717 edges) with candidates cut
     # 6.7M -> 2.1M -> 1.0M, and fixture recall stays 100% (tests).
-    # 64 -> 32 re-verified the same way at 40k servers (100k pages):
-    # triple count AND (subj,pred,obj) hash-sum identical.
+    # 64 -> 32: bit-identical triples at 40k servers (count AND
+    # (s,p,o) hash-sum); at 800k servers (2M pages) the two caps
+    # diverge by 2,111 of 60.8M triples (0.003% — buckets grow with
+    # the corpus, so a fixed cap trims more pairs at larger scale)
+    # while cutting the link phase 263s -> 152s at pinned local[8].
+    # That loss/cost point is the documented skew policy; raise the
+    # cap where recall of rare name variants outweighs join cost.
     lsh_bucket_cap: int = 32
     shingle_size: int = 3
     tfidf_prune: float | None = None     # e.g. 0.05 at 100TB scale; None = off

@@ -34,3 +34,39 @@ def test_two_components_and_long_path(spark):
     got = _run(spark, path + tri, verts)
     assert {got[str(i)] for i in range(1, 9)} == {"1"}
     assert {got[x] for x in ("x1", "x2", "x3")} == {"x1"}
+
+
+def test_min_label_matches_union_find():
+    """Property: the vectorized min-label kernel equals an exact
+    union-find on random graphs (no Spark; pure kernel check)."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from askg_spark.cc import _min_label
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(2, 60), st.lists(
+        st.tuples(st.integers(0, 59), st.integers(0, 59)), max_size=120))
+    def check(n, edge_list):
+        edges = [(a % n, b % n) for a, b in edge_list]
+        eu = np.array([a for a, _ in edges], dtype=np.int64)
+        ev = np.array([b for _, b in edges], dtype=np.int64)
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        want = [find(i) for i in range(n)]
+        got = _min_label(n, eu, ev)
+        assert got.tolist() == want
+
+    check()
