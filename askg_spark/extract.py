@@ -346,7 +346,7 @@ def extract_mentions(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
         "mime_type:string>>, "
         "prompts array<struct<name:string,description:string>>, "
         "tags array<string>, popularity_score long, download_count long, "
-        "extracted_text string, reject_reason string"
+        "reject_reason string"
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

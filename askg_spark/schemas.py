@@ -64,7 +64,12 @@ MENTIONS = StructType([
     StructField("tags", ArrayType(StringType()), True),
     StructField("popularity_score", LongType(), True),
     StructField("download_count", LongType(), True),
-    StructField("extracted_text", StringType(), True),
+    # NB: no extracted_text column — the byte-identical-text invariant
+    # is enforced INSIDE extraction (text_mismatch quarantine), and the
+    # canonical page text lives in the pages table keyed by url.
+    # Duplicating ~KB of page text into every mention row inflated the
+    # Arrow transfer + mention-cache build + spill for a column nothing
+    # downstream read.
 ])
 
 REJECTS = StructType([
