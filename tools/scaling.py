@@ -128,7 +128,7 @@ def _run(cores: int, servers: int, zip_path: str,
     if not line:
         raise RuntimeError(
             f"bench produced no JSON (rc={proc.returncode}):\n"
-            + proc.stderr[-2000:])
+            + proc.stderr[-8000:])
     rec = json.loads(line[-1])
     wall = time.monotonic() - t0
     # steal% of one core over the sample window (ticks are 10ms)
