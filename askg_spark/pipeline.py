@@ -102,9 +102,21 @@ def run_pipeline(
     # the narrower cache throttled every downstream python stage that
     # inherits its partitioning (link 95s -> 121s at local[8] with a
     # cores-wide cache).
+    # Re-key width is BYTE-bounded relative to the scan, not a bare
+    # 2x-cores: collapsing an arbitrarily wide scan to 2x cores makes
+    # cache-partition size proportional to corpus/cores — at the 4M-page
+    # corpus on local[2] that was 4 partitions x ~1.8 GB, which broke
+    # the 2 GB block-serialization limit outright, and on a real
+    # cluster it would OOM executors long before that. Coalescing by at
+    # most 8x keeps each cache partition within ~8 scan splits (scan
+    # splits are <= maxPartitionBytes of PAGES; mentions are a small
+    # fraction of that), so partition bytes stay bounded at any corpus
+    # size while over-split scans still lose their per-wave scheduling
+    # overhead.
     n_part = spark.sparkContext.defaultParallelism
-    if enriched.rdd.getNumPartitions() > 8 * n_part:
-        enriched = enriched.repartition(2 * n_part)
+    n_scan = enriched.rdd.getNumPartitions()
+    if n_scan > 8 * n_part:
+        enriched = enriched.repartition(max(2 * n_part, n_scan // 8))
     # MEMORY_AND_DISK, not MEMORY_ONLY: under the unified memory
     # manager, concurrent join/sort tasks BORROW execution memory and
     # evict cache blocks — and eviction pressure grows with task-slot
