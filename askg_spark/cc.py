@@ -183,6 +183,16 @@ def connected_components(
         key = "u" if r % 2 == 0 else "v"
         cur = cur.repartition(n_part, key).mapInPandas(
             _uf_stars, schema=_STAR_SCHEMA)
+        # Self-stars (r, r) — one per (partition, local component) —
+        # carry zero connectivity: every non-root vertex's row already
+        # names its root as v, so roots stay reachable through kept
+        # rows, and a vertex ALL of whose rows are self-stars is
+        # isolated in the star graph, which is exactly the case the
+        # singles anti-join below labels correctly. Dropping them
+        # shrinks every inter-round shuffle AND the single-task final
+        # collapse by ~the local-component count (millions of rows on
+        # web corpora, where most match groups are 2-4 mentions).
+        cur = cur.filter(F.col("u") != F.col("v"))
     labels = (
         cur.repartition(1)
         .mapInPandas(_uf_stars, schema=_STAR_SCHEMA)
