@@ -135,7 +135,8 @@ def semantic_search(entities: DataFrame, prompt: str,
 # --- W3: similar-servers top-k (neo4j_integration.py:468-488) ---------------
 
 def similar_servers(entities: DataFrame, limit: int = 10,
-                    n_salt: int = 32) -> DataFrame:
+                    n_salt: int = 32,
+                    max_entities_per_key: int | None = None) -> DataFrame:
     """Top-`limit` similar servers for EVERY server:
     score = 2*|∩categories| + |∩operations| + same_author + same_lang,
     kept when > 0, ranked (score DESC, similar_id ASC).
@@ -145,26 +146,38 @@ def similar_servers(entities: DataFrame, limit: int = 10,
     (category / operation / author / language) whose weighted union
     aggregates to exactly the reference's formula, then a per-server
     window takes the top-k. Hot keys (a category held by most of the
-    corpus) are salted n_salt ways — same skew policy as relations.py."""
-    from askg_spark.relations import _salted_pairs
+    corpus) are salted n_salt ways, and ``max_entities_per_key``
+    applies the same documented top-M-by-popularity truncation as
+    relations.py (all-pairs per shared attribute is O(n²) for any
+    engine at web scale; None = exact, the oracle-checked default)."""
+    from askg_spark.relations import _capped, _salted_pairs
 
     ent = entities.select(
-        "id", "author", "categories", "operations",
+        "id", "author", "categories", "operations", "popularity_score",
         F.col("implementation_language").alias("lang"),
     ).withColumn("idx", F.xxhash64("id"))
+
+    def keyed(df, key):
+        return _capped(df, key, max_entities_per_key)
+
     contribs = []
-    cat_keyed = ent.select("idx", F.explode("categories").alias("category"))
+    cat_keyed = keyed(ent.select("idx", "id", "popularity_score",
+                                 F.explode("categories").alias("category")),
+                      "category")
     contribs.append(_salted_pairs(cat_keyed, "category", n_salt)
                     .select("ia", "ib", F.lit(2).alias("w")))
-    op_keyed = ent.select("idx", F.explode("operations").alias("op"))
+    op_keyed = keyed(ent.select("idx", "id", "popularity_score",
+                                F.explode("operations").alias("op")), "op")
     contribs.append(_salted_pairs(op_keyed, "op", n_salt)
                     .select("ia", "ib", F.lit(1).alias("w")))
-    auth_keyed = ent.filter(
-        F.col("author").isNotNull() & (F.col("author") != "")) \
-        .select("idx", "author")
+    auth_keyed = keyed(ent.filter(
+        F.col("author").isNotNull() & (F.col("author") != ""))
+        .select("idx", "id", "popularity_score", "author"), "author")
     contribs.append(_salted_pairs(auth_keyed, "author", n_salt)
                     .select("ia", "ib", F.lit(1).alias("w")))
-    lang_keyed = ent.filter(F.col("lang").isNotNull()).select("idx", "lang")
+    lang_keyed = keyed(ent.filter(F.col("lang").isNotNull())
+                       .select("idx", "id", "popularity_score", "lang"),
+                       "lang")
     contribs.append(_salted_pairs(lang_keyed, "lang", n_salt)
                     .select("ia", "ib", F.lit(1).alias("w")))
     undirected = contribs[0]

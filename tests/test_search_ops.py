@@ -37,6 +37,22 @@ def test_similar_servers_formula(spark):
     assert got[("a/one", "b/two")][1] == 2
 
 
+def test_similar_servers_skew_cap_binds(spark):
+    ents = spark.createDataFrame(ENTS, ENT_SCHEMA)
+    # cap 1 per key: no key retains two entities, so no pair survives
+    # from any join; the truncation order is (popularity DESC, id ASC)
+    capped = similar_servers(ents, limit=10, max_entities_per_key=1)
+    assert capped.count() == 0
+    # cap 2 does not bind on this fixture (no key holds > 2 entities):
+    # result must be identical to the exact all-pairs default
+    exact = {(r["server_id"], r["similar_id"], r["score"], r["rank"])
+             for r in similar_servers(ents, limit=10).collect()}
+    got2 = {(r["server_id"], r["similar_id"], r["score"], r["rank"])
+            for r in similar_servers(
+                ents, limit=10, max_entities_per_key=2).collect()}
+    assert got2 == exact and exact
+
+
 def test_extract_search_terms_maps_and_stopwords():
     t = extract_search_terms("Find the best database servers that can read")
     assert "database" in t["categories"]
