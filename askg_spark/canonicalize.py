@@ -30,12 +30,19 @@ def _first_nonempty(col: str, ord_col: str = "ord"):
 
 
 def canonical_entities(enriched_with_component: DataFrame) -> DataFrame:
-    """mentions+component -> one canonical entity row per component."""
-    w = Window.partitionBy("component").orderBy(
-        F.desc("completeness"), F.asc("url"))
-    m = enriched_with_component.withColumn("ord", F.row_number().over(w))
+    """mentions+component -> one canonical entity row per component.
 
-    tools_flat = F.flatten(F.array_compact(F.collect_list("tools")))
+    `ord` is the merge order (completeness DESC, url ASC) encoded
+    directly as an ascending-comparable struct — min_by and sort_array
+    compare structs field-by-field, so the order needs NO
+    row_number window: a window would force exchange + full SORT of
+    the wide mention payload before the aggregate, while the plain
+    groupBy plans as a single exchange + hash aggregate. url is unique
+    per mention (J10 in-scrape dedup), so the order is total and the
+    result identical to the former window-rank formulation."""
+    m = enriched_with_component.withColumn(
+        "ord", F.struct((-F.col("completeness")).alias("nc"),
+                        F.col("url").alias("u")))
     ent = m.groupBy("component").agg(
         _first_nonempty("name").alias("name"),
         _first_nonempty("author").alias("author"),

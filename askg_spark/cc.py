@@ -28,10 +28,19 @@ Scale design / measured rationale:
     scheduling latency on tiny label frames. This plan is 4 shuffles
     + 4 mapInPandas total (3 contraction rounds u/v/u — the final
     u-keyed round collapses each vertex's per-partition duplicate star
-    rows so the serial single-task pass reads ~one row per vertex),
-    materialized once by the downstream join —
-    no localCheckpoint (the plan is linear, not iterative), so the
-    MEMORY_ONLY-eviction failure mode flagged in ADVICE.md is gone.
+    rows so the serial single-task pass reads ~one row per vertex)
+    plus three narrow relabel joins, executed once (label frames are
+    localCheckpointed at MEMORY_AND_DISK, the safe level per ADVICE
+    r1, because Spark 4 plan-matching is unreliable for mapInPandas
+    plans under AQE).
+  * Hash-coded rows: the contraction shuffles (xxhash64(u),
+    xxhash64(v)) int64 pairs, not url strings — 16 B rows, and the
+    serial collapse factorizes with np.unique over int64 instead of a
+    string factorize + argsort (~15 of its ~21s wall at the 4M-page
+    corpus was string handling). The min-string-per-component contract
+    is restored by parallel joins against the (id, hash) vertex map;
+    64-bit injectivity is verified first, with an exact string-coded
+    fallback on collision.
   * Memory bound: the final task holds one row per vertex incident to
     an edge — the MATCHED mention set, orders of magnitude smaller
     than the corpus (at 10^12 pages the candidate-match graph is the
@@ -57,6 +66,35 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F
 
 _STAR_SCHEMA = "u string, v string"
+
+
+_STAR_SCHEMA_LONG = "u long, v long"
+
+
+def _uf_stars_long(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """int64-coded variant of :func:`_uf_stars` — the hot path.
+
+    Vertex ids arrive as 64-bit codes (xxhash64 of the id string,
+    assigned by a zero-shuffle projection in ``connected_components``),
+    so the per-partition work is ``np.unique`` over int64 instead of
+    ``pd.factorize`` + an O(n log n) **string** argsort: measured on a
+    4M-row star frame, factorize 7.5s + argsort 4.4s + remap 2.5s of
+    the serial collapse's ~21s wall were pure string handling. np.unique
+    returns codes indexed into the SORTED unique array, so min-over-code
+    is min-over-hash-value — deterministic (fixed xxhash64 seed)."""
+    import numpy as np
+
+    parts = [pdf for pdf in batches if len(pdf)]
+    if not parts:
+        yield pd.DataFrame({"u": pd.Series([], dtype="int64"),
+                            "v": pd.Series([], dtype="int64")})
+        return
+    pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+    arr = np.concatenate([pdf["u"].to_numpy(), pdf["v"].to_numpy()])
+    uniq, codes = np.unique(arr, return_inverse=True)
+    n_edges = len(pdf)
+    roots = _min_label(len(uniq), codes[:n_edges], codes[n_edges:])
+    yield pd.DataFrame({"u": uniq, "v": uniq[roots]})
 
 
 def _uf_stars(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -159,10 +197,23 @@ def connected_components(
 
     ``contract_rounds`` parallel contraction rounds (alternating
     endpoint hashing) then one exact single-partition collapse — a
-    linear plan executed once, with a single driver sync (the label
-    checkpoint below) instead of the round-1 loop's O(log n) syncs.
-    ``max_iter`` caps the rounds (API compatibility with the round-1
-    iterative implementation)."""
+    linear plan executed once, with a handful of driver syncs (the
+    label/vmap checkpoints below) instead of the round-1 loop's
+    O(log n) syncs. ``max_iter`` caps the rounds (API compatibility
+    with the round-1 iterative implementation).
+
+    The contraction runs over xxhash64 int64 codes of the ids (a
+    zero-shuffle projection): shuffled star rows are 16 B instead of
+    ~80 B url strings, and the one serial task (final collapse) does
+    np.unique over int64 instead of string factorize + argsort —
+    measured ~15s of the ~21s serial wall at the 4M-page corpus was
+    string handling. The min-STRING-per-component contract is restored
+    afterwards by three parallel narrow joins against the (id, hash)
+    vertex map. 64-bit codes are verified injective over the matched
+    vertex set first (one count-per-hash aggregation; birthday bound
+    ~n^2/2^65, so a collision is possible in principle at >=1e8 matched
+    vertices); on a collision the string-coded path runs instead, so
+    correctness never depends on the hash."""
     spark = edges.sparkSession
     # Contraction width follows CORE count, not the (4x larger)
     # shuffle-partition conf: a round's output carries one star row per
@@ -175,43 +226,102 @@ def connected_components(
     # contract_partitions explicitly for graphs whose edges-per-core
     # exceed partition memory.
     n_part = contract_partitions or spark.sparkContext.defaultParallelism
+    rounds = min(contract_rounds, max_iter)
     cur = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .filter(F.col("u") != F.col("v"))
     )
-    for r in range(min(contract_rounds, max_iter)):
-        key = "u" if r % 2 == 0 else "v"
-        cur = cur.repartition(n_part, key).mapInPandas(
-            _uf_stars, schema=_STAR_SCHEMA)
-        # Self-stars (r, r) — one per (partition, local component) —
-        # carry zero connectivity: every non-root vertex's row already
-        # names its root as v, so roots stay reachable through kept
-        # rows, and a vertex ALL of whose rows are self-stars is
-        # isolated in the star graph, which is exactly the case the
-        # singles anti-join below labels correctly. Dropping them
-        # shrinks every inter-round shuffle AND the single-task final
-        # collapse by ~the local-component count (millions of rows on
-        # web corpora, where most match groups are 2-4 mentions).
-        cur = cur.filter(F.col("u") != F.col("v"))
-    labels = (
-        cur.repartition(1)
-        .mapInPandas(_uf_stars, schema=_STAR_SCHEMA)
-        .select(F.col("u").alias("id"), F.col("v").alias("label"))
-    )
-    # The label frame is referenced TWICE below (the union and the
-    # singles anti-join). Measured on Spark 4 local mode: relying on
-    # plan-matching (persist) to dedupe the two references is NOT
-    # reliable for plans containing Python mapInPandas stages under
-    # AQE — the event log shows the full upstream DAG re-executing per
-    # reference. localCheckpoint truncates the plan to a leaf, so the
-    # contraction chain runs exactly once no matter how many consumers
-    # reference it. Labels hold one row per vertex incident to an edge
-    # (the matched-mention set), orders of magnitude smaller than the
-    # corpus, so the checkpoint is cheap even at 10^12 documents.
-    labels = labels.localCheckpoint(
-        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    labels = _int_coded_labels(cur, n_part, rounds)
+    if labels is None:  # 64-bit code collision — exact string path
+        labels = _string_coded_labels(cur, n_part, rounds)
     # vertices touching no edge are their own component
     singles = vertices.join(labels.select("id"), "id", "left_anti") \
         .select("id", F.col("id").alias("label"))
     return labels.unionByName(singles) \
         .select("id", F.col("label").alias("component"))
+
+
+def _contract(cur: DataFrame, star_fn, schema: str, n_part: int,
+              rounds: int) -> DataFrame:
+    """``rounds`` alternating-key contraction rounds, then the exact
+    single-partition collapse, checkpointed to a leaf.
+
+    Self-stars (r, r) — one per (partition, local component) — carry
+    zero connectivity: every non-root vertex's row already names its
+    root as v, so roots stay reachable through kept rows, and a vertex
+    ALL of whose rows are self-stars is isolated in the star graph,
+    which is exactly the case the singles anti-join labels correctly.
+    Dropping them between rounds shrinks every inter-round shuffle AND
+    the single-task final collapse by ~the local-component count
+    (millions of rows on web corpora, where most match groups are 2-4
+    mentions).
+
+    The output is referenced more than once downstream. Measured on
+    Spark 4 local mode: relying on plan-matching (persist) to dedupe
+    multiple references is NOT reliable for plans containing Python
+    mapInPandas stages under AQE — the event log shows the full
+    upstream DAG re-executing per reference. localCheckpoint truncates
+    the plan to a leaf, so the contraction chain runs exactly once no
+    matter how many consumers reference it. Star rows hold ~one row per
+    vertex incident to an edge (the matched-mention set), orders of
+    magnitude smaller than the corpus, so the checkpoint is cheap even
+    at 10^12 documents."""
+    for r in range(rounds):
+        key = "u" if r % 2 == 0 else "v"
+        cur = cur.repartition(n_part, key).mapInPandas(
+            star_fn, schema=schema)
+        cur = cur.filter(F.col("u") != F.col("v"))
+    return (
+        cur.repartition(1).mapInPandas(star_fn, schema=schema)
+        .localCheckpoint(eager=True,
+                         storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def _int_coded_labels(cur: DataFrame, n_part: int,
+                      rounds: int) -> DataFrame | None:
+    """Hash-coded contraction + min-string relabel; None on collision.
+
+    vmap (one row per matched vertex: id string + xxhash64 code) is the
+    only frame that carries strings; the contraction itself shuffles
+    16-byte rows. The relabel is three narrow equi-joins/aggs — all
+    parallel, no driver data: (code, root_code) x vmap -> (id,
+    root_code); min(id) per root_code -> the component's lexicographic
+    min string; join back. Every frame involved is bounded by the
+    matched vertex set, not the corpus."""
+    vmap = (
+        cur.select("u").unionAll(cur.select(F.col("v").alias("u")))
+        .distinct()
+        .select(F.col("u").alias("id"), F.xxhash64("u").alias("id_h"))
+        .localCheckpoint(eager=True,
+                         storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
+    collided = not (
+        vmap.groupBy("id_h").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1).isEmpty()
+    )
+    if collided:
+        vmap.unpersist()
+        return None
+    ints = cur.select(F.xxhash64("u").alias("u"),
+                      F.xxhash64("v").alias("v"))
+    lab_int = _contract(ints, _uf_stars_long, _STAR_SCHEMA_LONG,
+                        n_part, rounds)
+    joined = lab_int.join(
+        vmap, lab_int["u"] == vmap["id_h"]).select("id", "v")
+    comp_min = joined.groupBy("v").agg(F.min("id").alias("label"))
+    return (
+        joined.join(comp_min, "v").select("id", "label")
+        .localCheckpoint(eager=True,
+                         storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def _string_coded_labels(cur: DataFrame, n_part: int,
+                         rounds: int) -> DataFrame:
+    """Exact string-coded contraction (the pre-hash-coding path); only
+    runs when the 64-bit injectivity check fails."""
+    return (
+        _contract(cur, _uf_stars, _STAR_SCHEMA, n_part, rounds)
+        .select(F.col("u").alias("id"), F.col("v").alias("label"))
+    )

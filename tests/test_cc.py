@@ -70,3 +70,19 @@ def test_min_label_matches_union_find():
         assert got.tolist() == want
 
     check()
+
+
+def test_string_fallback_path_matches(spark):
+    """The exact string-coded path (taken on a 64-bit code collision)
+    labels identically to the hash-coded default."""
+    from pyspark.sql import functions as F
+    from askg_spark.cc import _string_coded_labels
+
+    edges = [("b", "a"), ("b", "c"), ("c", "d"), ("q", "p")]
+    e = (spark.createDataFrame(edges, "src string, dst string")
+         .select(F.col("src").alias("u"), F.col("dst").alias("v")))
+    n_part = spark.sparkContext.defaultParallelism
+    got = {r["id"]: r["label"]
+           for r in _string_coded_labels(e, n_part, 3).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a",
+                   "p": "p", "q": "p"}
