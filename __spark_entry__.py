@@ -121,6 +121,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from askg_spark.metrics import metadata_completeness
         return metadata_completeness(_kg_run(spark, sf).mentions)
 
+    def kg_canonical_groups(spark, sf):
+        # J1-J3 exact linking + CC + A2 canonical merge + P9/P11
+        # global-ID cascade under the exact SQL oracle: every 10th doc
+        # is planted as a cross-registry duplicate (same name/author in
+        # the glama JSON page family, plus a repository URL the mcp.so
+        # page lacks), so per-doc group size, registry union, the
+        # prefer-non-empty repository fill and the repo-id branch of
+        # the ID cascade are all closed-form per doc_id.
+        from askg_spark.pipeline import PipelineConfig, run_pipeline
+        from askg_spark.webcorpus import render_glama_pages, render_pages
+        docs = _t(spark, sf, "documents")
+        pages = render_pages(docs).unionByName(
+            render_glama_pages(docs.filter(F.col("doc_id") % 10 == 0)))
+        res = run_pipeline(spark, pages, PipelineConfig())
+        return res.entities.select(
+            "id",
+            F.size("member_urls").cast("int").alias("n_mentions"),
+            F.array_join("registry_sources", ",").alias("registries"),
+            "repository")
+
     def kg_relations_capped(spark, sf):
         # J7 with the skew cap ON (top-M entities per hot key by
         # popularity desc, id asc — relations.py): the documented
@@ -262,6 +282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_similar_servers": kg_similar_servers,
         "kg_semantic_search": kg_semantic_search,
         "registry_completeness": registry_completeness,
+        "kg_canonical_groups": kg_canonical_groups,
         "kg_relations_capped": kg_relations_capped,
         "kg_fixture_entities": kg_fixture_entities,
         "doc_token_stats": doc_token_stats,
@@ -496,6 +517,27 @@ SELECT 'mcp.so' AS registry,
        CAST(0.0 AS DOUBLE) AS pct_homepage,
        CAST((n + n_desc + n) * 100.0 / (n * 7) AS DOUBLE) AS pct_overall
 FROM base
+""",
+        # planted-duplicate canonicalization: every 10th doc appears in
+        # both the mcp.so and glama page families with the same
+        # (name, author); groups, registry unions, the repo fill and
+        # the global id are closed-form per doc_id
+        "kg_canonical_groups": """
+WITH m AS (
+  SELECT doc_id, source AS author,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) || '-' ||
+           CAST(doc_id AS VARCHAR) AS name
+  FROM documents
+)
+SELECT author || '/' || name AS id,
+       CAST(CASE WHEN doc_id % 10 = 0 THEN 2 ELSE 1 END AS INTEGER)
+         AS n_mentions,
+       CASE WHEN doc_id % 10 = 0 THEN 'glama,mcp.so' ELSE 'mcp.so' END
+         AS registries,
+       CASE WHEN doc_id % 10 = 0
+            THEN 'https://github.com/' || author || '/' || name END
+         AS repository
+FROM m
 """,
         # J7 skew cap mirror: top-50 per key by (popularity DESC NULLS
         # LAST, id ASC); popularity is NULL corpus-wide here so the id

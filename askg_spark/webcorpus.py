@@ -34,6 +34,36 @@ def doc_name(doc_id: F.Column) -> F.Column:
         F.lit("-"), doc_id.cast("string"))
 
 
+def render_glama_pages(documents: DataFrame) -> DataFrame:
+    """documents -> planted cross-registry duplicates in the glama
+    JSON-API page family (extract._parse_glama; scrapers.py:768-830).
+
+    Each page carries the SAME (name, author) as render_pages' mcp.so
+    page for the doc — an exact J2 (name+author) match — plus a
+    repository URL the mcp.so page lacks, so the canonical merge's
+    prefer-non-empty fill (A2) and the global-ID cascade's repo-id
+    branch (P9/P11) are exercised on an oracle-checkable path: the
+    repo-id normalizes to the same `author/name` id the mcp.so-only
+    entity would get, keeping the group id closed-form in SQL."""
+    name = doc_name(F.col("doc_id"))
+    author = F.col("source")
+    body = F.to_json(F.struct(F.array(F.struct(
+        name.alias("name"),
+        author.alias("author"),
+        F.concat(F.lit("https://github.com/"), author, F.lit("/"), name
+                 ).alias("repository"),
+    )).alias("servers")))
+    return documents.select(
+        F.concat(F.lit("https://glama.ai/api/servers/"), name).alias("url"),
+        (F.to_timestamp(F.lit(EPOCH))
+         + F.make_interval(secs=F.col("doc_id").cast("double") + F.lit(0.5))
+         ).alias("warc_ts"),
+        body.cast("binary").alias("html"),
+        body.alias("text"),
+        F.col("lang").alias("lang"),
+    )
+
+
 def render_pages(documents: DataFrame) -> DataFrame:
     """documents(doc_id, text, lang, source, ...) -> pages."""
     name = doc_name(F.col("doc_id"))
