@@ -141,6 +141,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.array_join("registry_sources", ",").alias("registries"),
             "repository")
 
+    def kg_fuzzy_groups(spark, sf):
+        # J4 (LSH blocking) + J5 (weighted difflib scoring) under the
+        # exact SQL oracle: planted near-duplicate names that NO exact
+        # key links (see webcorpus.render_fuzzy_pages) — every 10th
+        # doc's pair merges iff its composite score clears the strict
+        # 0.7 threshold, which reduces to "doc text non-empty"
+        # (0.9 > 0.7) vs empty (exactly 0.7 -> no merge); the oracle
+        # mirrors both branches including the boundary.
+        from askg_spark.pipeline import PipelineConfig, run_pipeline
+        from askg_spark.webcorpus import render_fuzzy_pages
+        docs = _t(spark, sf, "documents")
+        res = run_pipeline(spark, render_fuzzy_pages(docs),
+                           PipelineConfig())
+        return res.entities.select(
+            "id",
+            F.size("member_urls").cast("int").alias("n_mentions"),
+            "repository")
+
     def kg_relations_capped(spark, sf):
         # J7 with the skew cap ON (top-M entities per hot key by
         # popularity desc, id asc — relations.py): the documented
@@ -283,6 +301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_semantic_search": kg_semantic_search,
         "registry_completeness": registry_completeness,
         "kg_canonical_groups": kg_canonical_groups,
+        "kg_fuzzy_groups": kg_fuzzy_groups,
         "kg_relations_capped": kg_relations_capped,
         "kg_fixture_entities": kg_fixture_entities,
         "doc_token_stats": doc_token_stats,
@@ -538,6 +557,33 @@ SELECT author || '/' || name AS id,
             THEN 'https://github.com/' || author || '/' || name END
          AS repository
 FROM m
+""",
+        # planted FUZZY near-duplicates (no exact key links them): the
+        # pair merges iff the composite score clears the STRICT 0.7
+        # threshold = iff the doc text is non-empty (author .3 +
+        # desc .2 + categories .2 + same-github-org .2 = .9; without
+        # desc exactly .7 -> no merge). Unmerged variant pages surface
+        # as their own entities with the '-alt' repo id.
+        "kg_fuzzy_groups": """
+WITH m AS (
+  SELECT doc_id, source AS author,
+         md5(CAST(doc_id AS VARCHAR)) || '-' ||
+           CAST(doc_id AS VARCHAR) AS stem,
+         (text IS NOT NULL AND text <> '') AS has_desc
+  FROM documents
+)
+SELECT author || '/' || stem || '-qq' AS id,
+       CAST(CASE WHEN doc_id % 10 = 0 AND has_desc THEN 2 ELSE 1 END
+            AS INTEGER) AS n_mentions,
+       'https://github.com/' || author || '/' || stem || '-qq'
+         AS repository
+FROM m
+UNION ALL
+SELECT author || '/' || stem || '-qq-alt' AS id,
+       CAST(1 AS INTEGER) AS n_mentions,
+       'https://github.com/' || author || '/' || stem || '-qq-alt'
+         AS repository
+FROM m WHERE doc_id % 10 = 0 AND NOT has_desc
 """,
         # J7 skew cap mirror: top-50 per key by (popularity DESC NULLS
         # LAST, id ASC); popularity is NULL corpus-wide here so the id

@@ -64,6 +64,69 @@ def render_glama_pages(documents: DataFrame) -> DataFrame:
     )
 
 
+def _esc(col: F.Column) -> F.Column:
+    """Minimal HTML attribute escaping (mirrors render_pages)."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.coalesce(col, F.lit("")), "&", "&amp;"),
+            "<", "&lt;"),
+        '"', "&quot;")
+
+
+def _fuzzy_page(documents: DataFrame, variant: bool) -> DataFrame:
+    stem = F.concat(F.md5(F.col("doc_id").cast("string")), F.lit("-"),
+                    F.col("doc_id").cast("string"))
+    name = F.concat(stem, F.lit("-qz" if variant else "-qq"))
+    author = F.col("source")
+    repo = F.concat(F.lit("https://github.com/"), author, F.lit("/"),
+                    stem, F.lit("-qq-alt" if variant else "-qq"))
+    title = F.concat(name, F.lit(" by "), author)
+    esc = _esc(F.col("text"))
+    html_str = F.concat(
+        F.lit("<html><head><title>"), title, F.lit("</title>"),
+        F.lit('<meta name="description" content="'), esc, F.lit('">'),
+        F.lit("</head><body><h1>"), title, F.lit('</h1><a href="'),
+        repo, F.lit('">code</a></body></html>'),
+    )
+    visible = F.concat(title, F.lit("\n"), title, F.lit("\ncode"))
+    return documents.select(
+        F.concat(F.lit("https://mcp.so/server/"), name, F.lit("/"), author
+                 ).alias("url"),
+        (F.to_timestamp(F.lit(EPOCH))
+         + F.make_interval(secs=F.col("doc_id").cast("double")
+                           + F.lit(0.25 if variant else 0.0))
+         ).alias("warc_ts"),
+        html_str.cast("binary").alias("html"),
+        visible.alias("text"),
+        F.col("lang").alias("lang"),
+    )
+
+
+def render_fuzzy_pages(documents: DataFrame) -> DataFrame:
+    """Planted FUZZY near-duplicates for the J4/J5 linking path — no
+    exact key fires, only LSH blocking + difflib scoring can link them.
+
+    Every doc renders as an mcp.so page whose name is the full-width
+    md5 stem (~38 chars normalized: the 3-gram shingle Jaccard of a
+    one-final-char edit is (L-3)/(L-1) ~ 0.95, so the 8-band r=2
+    minhash catches every planted pair with P(miss) ~ 4e-8 per pair —
+    and deterministically so under the fixed xxhash64 seeds); every
+    10th doc renders AGAIN with the final name char edited
+    ('-qq' -> '-qz': no classifier keyword ends in 'q' or 'z', so the
+    category sets stay identical) and a different repository under the
+    SAME github owner. Exact keys all differ (repo url, name+author,
+    content hash); the composite score (deduplication.py:223-262) is
+    closed-form: author 1.0x0.3 + desc 1.0x0.2 (iff the doc text is
+    non-empty) + categories 1.0x0.2 + same-github-org 0.2 = 0.9 > 0.7
+    -> merge, or exactly 0.7 when the text is empty -> NO merge (the
+    reference's strict inequality) — both branches mirrored by the SQL
+    oracle (__spark_entry__.oracle_sql()['kg_fuzzy_groups'])."""
+    base = _fuzzy_page(documents, variant=False)
+    dup = _fuzzy_page(
+        documents.filter(F.col("doc_id") % 10 == 0), variant=True)
+    return base.unionByName(dup)
+
+
 def render_pages(documents: DataFrame) -> DataFrame:
     """documents(doc_id, text, lang, source, ...) -> pages."""
     name = doc_name(F.col("doc_id"))
