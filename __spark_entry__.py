@@ -159,6 +159,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.size("member_urls").cast("int").alias("n_mentions"),
             "repository")
 
+    def kg_resource_triples(spark, sf):
+        # S10 sub-entities end-to-end: planted resources[]/prompts[]
+        # in the glama JSON family (webcorpus.render_resource_pages)
+        # -> parse -> keyed merge -> HAS_RESOURCE / HAS_PROMPT triples
+        # (neo4j_integration.py:269-292), each obj closed-form in SQL
+        from askg_spark.pipeline import PipelineConfig, run_pipeline
+        from askg_spark.webcorpus import render_resource_pages
+        docs = _t(spark, sf, "documents")
+        res = run_pipeline(spark, render_resource_pages(docs),
+                           PipelineConfig())
+        return (res.triples
+                .filter(F.col("pred").isin("HAS_RESOURCE", "HAS_PROMPT"))
+                .select("subj", "pred", "obj"))
+
     def kg_relations_capped(spark, sf):
         # J7 with the skew cap ON (top-M entities per hot key by
         # popularity desc, id asc — relations.py): the documented
@@ -302,6 +316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "registry_completeness": registry_completeness,
         "kg_canonical_groups": kg_canonical_groups,
         "kg_fuzzy_groups": kg_fuzzy_groups,
+        "kg_resource_triples": kg_resource_triples,
         "kg_relations_capped": kg_relations_capped,
         "kg_fixture_entities": kg_fixture_entities,
         "doc_token_stats": doc_token_stats,
@@ -508,6 +523,27 @@ scored AS (
   FROM ent e JOIN cats c ON e.id = c.id)
 SELECT id, name, score FROM scored
 ORDER BY score DESC, id LIMIT 10
+""",
+        # S10 sub-entity triples: obj strings are pure functions of
+        # (doc_id, source) per webcorpus.render_resource_pages — one
+        # readme resource always, an api.json resource on even ids, a
+        # `<name>-usage` prompt on ids divisible by 3; the entity id
+        # is the closed-form `author/name` via the planted repository
+        "kg_resource_triples": """
+WITH m AS (
+  SELECT doc_id, source AS author,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) || '-' ||
+           CAST(doc_id AS VARCHAR) AS name
+  FROM documents),
+ent AS (SELECT doc_id, author, name, author || '/' || name AS id FROM m)
+SELECT id AS subj, 'HAS_RESOURCE' AS pred,
+       'file:///data/' || name || '/readme.txt' AS obj FROM ent
+UNION ALL
+SELECT id, 'HAS_RESOURCE',
+       'https://' || author || '.example.com/' || name || '/api.json'
+FROM ent WHERE doc_id % 2 = 0
+UNION ALL
+SELECT id, 'HAS_PROMPT', name || '-usage' FROM ent WHERE doc_id % 3 = 0
 """,
         # A5: every rendered page yields one mcp.so mention; name and
         # author are always present, description iff the document text

@@ -84,6 +84,11 @@ def ngram_jaccard_pairs(
     g = df.select("doc_id", F.explode(token_ngrams(F.col("text"), n))
                   .alias("gram"))
     sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    # posting lists join on 8-byte xxhash64 gram keys, not strings —
+    # same trade as the minhash path (LSH band keys): the gram shuffle
+    # is the dominant byte volume at web scale, and a 64-bit collision
+    # only adds one spurious common-gram count (P ~ m^2/2^64)
+    g = g.select("doc_id", F.xxhash64("gram").alias("gram"))
     if max_gram_df is not None:
         hot = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df_"))
         g = g.join(hot.filter(F.col("df_") <= max_gram_df).select("gram"),

@@ -64,6 +64,63 @@ def render_glama_pages(documents: DataFrame) -> DataFrame:
     )
 
 
+def render_resource_pages(documents: DataFrame) -> DataFrame:
+    """Planted resources[]/prompts[] sub-entities in the glama JSON
+    page family (extract._parse_glama; models.py:47-57 MCPResource /
+    MCPPrompt) so the S10 sub-entity path — parse -> keyed merge
+    (canonicalize.keyed_merge, resources by uri / prompts by name) ->
+    HAS_RESOURCE / HAS_PROMPT triples (neo4j_integration.py:269-292)
+    — runs under a closed-form SQL oracle.
+
+    Per doc: one always-present resource (`file:///data/<name>/
+    readme.txt`), a second resource on even doc_ids, and one prompt
+    (`<name>-usage`) on doc_ids divisible by 3 — each obj a pure
+    string function of (doc_id, source), mirrored exactly by
+    __spark_entry__.oracle_sql()['kg_resource_triples']. The page
+    carries the same repository as render_glama_pages, so the
+    global-ID cascade lands on the closed-form `author/name` id."""
+    name = doc_name(F.col("doc_id"))
+    author = F.col("source")
+    res0 = F.struct(
+        F.concat(F.lit("file:///data/"), name, F.lit("/readme.txt")
+                 ).alias("uri"),
+        F.lit("readme").alias("name"),
+        F.lit("bundled readme").alias("description"),
+        F.lit("text/plain").alias("mime_type"))
+    res1 = F.struct(
+        F.concat(F.lit("https://"), author, F.lit(".example.com/"), name,
+                 F.lit("/api.json")).alias("uri"),
+        F.lit("api-spec").alias("name"),
+        F.lit(None).cast("string").alias("description"),
+        F.lit("application/json").alias("mime_type"))
+    resources = F.when(F.col("doc_id") % 2 == 0, F.array(res0, res1)) \
+                 .otherwise(F.array(res0))
+    prompt0 = F.struct(
+        F.concat(name, F.lit("-usage")).alias("name"),
+        F.lit("usage guide").alias("description"))
+    # no otherwise -> NULL: to_json drops the field, the parser's
+    # `s.get("prompts") or []` treats absent as none-present
+    prompts = F.when(F.col("doc_id") % 3 == 0, F.array(prompt0))
+    body = F.to_json(F.struct(F.array(F.struct(
+        name.alias("name"),
+        author.alias("author"),
+        F.concat(F.lit("https://github.com/"), author, F.lit("/"), name
+                 ).alias("repository"),
+        resources.alias("resources"),
+        prompts.alias("prompts"),
+    )).alias("servers")))
+    return documents.select(
+        F.concat(F.lit("https://glama.ai/api/servers/res-"), name
+                 ).alias("url"),
+        (F.to_timestamp(F.lit(EPOCH))
+         + F.make_interval(secs=F.col("doc_id").cast("double") + F.lit(0.75))
+         ).alias("warc_ts"),
+        body.cast("binary").alias("html"),
+        body.alias("text"),
+        F.col("lang").alias("lang"),
+    )
+
+
 def _esc(col: F.Column) -> F.Column:
     """Minimal HTML attribute escaping (mirrors render_pages)."""
     return F.regexp_replace(
