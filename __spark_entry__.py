@@ -173,6 +173,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .filter(F.col("pred").isin("HAS_RESOURCE", "HAS_PROMPT"))
                 .select("subj", "pred", "obj"))
 
+    def stream_changed_pages(spark, sf):
+        # C1 freshness cache as the applyInPandasWithState operator
+        # (streaming.changed_pages_extract): each doc's page is crawled
+        # 3x — original, byte-identical re-crawl (+1000s, suppressed by
+        # the per-url fingerprint state), and for every 5th doc a
+        # changed body (+2000s, emitted). The emission set is
+        # closed-form: one row per doc + one per doc_id % 5 == 0.
+        import tempfile
+        from askg_spark.streaming import changed_pages_extract
+        from askg_spark.webcorpus import render_pages
+        base = tempfile.mkdtemp(prefix="askg_stream_q_")
+        docs = _t(spark, sf, "documents")
+        pages = render_pages(docs)
+        recrawl = pages.withColumn(
+            "warc_ts", F.col("warc_ts") + F.make_interval(secs=F.lit(1000.0)))
+        changed = render_pages(docs.filter(F.col("doc_id") % 5 == 0)) \
+            .withColumn(
+                "warc_ts",
+                F.col("warc_ts") + F.make_interval(secs=F.lit(2000.0))) \
+            .withColumn(
+                "html", F.concat(F.col("html").cast("string"),
+                                 F.lit("<!--v2-->")).cast("binary"))
+        (pages.unionByName(recrawl).unionByName(changed)
+         .write.mode("overwrite").parquet(f"{base}/pages"))
+        changed_pages_extract(spark, f"{base}/pages", f"{base}/out",
+                              f"{base}/ckpt")
+        return spark.read.parquet(f"{base}/out").select("url", "warc_ts")
+
     def kg_relations_capped(spark, sf):
         # J7 with the skew cap ON (top-M entities per hot key by
         # popularity desc, id asc — relations.py): the documented
@@ -317,6 +345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical_groups": kg_canonical_groups,
         "kg_fuzzy_groups": kg_fuzzy_groups,
         "kg_resource_triples": kg_resource_triples,
+        "stream_changed_pages": stream_changed_pages,
         "kg_relations_capped": kg_relations_capped,
         "kg_fixture_entities": kg_fixture_entities,
         "doc_token_stats": doc_token_stats,
@@ -544,6 +573,26 @@ SELECT id, 'HAS_RESOURCE',
 FROM ent WHERE doc_id % 2 = 0
 UNION ALL
 SELECT id, 'HAS_PROMPT', name || '-usage' FROM ent WHERE doc_id % 3 = 0
+""",
+        # C1 stateful freshness gate: emitted = first crawl of every
+        # url + the changed third crawl of every 5th doc; the
+        # byte-identical +1000s re-crawl is suppressed by per-url state
+        "stream_changed_pages": """
+WITH m AS (
+  SELECT doc_id, source AS author,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) || '-' ||
+           CAST(doc_id AS VARCHAR) AS name
+  FROM documents),
+u AS (
+  SELECT doc_id,
+         'https://mcp.so/server/' || name || '/' || author AS url,
+         TIMESTAMP '2025-06-01 00:00:00'
+           + doc_id * INTERVAL 1 SECOND AS ts
+  FROM m)
+SELECT url, ts AS warc_ts FROM u
+UNION ALL
+SELECT url, ts + INTERVAL 2000 SECOND AS warc_ts
+FROM u WHERE doc_id % 5 = 0
 """,
         # A5: every rendered page yields one mcp.so mention; name and
         # author are always present, description iff the document text

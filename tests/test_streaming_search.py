@@ -46,3 +46,47 @@ def test_search_entities_scoring_and_ranking(spark):
     assert [r["id"] for r in got] == ["a4", "a1", "a2"]
     assert got[0]["score"] == 18.05
     assert got[1]["score"] == 8.1  # desc hit + 100*0.001
+
+
+def test_changed_pages_stateful_freshness_gate(spark, tmp_path):
+    """applyInPandasWithState freshness cache: per-url state suppresses
+    byte-identical re-crawls across SEPARATE AvailableNow invocations
+    (state survives via the checkpoint), passes changed/new urls."""
+    import datetime as dt
+
+    from askg_spark.streaming import changed_pages_extract
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "changed")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2025, 6, 1)
+
+    def page(url, ts_off, body):
+        return (url, t0 + dt.timedelta(seconds=ts_off),
+                body.encode(), body, "en")
+
+    schema = ("url string, warc_ts timestamp, html binary, "
+              "text string, lang string")
+    spark.createDataFrame(
+        [page("u1", 0, "<html>a</html>"), page("u2", 1, "<html>b</html>")],
+        schema).write.mode("append").parquet(pages_dir)
+    n1 = changed_pages_extract(spark, pages_dir, out_dir, ckpt)
+    assert n1 == 2  # both urls brand-new
+
+    # u1 re-crawled byte-identical (suppressed by state), u2 changed,
+    # u3 new; plus an in-batch flip for u3 (two rows, both emitted)
+    spark.createDataFrame(
+        [page("u1", 100, "<html>a</html>"),
+         page("u2", 101, "<html>B2</html>"),
+         page("u3", 102, "<html>c</html>"),
+         page("u3", 103, "<html>c2</html>")],
+        schema).write.mode("append").parquet(pages_dir)
+    n2 = changed_pages_extract(spark, pages_dir, out_dir, ckpt)
+    assert n2 == 3  # u2 change + u3 twice; u1 suppressed
+
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 5
+    assert got.filter("url = 'u1'").count() == 1
+
+    # third run, no new files: checkpoint drains nothing
+    assert changed_pages_extract(spark, pages_dir, out_dir, ckpt) == 0
