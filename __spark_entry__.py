@@ -711,7 +711,13 @@ SELECT doc_id,
        len(list_filter(toks, x -> length(x) > 20)) AS n_long_tokens,
        length(coalesce(text, '')) AS n_chars,
        length(regexp_replace(coalesce(text, ''), '[^A-Za-z]', '', 'g'))
-         AS n_alpha_chars
+         AS n_alpha_chars,
+       length(regexp_replace(coalesce(text, ''),
+                             '[A-Za-z0-9 \\t\\n\\r\\f]', '', 'g'))
+         AS n_punct_chars,
+       len(regexp_extract_all(coalesce(text, ''),
+                              ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\r\\f]+'))
+         AS n_bpe_tokens
 FROM t
 """,
         "doc_lang_id": f"""

@@ -37,6 +37,23 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text)).cast("long")
 
 
+# BPE-ish pretokenizer: the GPT-2 split classes (optionally space-
+# prefixed letter runs / digit runs / punct runs) minus the lookahead
+# tail rule, which RE2 (the DuckDB oracle engine) cannot express —
+# whitespace between matches is simply not counted. ASCII classes so
+# Java (Spark) and RE2 (DuckDB) agree byte-for-byte.
+BPE_TOKEN_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\f]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Subword-ish token count: matches of BPE_TOKEN_RE (letter runs,
+    digit runs, punctuation runs — each optionally space-prefixed).
+    Tracks BPE vocab token counts far better than whitespace counting
+    on punctuation-dense or CJK text; pure JVM regexp_count."""
+    return F.regexp_count(F.coalesce(text, F.lit("")),
+                          F.lit(BPE_TOKEN_RE)).cast("long")
+
+
 def quality_counts(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
     """Per-document quality signals as exact integer counts:
@@ -57,6 +74,12 @@ def quality_counts(df: DataFrame, text_col: str = "text",
         F.length(F.regexp_replace(
             F.coalesce(F.col(text_col), F.lit("")), r"[^A-Za-z]", "")
         ).cast("long").alias("n_alpha_chars"),
+        # explicit whitespace set: Java \s and RE2 \s differ on \x0B
+        F.length(F.regexp_replace(
+            F.coalesce(F.col(text_col), F.lit("")),
+            r"[A-Za-z0-9 \t\n\r\f]", "")
+        ).cast("long").alias("n_punct_chars"),
+        bpe_token_count(F.col(text_col)).alias("n_bpe_tokens"),
     )
 
 

@@ -35,6 +35,24 @@ def test_token_and_quality_counts(spark):
     assert got[4]["n_tokens"] == 1
     assert got[1]["n_chars"] == len("the quick  fox")
     assert got[1]["n_alpha_chars"] == len("thequickfox")
+    assert got[1]["n_punct_chars"] == 0
+    assert got[1]["n_bpe_tokens"] == 3
+
+
+def test_bpe_token_count_splits_runs(spark):
+    # "don't stop!!" -> [don]['][t][ stop][!!] = 5 (no contraction
+    # rules — the lookahead-free pretokenizer); digits split from
+    # letters: "v2.0" -> [v][2][.][0] = 4; whitespace never counted
+    df = spark.createDataFrame(
+        [(1, "don't stop!!"), (2, "v2.0"), (3, None), (4, "   ")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in textops.quality_counts(df).collect()}
+    assert got == {1: 5, 2: 4, 3: 0, 4: 0}
+    punct = {r["doc_id"]: r["n_punct_chars"]
+             for r in textops.quality_counts(df).collect()}
+    assert punct[1] == 3  # ' !!
+    assert punct[2] == 1  # .
 
 
 def test_lang_id_markers_and_tiebreak(spark):
