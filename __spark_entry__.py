@@ -829,6 +829,51 @@ FROM fp GROUP BY fingerprint HAVING count(*) > 1
 WITH pairs AS ({grams_cte})
 SELECT doc_a, doc_b FROM pairs
 """,
+        # simhash is DETERMINISTIC end-to-end: the 6x10-bit banding is
+        # pigeonhole-complete for Hamming<=5, so the Spark output is
+        # exactly {pairs: hamming(sketch_a, sketch_b) <= 5}. The oracle
+        # recomputes the Charikar sketch (distinct 3-gram shingles,
+        # md5[:15 hex] = 60-bit hashes, per-bit majority vote) and
+        # all-pairs-filters on Hamming — fine at oracle scale.
+        "dedup_simhash_pairs": r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text,''),
+                                           '[ \t\n\r\f\v]+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in range(1, len(w) - 1)]) AS grams
+  FROM toks
+),
+hashes AS (
+  SELECT doc_id, ('0x' || substr(md5(g),1,15))::UBIGINT AS h
+  FROM sh, unnest(grams) AS t(g)
+),
+bits AS (
+  SELECT doc_id, b.b,
+         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+  FROM hashes, (SELECT unnest(range(60)) AS b) b
+  GROUP BY doc_id, b.b
+),
+sk0 AS (
+  SELECT doc_id,
+         sum(CASE WHEN votes > 0 THEN (1::UBIGINT << b)
+                  ELSE 0 END)::UBIGINT AS simhash
+  FROM bits GROUP BY doc_id
+),
+sketches AS (
+  SELECT d.doc_id, coalesce(s.simhash, 0)::UBIGINT AS simhash
+  FROM documents d LEFT JOIN sk0 s USING (doc_id)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sketches a JOIN sketches b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
+""",
         "dedup_embedding_pairs": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -908,9 +953,8 @@ FROM part
 SELECT lang, count(DISTINCT source) AS n_sources, count(*) AS n_docs
 FROM documents GROUP BY lang
 """,
-        # rows-only (approximate / sketch-based, documented):
+        # rows-only (approximate / not SQL-expressible, documented):
         #   kg_fixture_entities  (difflib similarity not SQL-expressible)
-        #   dedup_simhash_pairs  (sketch banding, recall tested in pytest)
         #   ann_lsh_topk         (approximate ANN, recall tested/benched)
         #   multimodal_decode_stats (stubbed decode, schema-level check)
     }
