@@ -1,6 +1,6 @@
 """Similarity search over an embedding column (`array<float>`).
 
-Two paths, same output contract (query_id, neighbor_id, rank):
+Three paths, same output contract (query_id, neighbor_id, rank):
 
   brute_force_topk   exact cosine top-k; the QUERY side is broadcast
                      (it is small by construction) so the big corpus
@@ -10,6 +10,14 @@ Two paths, same output contract (query_id, neighbor_id, rank):
                      -> exact rescore; sub-quadratic candidate
                      generation, the 100 TB path. Recall vs brute force
                      is measured, not assumed (tests/bench).
+  ivf_topk           inverted-file index over spherical-k-means cells —
+                     the data-DEPENDENT scale path (LSH is data-
+                     oblivious): centroids trained distributed, corpus
+                     assigned to one cell each, queries probe their
+                     `nprobe` nearest cells, exact rescore inside the
+                     probed cells. At scale the cell assignment is a
+                     bucketed/partitioned corpus table reused across
+                     query batches. Recall measured in tests/bench.
 
 Scores stay internal (floats don't travel across engine boundaries);
 ranks are ordered by (cosine desc, neighbor_id asc) — fully
@@ -98,6 +106,160 @@ def lsh_signatures(emb: DataFrame, n_planes: int = 16, seed: int = 42,
     schema = StructType([StructField(id_col, LongType()),
                          StructField("signature", LongType())])
     return emb.select(id_col, "embedding").mapInPandas(run, schema=schema)
+
+
+def kmeans_centroids(emb: DataFrame, n_cells: int = 16, n_iter: int = 5,
+                     id_col: str = "vec_id"):
+    """Spherical k-means centroids (unit-norm rows, numpy array
+    n_cells x dim) trained distributed:
+
+      init      the `n_cells` corpus vectors with the smallest
+                xxhash64(id) — deterministic, seed-free, one TakeOrdered
+      iterate   broadcast centroids -> one mapInPandas pass emits
+                per-Arrow-batch PARTIAL sums (cell, n, sum-vector);
+                partials (~ n_cells x n_batches rows, tiny at any corpus
+                size) reduce on the driver in sorted order so float
+                summation order is fixed -> re-normalized means
+
+    Per-iteration driver traffic is O(n_cells * n_partitions * dim)
+    floats — centroid state is broadcast-small by construction, which
+    is exactly why IVF training maps onto Spark without a parameter
+    server. Empty cells keep their previous centroid (standard Lloyd
+    fallback) so the cell count never silently shrinks."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
+                                   LongType, StructField, StructType)
+
+    seeds = (emb.select(id_col, "embedding")
+             .orderBy(F.xxhash64(id_col), F.col(id_col))
+             .limit(n_cells).collect())
+    cent = np.array([list(r["embedding"]) for r in seeds], dtype=np.float64)
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+
+    schema = StructType([
+        StructField("cell", IntegerType()),
+        StructField("n", LongType()),
+        StructField("vsum", ArrayType(DoubleType())),
+    ])
+    spark = emb.sparkSession
+
+    for _ in range(n_iter):
+        bc = spark.sparkContext.broadcast(cent)
+
+        def partials(batches):
+            c = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+                cell = np.argmax(mat_n @ c.T, axis=1)
+                rows = []
+                for ci in np.unique(cell):
+                    sel = mat_n[cell == ci]
+                    rows.append((int(ci), len(sel), sel.sum(axis=0).tolist()))
+                yield pd.DataFrame(rows, columns=["cell", "n", "vsum"])
+
+        parts = (emb.select("embedding").mapInPandas(partials, schema=schema)
+                 .collect())
+        nxt = cent.copy()
+        acc: dict[int, tuple[int, "np.ndarray"]] = {}
+        for r in sorted(parts, key=lambda r: (r["cell"], -r["n"],
+                                              tuple(r["vsum"]))):
+            n0, v0 = acc.get(r["cell"], (0, np.zeros(cent.shape[1])))
+            acc[r["cell"]] = (n0 + r["n"],
+                              v0 + np.asarray(r["vsum"], dtype=np.float64))
+        for ci, (n, vsum) in acc.items():
+            if n > 0:
+                nrm = np.linalg.norm(vsum)
+                if nrm > 0:
+                    nxt[ci] = vsum / nrm
+        bc.unpersist()
+        if np.allclose(nxt, cent):
+            break
+        cent = nxt
+    return cent
+
+
+def ivf_assign(emb: DataFrame, centroids, nprobe: int = 1,
+               id_col: str = "vec_id") -> DataFrame:
+    """-> (id_col, cell) with each vector's `nprobe` nearest centroid
+    cells (nprobe=1 builds the inverted lists; >1 is the query-side
+    multi-probe). Broadcast GEMM per Arrow batch — the corpus never
+    shuffles; at 100 TB the nprobe=1 output is written as a table
+    bucketed by `cell` so searches are map-side joins."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    bc = emb.sparkSession.sparkContext.broadcast(
+        np.asarray(centroids, dtype=np.float64))
+
+    def run(batches):
+        c = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ c.T
+            if nprobe == 1:
+                cells = np.argmax(sims, axis=1)[:, None]
+            else:
+                cells = np.argsort(-sims, axis=1)[:, :nprobe]
+            n = cells.shape[1]
+            yield pd.DataFrame({
+                id_col: np.repeat(pdf[id_col].to_numpy(), n),
+                "cell": cells.reshape(-1).astype(np.int32)})
+
+    schema = StructType([StructField(id_col, LongType()),
+                         StructField("cell", IntegerType())])
+    return emb.select(id_col, "embedding").mapInPandas(run, schema=schema)
+
+
+def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+             n_cells: int = 16, nprobe: int = 4, n_iter: int = 5,
+             centroids=None) -> DataFrame:
+    """Approximate top-k via an inverted-file index: candidates = corpus
+    vectors whose cell is among the query's `nprobe` nearest cells,
+    exact cosine rescore + per-query top-k inside the candidates.
+
+    Search cost ~ nprobe/n_cells of the corpus per query (vs the LSH
+    path's collision-rate-driven candidates) and the index adapts to
+    the data: clustered corpora get tight cells where hyperplane LSH
+    needs luck. Pass `centroids` to reuse a trained index across query
+    batches (the 100 TB pattern: train once, assign once into a
+    cell-bucketed table, probe forever)."""
+    if centroids is None:
+        centroids = kmeans_centroids(emb, n_cells, n_iter)
+    corpus_cells = ivf_assign(emb, centroids, nprobe=1)
+    query_cells = ivf_assign(queries, centroids, nprobe=nprobe,
+                             id_col="query_id")
+    cands = (
+        corpus_cells.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(query_cells), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id").dropDuplicates()
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"),
+                        _as_double(F.col("embedding")).alias("vc"))
+    q = queries.select(F.col("query_id").alias("qid"),
+                       _as_double(F.col("embedding")).alias("vq"))
+    scored = (
+        cands.join(corpus, "neighbor_id")
+        .join(F.broadcast(q), F.col("query_id") == F.col("qid"))
+        .withColumn("cosine",
+                    _dot(F.col("vq"), F.col("vc"))
+                    / (_norm(F.col("vq")) * _norm(F.col("vc"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+    )
 
 
 def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5,

@@ -62,6 +62,12 @@ def main() -> int:
     timings["ann_lsh_topk"] = round(time.monotonic() - t0, 3)
     extras["ann_lsh_recall"] = round(
         len(exact & approx) / len(exact), 4) if exact else 1.0
+    t0 = time.monotonic()
+    ivf = {(r["query_id"], r["neighbor_id"])
+           for r in qs["ann_ivf_topk"](spark, sf_dir).collect()}
+    timings["ann_ivf_topk"] = round(time.monotonic() - t0, 3)
+    extras["ann_ivf_recall"] = round(
+        len(exact & ivf) / len(exact), 4) if exact else 1.0
 
     run("kg_similar_servers")
     run("kg_semantic_search")

@@ -148,6 +148,31 @@ def test_lsh_topk_recall(spark, emb):
     assert recall == 1.0, f"LSH recall {recall}"
 
 
+def test_ivf_topk_recall_and_determinism(spark, emb):
+    import numpy as np
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in simsearch.brute_force_topk(emb, q, k=5).collect()}
+    cent = simsearch.kmeans_centroids(emb, n_cells=16, n_iter=5)
+    assert cent.shape == (16, 64)
+    # training is deterministic: hash-seeded init + fixed-order driver
+    # reduce of the per-batch partial sums
+    assert np.array_equal(cent, simsearch.kmeans_centroids(emb, 16, 5))
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in simsearch.ivf_topk(emb, q, k=5, centroids=cent,
+                                          nprobe=14).collect()}
+    recall = len(exact & approx) / len(exact)
+    # the synthetic corpus is near-isotropic (no cosine cluster
+    # structure), so the driver-contract probe fraction (14/16) is the
+    # measured >=0.95 point — see __spark_entry__.ann_ivf_topk
+    assert recall >= 0.95, f"IVF recall {recall}"
+    # every vector lands in exactly one inverted list
+    assign = simsearch.ivf_assign(emb, cent)
+    assert assign.count() == emb.count()
+    assert assign.select("vec_id").distinct().count() == emb.count()
+
+
 def test_lsh_signatures_deterministic(spark, emb):
     s1 = {r["vec_id"]: r["signature"]
           for r in simsearch.lsh_signatures(emb.limit(50)).collect()}
