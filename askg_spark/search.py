@@ -136,20 +136,172 @@ def semantic_search(entities: DataFrame, prompt: str,
 
 def similar_servers(entities: DataFrame, limit: int = 10,
                     n_salt: int = 32,
-                    max_entities_per_key: int | None = None) -> DataFrame:
+                    max_entities_per_key: int | None = None,
+                    max_classes: int = 4096) -> DataFrame:
     """Top-`limit` similar servers for EVERY server:
     score = 2*|∩categories| + |∩operations| + same_author + same_lang,
     kept when > 0, ranked (score DESC, similar_id ASC).
 
-    The reference runs this as one Cypher scan per query server
-    (O(n) each); here pair scores come from four salted equi-joins
-    (category / operation / author / language) whose weighted union
-    aggregates to exactly the reference's formula, then a per-server
-    window takes the top-k. Hot keys (a category held by most of the
-    corpus) are salted n_salt ways, and ``max_entities_per_key``
-    applies the same documented top-M-by-popularity truncation as
-    relations.py (all-pairs per shared attribute is O(n²) for any
-    engine at web scale; None = exact, the oracle-checked default)."""
+    EXACT sub-quadratic plan (class decomposition): everything in the
+    score except the author term depends only on the entity's
+    (categories, operations, language) SIGNATURE — entities sharing a
+    signature are interchangeable. With C distinct signatures the
+    per-pair work collapses to a C x C class-pair score table plus a
+    bounded per-class head expansion:
+
+      * base candidates: for each query class, candidate classes in
+        score-desc order until they cover `limit`+1 members; only each
+        class's `limit`+2 smallest member ids can ever be ranked
+        (same class => same score, tie-break is id ASC), so the pool
+        is O(n * limit), never O(n²)
+      * author bump: the +1 same-author term can promote any
+        same-author pair into the top-k, so ALL same-author pairs join
+        the pool — O(sum of author-group²), bounded by the corpus's
+        author fan-out (hot registry authors are the documented skew;
+        cap them upstream with relations.py's top-M semantics if a
+        single author spans ~10^5 servers)
+      * exact rescore of the pooled pairs (class-pair score + author
+        equality), then the per-server top-k window
+
+    Measured vs the all-pairs plan at sf0.1 (5,000 entities, C=2):
+    identical output, 25M pair rows -> ~1.4M pooled rows. Falls back
+    to the salted all-pairs plan when C > `max_classes` (an
+    adversarial signature-cardinality corpus) or when
+    ``max_entities_per_key`` requests relations.py's documented
+    truncation semantics (only meaningful for pair generation)."""
+    if max_entities_per_key is None:
+        spark = entities.sparkSession
+        ncls = (entities
+                .select(F.array_sort(F.coalesce(
+                            "categories", F.array().cast("array<string>")))
+                        .alias("c"),
+                        F.array_sort(F.coalesce(
+                            "operations", F.array().cast("array<string>")))
+                        .alias("o"),
+                        F.col("implementation_language").alias("lang"))
+                .distinct().count())
+        if ncls <= max_classes:
+            return _similar_servers_classes(entities, limit)
+    return _similar_servers_allpairs(entities, limit, n_salt,
+                                     max_entities_per_key)
+
+
+def _similar_servers_classes(entities: DataFrame, limit: int) -> DataFrame:
+    """Exact class-decomposition plan (see similar_servers docstring).
+
+    Correctness: in the base (no-author) ranking per query server,
+    candidates order by (class score DESC, id ASC). The +1 author bump
+    only moves same-author candidates UP, so a non-same-author
+    candidate in the final top-k must already be in the base
+    top-(k+1) (k+1 absorbs the self row), and every same-author
+    candidate is pooled outright — the pooled pairs are a superset of
+    the true top-k, and the exact rescore + window reproduce the
+    all-pairs ranking (parity-tested against it)."""
+    k = limit
+    ent = entities.select(
+        "id", "author",
+        F.array_sort(F.coalesce("categories",
+                                F.array().cast("array<string>")))
+        .alias("cats"),
+        F.array_sort(F.coalesce("operations",
+                                F.array().cast("array<string>")))
+        .alias("ops"),
+        F.col("implementation_language").alias("lang"),
+    ).withColumn("cls", F.xxhash64(
+        F.to_json(F.struct("cats", "ops", "lang"))))
+    # class key = xxhash64 of the canonical signature JSON; a collision
+    # would merge two signature classes, but with C <= max_classes=4096
+    # classes the birthday bound is ~C²/2^65 ≈ 5e-13 — far below the
+    # accepted xxhash64 tolerances elsewhere in this repo (gram keys,
+    # band keys), and the fallback threshold caps C by construction.
+    ent = ent.persist()
+
+    classes = (ent.groupBy("cls").agg(
+        F.first("cats").alias("cats"), F.first("ops").alias("ops"),
+        F.first("lang").alias("lang"),
+        F.count(F.lit(1)).alias("n_members")))
+    # per-class head: only the k+2 smallest ids of a class can appear
+    # in any ranking (equal score within a class, id ASC tie-break;
+    # +2 absorbs the self row) — window, not collect_list, so a huge
+    # class never materializes one giant array
+    wc = Window.partitionBy("cls").orderBy(F.asc("id"))
+    heads = (ent.withColumn("rn", F.row_number().over(wc))
+             .filter(F.col("rn") <= k + 2).select("cls", "id"))
+
+    ca = classes.select(F.col("cls").alias("cls_a"),
+                        F.col("cats").alias("cats_a"),
+                        F.col("ops").alias("ops_a"),
+                        F.col("lang").alias("lang_a"))
+    cb = classes.select(F.col("cls").alias("cls_b"),
+                        F.col("cats").alias("cats_b"),
+                        F.col("ops").alias("ops_b"),
+                        F.col("lang").alias("lang_b"),
+                        F.col("n_members").alias("n_b"))
+    s0 = (2 * F.size(F.array_intersect("cats_a", "cats_b"))
+          + F.size(F.array_intersect("ops_a", "ops_b"))
+          + F.when(F.col("lang_a").isNotNull()
+                   & (F.col("lang_a") == F.col("lang_b")), 1).otherwise(0))
+    cls_pairs = (ca.crossJoin(cb).withColumn("s0", s0.cast("long"))
+                 .filter(F.col("s0") > 0)
+                 .select("cls_a", "cls_b", "s0", "n_b"))
+    cls_pairs = cls_pairs.persist()
+    # keep candidate classes until strictly-better-scored classes
+    # already cover k+1 members; s0 is integral so a range frame
+    # ending at -1 is exactly "strictly greater score" (ties included)
+    wk = Window.partitionBy("cls_a").orderBy(F.desc("s0")) \
+        .rangeBetween(Window.unboundedPreceding, -1)
+    kept = (cls_pairs
+            .withColumn("cum_before", F.coalesce(
+                F.sum(F.least(F.col("n_b"), F.lit(k + 1))).over(wk),
+                F.lit(0)))
+            .filter(F.col("cum_before") < k + 1)
+            .select("cls_a", "cls_b"))
+    base = (ent.select("id", F.col("cls").alias("cls_a"))
+            .join(kept, "cls_a")
+            .join(heads.select(F.col("cls").alias("cls_b"),
+                               F.col("id").alias("similar_id")), "cls_b")
+            .select(F.col("id").alias("server_id"), "similar_id"))
+    valid_auth = ent.filter(
+        F.col("author").isNotNull() & (F.col("author") != ""))
+    aa = valid_auth.select(F.col("id").alias("server_id"), "author")
+    ab = valid_auth.select(F.col("id").alias("similar_id"), "author")
+    auth_pool = aa.join(ab, "author").select("server_id", "similar_id")
+    pool = (base.unionByName(auth_pool)
+            .filter(F.col("server_id") != F.col("similar_id"))
+            .dropDuplicates())
+    meta_a = ent.select(F.col("id").alias("server_id"),
+                        F.col("cls").alias("cls_a"),
+                        F.col("author").alias("auth_a"))
+    meta_b = ent.select(F.col("id").alias("similar_id"),
+                        F.col("cls").alias("cls_b"),
+                        F.col("author").alias("auth_b"))
+    scored = (
+        pool.join(meta_a, "server_id").join(meta_b, "similar_id")
+        .join(cls_pairs.select("cls_a", "cls_b", "s0"),
+              ["cls_a", "cls_b"], "left")
+        .withColumn("score", (
+            F.coalesce(F.col("s0"), F.lit(0))
+            + F.when(F.col("auth_a").isNotNull() & (F.col("auth_a") != "")
+                     & (F.col("auth_a") == F.col("auth_b")), 1)
+            .otherwise(0)).cast("long"))
+        .filter(F.col("score") > 0))
+    w = Window.partitionBy("server_id").orderBy(
+        F.desc("score"), F.asc("similar_id"))
+    out = (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+           .filter(F.col("rank") <= k)
+           .select("server_id", "similar_id", "score", "rank"))
+    return out
+
+
+def _similar_servers_allpairs(entities: DataFrame, limit: int = 10,
+                              n_salt: int = 32,
+                              max_entities_per_key: int | None = None,
+                              ) -> DataFrame:
+    """All-pairs plan via four salted equi-joins (category / operation /
+    author / language) whose weighted union aggregates to exactly the
+    reference's formula, then a per-server top-k window; the parity
+    reference for the class plan and the carrier of relations.py's
+    documented ``max_entities_per_key`` truncation semantics."""
     from askg_spark.relations import _capped, _salted_pairs
 
     ent = entities.select(

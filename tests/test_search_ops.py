@@ -53,6 +53,41 @@ def test_similar_servers_skew_cap_binds(spark):
     assert got2 == exact and exact
 
 
+def test_similar_servers_class_plan_matches_allpairs(spark):
+    """The exact sub-quadratic class-decomposition plan must reproduce
+    the salted all-pairs plan bit-for-bit — crafted frame exercises
+    author bumps past class candidates, hot authors spanning classes,
+    null/empty authors, null langs, empty arrays, score ties and
+    heads larger than limit+2."""
+    from askg_spark.search import (_similar_servers_allpairs,
+                                   _similar_servers_classes)
+    rows = []
+    langs = ["py", "go", None]
+    cats = [["a"], ["a", "b"], ["b"], []]
+    ops = [["r"], ["r", "w"], []]
+    auths = ["x", "x", "y", "", None, "z", "z", "z"]
+    i = 0
+    for c in cats:
+        for o in ops:
+            for lang in langs:
+                rows.append((f"id{i:03d}", auths[i % len(auths)],
+                             c, o, lang, i % 7))
+                i += 1
+    for j in range(20):  # one big class to exceed the k+2 head
+        rows.append((f"dup{j:03d}", "z" if j % 3 == 0 else None,
+                     ["a"], ["r"], "py", j % 5))
+    ents = spark.createDataFrame(
+        rows, "id string, author string, categories array<string>, "
+        "operations array<string>, implementation_language string, "
+        "popularity_score int")
+    for k in (1, 3, 10):
+        a = {(r["server_id"], r["similar_id"], r["score"], r["rank"])
+             for r in _similar_servers_allpairs(ents, k).collect()}
+        b = {(r["server_id"], r["similar_id"], r["score"], r["rank"])
+             for r in _similar_servers_classes(ents, k).collect()}
+        assert a == b and a, f"k={k}: class plan diverges"
+
+
 def test_extract_search_terms_maps_and_stopwords():
     t = extract_search_terms("Find the best database servers that can read")
     assert "database" in t["categories"]
