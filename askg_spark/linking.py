@@ -98,12 +98,25 @@ def exact_edges(mentions: DataFrame) -> DataFrame:
     return edges.dropDuplicates(["src", "dst"])
 
 
-def _shingle_col(col, n: int):
-    """char n-grams of a (non-empty) string column -> array<string>.
+def _padded_for_shingles(col, n: int):
+    """despace + pad-short-names projection; MUST be materialized as a
+    real column before :func:`_shingle_col` (see that docstring).
 
     NB: rpad TRUNCATES strings longer than its length argument — pad
     only the short-name case (so 1-2 char names still yield a shingle)."""
-    padded = F.when(F.length(col) < n, F.rpad(col, n, "_")).otherwise(col)
+    d = F.regexp_replace(col, " ", "")
+    return F.when(F.length(d) < n, F.rpad(d, n, "_")).otherwise(d)
+
+
+def _shingle_col(padded, n: int):
+    """char n-grams of a pre-padded string COLUMN -> array<string>.
+
+    `padded` must be a plain column reference (project
+    :func:`_padded_for_shingles` first): Catalyst inlines a
+    higher-order lambda's free expressions per use site, so an inline
+    regexp_replace/rpad tree here would re-run once per shingle —
+    measured 5.7s -> 1.4s per 1M names at local[8] with the projection
+    (the same pathology as dedup.ngrams_from_tokens)."""
     idx = F.sequence(F.lit(1), F.length(padded) - (n - 1))
     return F.array_distinct(F.transform(idx, lambda i: padded.substr(i, F.lit(n))))
 
@@ -149,11 +162,14 @@ def _lsh_pair_ids(mentions: DataFrame, cfg: LinkConfig):
       shingle set) at ~1% of the cost, and removes the lsh.fit
       barrier from the link phase entirely.
     """
-    despaced = F.regexp_replace(F.col("norm_name"), " ", "")
     base = (
         mentions.filter(F.col("norm_name").isNotNull() & (F.length("norm_name") >= 2))
         .select(*PAIR_COLS)
-        .withColumn("shingles", _shingle_col(despaced, cfg.shingle_size))
+        .withColumn("_padded", _padded_for_shingles(F.col("norm_name"),
+                                                    cfg.shingle_size))
+        .withColumn("shingles", _shingle_col(F.col("_padded"),
+                                             cfg.shingle_size))
+        .drop("_padded")
     )
     n_bands = cfg.lsh_num_hashes // cfg.lsh_band_rows
     # NB: F.transform invokes the lambda eagerly while the Column is
