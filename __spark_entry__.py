@@ -173,6 +173,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .filter(F.col("pred").isin("HAS_RESOURCE", "HAS_PROMPT"))
                 .select("subj", "pred", "obj"))
 
+    def kg_github_mentions(spark, sf):
+        # S1 github extraction under the exact SQL oracle: every field
+        # _parse_github emits (scrapers.py:160-273 semantics — url-path
+        # name/author, first-<p> description, 'implementation in X.'
+        # language, stars, <li> tools, MCP-indicator gate) is a closed
+        # form of (doc_id, source) in webcorpus.render_github_pages.
+        from askg_spark.extract import extract_mentions
+        from askg_spark.webcorpus import render_github_pages
+        mentions, _ = extract_mentions(
+            render_github_pages(_t(spark, sf, "documents")))
+        return mentions.select(
+            "url", "name", "author", "repository", "description",
+            "implementation_language", "popularity_score",
+            F.size("tools").cast("long").alias("n_tools"))
+
+    def kg_mcpmarket_mentions(spark, sf):
+        # S4 mcpmarket server-card extraction under the exact SQL
+        # oracle (scrapers.py:1110-1177 semantics — card containers,
+        # h2 name, <p> description, github link author, per-page
+        # first-wins name dedup, exercised on doc_id % 5 == 0 pages).
+        from askg_spark.extract import extract_mentions
+        from askg_spark.webcorpus import render_mcpmarket_pages
+        mentions, _ = extract_mentions(
+            render_mcpmarket_pages(_t(spark, sf, "documents")))
+        return mentions.select(
+            "url", "name", "author", "repository", "description")
+
     def stream_changed_pages(spark, sf):
         # C1 freshness cache as the applyInPandasWithState operator
         # (streaming.changed_pages_extract): each doc's page is crawled
@@ -359,6 +386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical_groups": kg_canonical_groups,
         "kg_fuzzy_groups": kg_fuzzy_groups,
         "kg_resource_triples": kg_resource_triples,
+        "kg_github_mentions": kg_github_mentions,
+        "kg_mcpmarket_mentions": kg_mcpmarket_mentions,
         "stream_changed_pages": stream_changed_pages,
         "kg_relations_capped": kg_relations_capped,
         "kg_fixture_entities": kg_fixture_entities,
@@ -588,6 +617,43 @@ SELECT id, 'HAS_RESOURCE',
 FROM ent WHERE doc_id % 2 = 0
 UNION ALL
 SELECT id, 'HAS_PROMPT', name || '-usage' FROM ent WHERE doc_id % 3 = 0
+""",
+        # S1 github extraction: every projected field is a closed form
+        # of (doc_id, source) per webcorpus.render_github_pages
+        "kg_github_mentions": """
+WITH d AS (
+  SELECT doc_id, source,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) || '-' ||
+           CAST(doc_id AS VARCHAR) AS name
+  FROM documents)
+SELECT 'https://github.com/' || source || '/' || name AS url,
+       name, source AS author,
+       'https://github.com/' || source || '/' || name AS repository,
+       'MCP server ' || name || ' for data process' AS description,
+       'python' AS implementation_language,
+       CAST(doc_id % 1000 AS BIGINT) AS popularity_score,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_tools
+FROM d
+""",
+        # S4 mcpmarket server cards: two cards per page ('-a', '-b'),
+        # except doc_id % 5 == 0 repeats '-a' and first-wins dedup
+        # keeps only it
+        "kg_mcpmarket_mentions": """
+WITH d AS (
+  SELECT doc_id, source,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) || '-' ||
+           CAST(doc_id AS VARCHAR) AS stem
+  FROM documents),
+c AS (
+  SELECT doc_id, source, stem, stem || '-a' AS name FROM d
+  UNION ALL
+  SELECT doc_id, source, stem, stem || '-b' AS name FROM d
+  WHERE doc_id % 5 <> 0)
+SELECT 'https://mcpmarket.com/servers/' || stem AS url,
+       name, source AS author,
+       'https://github.com/' || source || '/' || name AS repository,
+       'card for ' || name AS description
+FROM c
 """,
         # C1 stateful freshness gate: emitted = first crawl of every
         # url + the changed third crawl of every 5th doc; the

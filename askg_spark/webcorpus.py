@@ -184,6 +184,83 @@ def render_fuzzy_pages(documents: DataFrame) -> DataFrame:
     return base.unionByName(dup)
 
 
+def render_github_pages(documents: DataFrame) -> DataFrame:
+    """documents -> deterministic github repo pages for the S1 path
+    (extract._parse_github; scrapers.py:160-273, MCP-indicator gate
+    scrapers.py:309-337) under a closed-form SQL oracle: every field
+    the parser emits — name/author from the url path, description from
+    the first <p>, language from the 'implementation in X.' sentence,
+    stars, one <li> tool (+ a second on even doc_ids) — is a pure
+    string function of (doc_id, source)."""
+    name = doc_name(F.col("doc_id"))
+    author = F.col("source")
+    desc = F.concat(F.lit("MCP server "), name, F.lit(" for data process"))
+    li2 = F.when(F.col("doc_id") % 2 == 0,
+                 F.concat(F.lit("<li>tool-write-"), name, F.lit("</li>"))) \
+        .otherwise(F.lit(""))
+    tail = F.concat(F.lit("stars:"), (F.col("doc_id") % 1000).cast("string"),
+                    F.lit(" implementation in python."))
+    html_str = F.concat(
+        F.lit("<html><head><title>"), name, F.lit("</title></head><body><h1>"),
+        name, F.lit(" mcp server</h1><p>"), desc, F.lit("</p><li>tool-read-"),
+        name, F.lit("</li>"), li2, tail, F.lit("</body></html>"))
+    # visible_text: tags stripped, nodes trimmed, empties dropped,
+    # newline-joined
+    vis2 = F.when(F.col("doc_id") % 2 == 0,
+                  F.concat(F.lit("tool-write-"), name, F.lit("\n"))) \
+        .otherwise(F.lit(""))
+    visible = F.concat(
+        name, F.lit("\n"), name, F.lit(" mcp server\n"), desc, F.lit("\n"),
+        F.lit("tool-read-"), name, F.lit("\n"), vis2, tail)
+    return documents.select(
+        F.concat(F.lit("https://github.com/"), author, F.lit("/"), name
+                 ).alias("url"),
+        (F.to_timestamp(F.lit(EPOCH))
+         + F.make_interval(secs=F.col("doc_id").cast("double") + F.lit(0.125))
+         ).alias("warc_ts"),
+        html_str.cast("binary").alias("html"),
+        visible.alias("text"),
+        F.col("lang").alias("lang"),
+    )
+
+
+def render_mcpmarket_pages(documents: DataFrame) -> DataFrame:
+    """documents -> deterministic mcpmarket.com server-card listings
+    for the S4 path (extract._parse_mcpmarket_html;
+    scrapers.py:1110-1177): two `server-card` divs per page — h2 name,
+    <p> description, github link (author = repo path segment) — and on
+    doc_id % 5 == 0 the second card REPEATS the first card's name to
+    exercise the parser's per-page first-wins name dedup, all under a
+    closed-form SQL oracle."""
+    name = doc_name(F.col("doc_id"))
+    author = F.col("source")
+    n1 = F.concat(name, F.lit("-a"))
+    n2 = F.when(F.col("doc_id") % 5 == 0, n1) \
+        .otherwise(F.concat(name, F.lit("-b")))
+
+    def card(n):
+        return F.concat(
+            F.lit('<div class="server-card"><h2>'), n, F.lit("</h2><p>card for "),
+            n, F.lit('</p><a href="https://github.com/'), author,
+            F.lit("/"), n, F.lit('">gh</a></div>'))
+
+    def card_vis(n):
+        return F.concat(n, F.lit("\ncard for "), n, F.lit("\ngh"))
+
+    html_str = F.concat(F.lit("<html><body>"), card(n1), card(n2),
+                        F.lit("</body></html>"))
+    visible = F.concat(card_vis(n1), F.lit("\n"), card_vis(n2))
+    return documents.select(
+        F.concat(F.lit("https://mcpmarket.com/servers/"), name).alias("url"),
+        (F.to_timestamp(F.lit(EPOCH))
+         + F.make_interval(secs=F.col("doc_id").cast("double") + F.lit(0.375))
+         ).alias("warc_ts"),
+        html_str.cast("binary").alias("html"),
+        visible.alias("text"),
+        F.col("lang").alias("lang"),
+    )
+
+
 def render_pages(documents: DataFrame) -> DataFrame:
     """documents(doc_id, text, lang, source, ...) -> pages."""
     name = doc_name(F.col("doc_id"))
