@@ -122,11 +122,18 @@ def render_resource_pages(documents: DataFrame) -> DataFrame:
 
 
 def _esc(col: F.Column) -> F.Column:
-    """Minimal HTML attribute escaping (mirrors render_pages)."""
+    """HTML attribute escaping for double-quoted attributes. `>` MUST
+    be escaped too: the engine's regex tag stripper ends a tag at the
+    first `>`, so a raw `>` inside an attribute value truncates the
+    tag and leaks the attribute tail into the visible text — breaking
+    the byte-identity invariant (caught by
+    test_rendered_page_families_text_matches_visible)."""
     return F.regexp_replace(
         F.regexp_replace(
-            F.regexp_replace(F.coalesce(col, F.lit("")), "&", "&amp;"),
-            "<", "&lt;"),
+            F.regexp_replace(
+                F.regexp_replace(F.coalesce(col, F.lit("")), "&", "&amp;"),
+                "<", "&lt;"),
+            ">", "&gt;"),
         '"', "&quot;")
 
 
@@ -267,12 +274,7 @@ def render_pages(documents: DataFrame) -> DataFrame:
     author = F.col("source")
     title = F.concat(name, F.lit(" by "), author)
     # meta-description branch of the mcp.so template (scrapers.py:637-641)
-    esc = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.coalesce(F.col("text"), F.lit("")),
-                             "&", "&amp;"),
-            "<", "&lt;"),
-        '"', "&quot;")
+    esc = _esc(F.col("text"))
     html_str = F.concat(
         F.lit("<html><head><title>"), title, F.lit("</title>"),
         F.lit('<meta name="description" content="'), esc, F.lit('">'),

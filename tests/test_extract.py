@@ -205,3 +205,47 @@ def test_glama_resources_and_prompts():
                                "description": None,
                                "mime_type": "text/plain"}]
     assert m["prompts"] == [{"name": "p1", "description": "d1"}]
+
+
+def test_rendered_page_families_text_matches_visible(spark):
+    """Every webcorpus render family must satisfy the input_hint
+    byte-identity invariant: text == visible_text(html) per url — a
+    mismatch would silently reject the whole family as text_mismatch."""
+    from askg_spark import webcorpus as W
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta", "en", "srcA", 10),
+         (3, "", "de", "srcB", 0),
+         (5, None, "fr", "srcC", 0),
+         (10, "x & <y> \"z\"", "en", "srcD", 11)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    for render in (W.render_pages, W.render_github_pages,
+                   W.render_mcpmarket_pages, W.render_fuzzy_pages):
+        for r in render(docs).collect():
+            got = visible_text(r["html"].decode())
+            assert got == r["text"], (render.__name__, r["url"],
+                                      got, r["text"])
+
+
+def test_rendered_github_and_mcpmarket_extract_clean(spark):
+    """No rejects from the deterministic github / mcpmarket renders;
+    field spot-checks against the closed forms the SQL oracles use."""
+    from askg_spark import webcorpus as W
+
+    docs = spark.createDataFrame(
+        [(4, "t", "en", "srcA", 1), (5, "t", "en", "srcB", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    m, rej = extract_mentions(W.render_github_pages(docs))
+    assert rej.count() == 0
+    rows = {r["author"]: r for r in m.collect()}
+    assert rows["srcA"]["implementation_language"] == "python"
+    assert rows["srcA"]["popularity_score"] == 4
+    assert len(rows["srcA"]["tools"]) == 2      # even doc_id
+    assert len(rows["srcB"]["tools"]) == 1
+    m2, rej2 = extract_mentions(W.render_mcpmarket_pages(docs))
+    assert rej2.count() == 0
+    by_url = {}
+    for r in m2.collect():
+        by_url.setdefault(r["url"], []).append(r["name"])
+    counts = sorted(len(v) for v in by_url.values())
+    assert counts == [1, 2]                      # doc 5: first-wins dedup
