@@ -65,6 +65,23 @@ def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _kg_run(spark, sf_dir).triples
 
 
+def _kg_union_run(spark: SparkSession, sf_dir: str):
+    """Pipeline over the planted-duplicate union corpus (every 10th doc
+    appears in BOTH the mcp.so and glama page families, the glama copy
+    carrying the repository URL) — memoized: kg_canonical_groups and
+    the three dedup-analysis reports all read this one run."""
+    key = (id(spark), sf_dir, "union")
+    if key not in _KG_CACHE:
+        from askg_spark.pipeline import PipelineConfig, run_pipeline
+        from askg_spark.webcorpus import render_glama_pages, render_pages
+
+        docs = _t(spark, sf_dir, "documents")
+        pages = render_pages(docs).unionByName(
+            render_glama_pages(docs.filter(F.col("doc_id") % 10 == 0)))
+        _KG_CACHE[key] = run_pipeline(spark, pages, PipelineConfig())
+    return _KG_CACHE[key]
+
+
 # --------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -129,17 +146,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # page lacks), so per-doc group size, registry union, the
         # prefer-non-empty repository fill and the repo-id branch of
         # the ID cascade are all closed-form per doc_id.
-        from askg_spark.pipeline import PipelineConfig, run_pipeline
-        from askg_spark.webcorpus import render_glama_pages, render_pages
-        docs = _t(spark, sf, "documents")
-        pages = render_pages(docs).unionByName(
-            render_glama_pages(docs.filter(F.col("doc_id") % 10 == 0)))
-        res = run_pipeline(spark, pages, PipelineConfig())
+        res = _kg_union_run(spark, sf)
         return res.entities.select(
             "id",
             F.size("member_urls").cast("int").alias("n_mentions"),
             F.array_join("registry_sources", ",").alias("registries"),
             "repository")
+
+    def kg_id_stats(spark, sf):
+        # ID-standardization quality report: which cascade branch
+        # produced each canonical id (analyze_deduplication.py:51-88;
+        # '97.5% repository-based' is the reference's published
+        # number). On the union corpus every 10th entity gets its id
+        # from the planted glama repository URL, the rest from
+        # author/name.
+        from askg_spark.analysis import id_standardization_stats
+        return id_standardization_stats(_kg_union_run(spark, sf).entities)
+
+    def kg_repo_domains(spark, sf):
+        # repository-URL domain distribution + unique-repo counts over
+        # mentions (analyze_deduplication.py:91-121)
+        from askg_spark.analysis import repo_domain_stats
+        return repo_domain_stats(_kg_union_run(spark, sf).mentions)
+
+    def kg_dedup_report(spark, sf):
+        # dedup effectiveness + name-similarity stats in one row
+        # (analyze_deduplication.py:124-180): mentions before, entities
+        # after, removed, rate %, distinct norm names, dup-name groups
+        from askg_spark.analysis import dedup_effectiveness
+        res = _kg_union_run(spark, sf)
+        return dedup_effectiveness(res.mentions, res.entities)
 
     def kg_fuzzy_groups(spark, sf):
         # J4 (LSH blocking) + J5 (weighted difflib scoring) under the
@@ -384,6 +420,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_semantic_search": kg_semantic_search,
         "registry_completeness": registry_completeness,
         "kg_canonical_groups": kg_canonical_groups,
+        "kg_id_stats": kg_id_stats,
+        "kg_repo_domains": kg_repo_domains,
+        "kg_dedup_report": kg_dedup_report,
         "kg_fuzzy_groups": kg_fuzzy_groups,
         "kg_resource_triples": kg_resource_triples,
         "kg_github_mentions": kg_github_mentions,
@@ -723,6 +762,41 @@ SELECT author || '/' || name AS id,
             THEN 'https://github.com/' || author || '/' || name END
          AS repository
 FROM m
+""",
+        # union-corpus ID cascade: every 10th entity's id comes from
+        # the planted glama repository URL, the rest from author/name
+        # (both name and author are always non-empty on this corpus)
+        "kg_id_stats": """
+SELECT CASE WHEN doc_id % 10 = 0 THEN 'repository'
+            ELSE 'author_name' END AS id_kind,
+       count(*) AS n
+FROM documents GROUP BY 1
+""",
+        # only the glama copies carry a repository; all planted repos
+        # are distinct github.com URLs
+        "kg_repo_domains": """
+SELECT 'github.com' AS domain,
+       count(*) AS n_mentions,
+       count(*) AS n_repos
+FROM documents WHERE doc_id % 10 = 0
+""",
+        # before = one mcp.so mention per doc + one glama mention per
+        # 10th doc; after = one canonical entity per doc (the J2
+        # name+author key links each pair); norm names are unique per
+        # doc, so dup-name groups = the planted pairs
+        "kg_dedup_report": """
+WITH c AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS d
+  FROM documents
+)
+SELECT CAST(n + d AS BIGINT) AS n_before,
+       CAST(n AS BIGINT) AS n_after,
+       CAST(d AS BIGINT) AS n_removed,
+       CAST(d * 100.0 / (n + d) AS DOUBLE) AS dedup_rate_pct,
+       CAST(n AS BIGINT) AS n_norm_names,
+       CAST(d AS BIGINT) AS n_dup_names
+FROM c
 """,
         # planted FUZZY near-duplicates (no exact key links them): the
         # pair merges iff the composite score clears the STRICT 0.7

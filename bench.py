@@ -16,6 +16,18 @@ import sys
 import time
 
 
+def _steal_ticks() -> int:
+    """Cumulative hypervisor-steal jiffies across all vCPUs. The
+    sandbox is a shared VM whose identical runs vary up to 2x with
+    co-tenant load (BENCH.md measurement protocol); recording the
+    per-run steal delta + load makes each recorded sample auditable."""
+    try:
+        with open("/proc/stat") as fh:
+            return int(fh.readline().split()[8])
+    except (OSError, IndexError, ValueError):
+        return 0
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -38,6 +50,7 @@ def main() -> int:
         return out
 
     t_all = time.monotonic()
+    steal0 = _steal_ticks()
 
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     n_triples = run("kg_triples")
@@ -81,6 +94,9 @@ def main() -> int:
     run("nation_lineitem_volume", lambda df: len(df.collect()))
 
     total = round(time.monotonic() - t_all, 2)
+    # steal as % of ONE core over the suite window (jiffy = 10 ms)
+    extras["steal_corepct"] = round(
+        100 * (_steal_ticks() - steal0) * 0.01 / max(total, 1e-9), 1)
     print(json.dumps({
         "metric": "headline_suite",
         "value": total,
