@@ -36,7 +36,6 @@ from difflib import SequenceMatcher
 from typing import Iterator
 
 import pandas as pd
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -81,21 +80,35 @@ PAIR_COLS = [
 def exact_edges(mentions: DataFrame) -> DataFrame:
     """J1/J2/J3 as group-star edges: within every non-null key group,
     connect each mention to the group-min mention_id. Connectivity is
-    identical to all-pairs, edge count is linear in group size."""
-    edges = None
-    for key in ["norm_repo", "name_author_key", "content_hash"]:
-        grouped = (
-            mentions.filter(F.col(key).isNotNull() & (F.col(key) != ""))
-            .select(F.col(key).alias("k"), "mention_id")
-        )
-        roots = grouped.groupBy("k").agg(F.min("mention_id").alias("root"))
-        e = (
-            grouped.join(roots, "k")
-            .filter(F.col("mention_id") != F.col("root"))
-            .select(F.col("mention_id").alias("src"), F.col("root").alias("dst"))
-        )
-        edges = e if edges is None else edges.unionByName(e)
-    return edges.dropDuplicates(["src", "dst"])
+    identical to all-pairs, edge count is linear in group size.
+
+    All three key families are melted into ONE (key_type, key) frame
+    first: the per-key-family plan (3 x groupBy + 3 x join + union) ran
+    ~8 exchanges of the same mention projection; melted, it is one agg
+    exchange + one join that reuses the agg's (kt, k) partitioning —
+    the exchange count is what dominates this sub-second phase's wall
+    in a multi-executor cluster (each AQE-materialized exchange is a
+    driver round-trip)."""
+    keyed = (
+        mentions.select(
+            "mention_id",
+            F.explode(F.array(*[
+                F.struct(F.lit(i).alias("kt"), F.col(k).alias("k"))
+                for i, k in enumerate(
+                    ["norm_repo", "name_author_key", "content_hash"])
+            ])).alias("e"))
+        .filter(F.col("e.k").isNotNull() & (F.col("e.k") != ""))
+        .select(F.col("e.kt").alias("kt"), F.col("e.k").alias("k"),
+                "mention_id")
+    )
+    roots = keyed.groupBy("kt", "k").agg(F.min("mention_id").alias("root"))
+    return (
+        keyed.join(roots, ["kt", "k"])
+        .filter(F.col("mention_id") != F.col("root"))
+        .select(F.col("mention_id").alias("src"),
+                F.col("root").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
 
 
 def _padded_for_shingles(col, n: int):
@@ -181,7 +194,7 @@ def _lsh_pair_ids(mentions: DataFrame, cfg: LinkConfig):
         for i in range(cfg.lsh_num_hashes)
     ])
     # NARROW pair generation (same scale pattern as relations.py): the
-    # band explode, the band equi-join and the pair dropDuplicates all
+    # band explode, the band exchange and the pair dropDuplicates all
     # carry only idx = xxhash64(mention_id) longs — the round-2a
     # version shuffled two full mention structs (name, description, …)
     # per band row and per candidate pair, which left the link phase
@@ -191,23 +204,25 @@ def _lsh_pair_ids(mentions: DataFrame, cfg: LinkConfig):
     # is re-oriented to mention_id order there. Collision bound as in
     # relations.py (~n^2/2^65).
     # band key = xxhash64(band_index, minhash_r ...) — a LONG, not a
-    # concat string: the band self-join is the biggest JVM stage of the
-    # link phase (330 CPU-s at 423k mentions on ~45-byte string keys);
-    # long keys hash/compare in registers. A 64-bit band collision
+    # concat string: the band exchange + in-bucket pair generation is
+    # the biggest JVM stage of the link phase (330 CPU-s at 423k
+    # mentions on ~45-byte string keys before hash-coding); long keys
+    # hash/compare/sort in registers. A 64-bit band collision
     # (~(b*n)^2/2^65) only creates a spurious candidate pair, which the
     # exact scorer rejects.
     # nh = hash of the (spaced) norm_name rides along so SAME-NAME
-    # candidate pairs are dropped inside the band self-join, before the
-    # pair dropDuplicates exchange. Same-norm_name pairs are filtered
-    # by every consumer anyway (reference skips the exact-name bucket,
-    # deduplication.py:206-209), but they are the worst candidates to
-    # generate: identical names -> identical shingle sets -> identical
-    # minhashes -> the pair collides in ALL b bands (b rows into the
-    # dedup shuffle each), and registry cross-listings make same-name
-    # groups of 3-4 per server corpus-wide. Filtering on the 8-byte
-    # hash keeps the join narrow; a 64-bit collision only drops a
-    # would-be candidate whose names differ (P ~ n²/2^65, and the pair
-    # usually survives via its other bands' non-colliding partners).
+    # candidate pairs are dropped inside the per-bucket pair explode,
+    # before the pair dropDuplicates exchange. Same-norm_name pairs are
+    # filtered by every consumer anyway (reference skips the exact-name
+    # bucket, deduplication.py:206-209), but they are the worst
+    # candidates to generate: identical names -> identical shingle sets
+    # -> identical minhashes -> the pair collides in ALL b bands (b
+    # rows into the dedup shuffle each), and registry cross-listings
+    # make same-name groups of 3-4 per server corpus-wide. Filtering on
+    # the 8-byte hash keeps the pair frame narrow; a 64-bit collision
+    # only drops a would-be candidate whose names differ (P ~ n²/2^65,
+    # and the pair usually survives via its other bands' non-colliding
+    # partners).
     bands = base.withColumn("_mh", mh).select(
         F.xxhash64("mention_id").alias("idx"),
         F.xxhash64("norm_name").alias("nh"),
@@ -219,37 +234,48 @@ def _lsh_pair_ids(mentions: DataFrame, cfg: LinkConfig):
             for i in range(n_bands)
         ])).alias("band"),
     )
-    # The band frame is referenced three times below (hot-bucket agg +
-    # both sides of the self-join); without a persist the minhash
-    # transform subtree re-executes per reference (ReuseExchange does
-    # not reliably dedupe plans under AQE). The frame is narrow — two
-    # longs and a short string per (mention, band) — so MEMORY_AND_DISK
-    # is bounded by 8x the mention count at any scale.
-    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
-    # Materialize the cache EAGERLY: the three consumers below are
-    # evaluated as concurrent AQE subquery stages inside one downstream
-    # job, and concurrent first-readers of an unbuilt cache partition
-    # BLOCK on the block-manager lock while holding their task slot —
-    # the 200k-server event log showed ~330 core-s of slots pinned at
-    # cpu~0 this way at local[8] (worse the more slots there are: pure
-    # anti-scaling). One cheap count turns every later read into a hot
-    # cache scan.
-    bands.count()
+    # ONE exchange for the whole blocking step. The round-2g version
+    # shuffled the band frame three times (hot-bucket count agg +
+    # both sides of a band self-join) behind an eagerly-built persist;
+    # the local-cluster[4,8] event log showed that chain as ~10
+    # consecutive 128-task stages at 3-26% parallel efficiency — each
+    # AQE-materialized exchange is a driver round-trip on a frame this
+    # narrow, so exchange COUNT, not bytes, dominated the link wall.
+    # Here the band exchange happens once (the window's hash partition
+    # + in-partition sort): the bucket-size count, the hot-bucket drop
+    # (sz > cap — identical semantics to the old anti-join) and the
+    # per-bucket pair generation all run inside that one stage.
+    # collect_list is memory-safe because it only ever sees buckets
+    # already filtered to <= cap rows (the window count runs BEFORE
+    # the collect; hot stop-shingle buckets never materialize a list),
+    # and WindowExec sort-spills, so a pathological bucket costs disk,
+    # not heap. Per-bucket pair explode is O(cap^2) = <= 1024 structs.
+    from pyspark.sql import Window
+
+    kept = bands.withColumn(
+        "sz", F.count(F.lit(1)).over(Window.partitionBy("band")))
     if cfg.lsh_bucket_cap is not None:
-        hot = (bands.groupBy("band")
-               .agg(F.count(F.lit(1)).alias("sz"))
-               .filter(F.col("sz") > cfg.lsh_bucket_cap)
-               .select("band"))
-        bands = bands.join(hot, "band", "left_anti")
+        kept = kept.filter(F.col("sz") <= cfg.lsh_bucket_cap)
+    grouped = kept.groupBy("band").agg(
+        F.collect_list(F.struct("idx", "nh")).alias("ms"))
+    pair_arr = F.filter(
+        F.flatten(F.transform("ms", lambda a: F.transform(
+            F.col("ms"),
+            lambda b: F.struct(a["idx"].alias("ia"), b["idx"].alias("ib"),
+                               a["nh"].alias("na"), b["nh"].alias("nb"))))),
+        lambda p: (p["ia"] < p["ib"]) & (p["na"] != p["nb"]))
+    # Hash-repartition on the pair key itself: the dedup agg reuses
+    # this clustering (no second exchange), partitions are balanced by
+    # construction (dedup keys are unique), and the explicit width
+    # pins the downstream Python gate stage's parallelism — the same
+    # guarantee _cpu_partitioned gave, minus its extra round-robin
+    # exchange.
+    par = base.sparkSession.sparkContext.defaultParallelism
     pairs = (
-        bands.select("band", F.col("idx").alias("ia"),
-                     F.col("nh").alias("nha"))
-        .join(bands.select("band", F.col("idx").alias("ib"),
-                           F.col("nh").alias("nhb")), "band")
-        .filter((F.col("ia") < F.col("ib"))
-                & (F.col("nha") != F.col("nhb")))
-        .select("ia", "ib")
-        .dropDuplicates()
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.ia").alias("ia"), F.col("p.ib").alias("ib"))
+        .repartition(2 * par, "ia", "ib")
+        .dropDuplicates(["ia", "ib"])
     )
     return base, pairs
 
@@ -611,21 +637,21 @@ def fuzzy_edges(mentions: DataFrame, cfg: LinkConfig,
             F.col("norm_name").alias(f"{tag}_norm_name"),
             F.col("registry").alias(f"{tag}_registry"))
 
-    # CPU-repartition the NARROW pairs (two longs, ~32B/row) and let
-    # the gate-dim joins land in the SAME stage as the Python gate: the
-    # round-2b version repartitioned AFTER the joins, which wrote the
-    # joined rows (norm names, registries, 45-byte mention_id strings)
-    # through an extra exchange — 1.9 GB / 145 core-s of shuffle write
-    # at 423k mentions, the single biggest anti-scaling stage in the
-    # event log (concurrent writers amplify co-tenant steal). The gate
+    # The NARROW pairs (two longs, ~32B/row) arrive already hash-
+    # partitioned 2x-cores wide from _lsh_pair_ids' fused
+    # repartition+dedup, so the gate-dim joins land in the SAME stage
+    # as the Python gate with no further exchange (the round-2b
+    # version repartitioned AFTER the joins — 1.9 GB / 145 core-s of
+    # shuffle write at 423k mentions; round-2g round-robined before
+    # them, one more exchange than the fused plan needs). The gate
     # dims broadcast at bench scale (AQE runtime decision under the
     # 64 MB threshold); where they don't (10^9+ mentions), AQE falls
-    # back to shuffled joins after the round-robin exchange — the
-    # narrow shuffle is still the cheapest frame to rebalance. The
-    # gate itself emits only (ia, ib, name_ratio); mention ids attach
-    # with the full payload joins on the ~1% survivor set below.
+    # back to shuffled joins — the narrow pair frame is still the
+    # cheapest side to rebalance. The gate itself emits only (ia, ib,
+    # name_ratio); mention ids attach with the full payload joins on
+    # the ~1% survivor set below.
     gated = (
-        _cpu_partitioned(pairs)
+        pairs
         .join(side("a", "ia"), "ia").join(side("b", "ib"), "ib")
         .filter(F.col("a_norm_name") != F.col("b_norm_name"))
     )

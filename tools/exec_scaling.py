@@ -57,7 +57,11 @@ def _cmd(master: str, cpu_lo: int, cpu_hi: int, servers: int,
         "taskset", "-c", f"{cpu_lo}-{cpu_hi}",
         "spark-submit", "--master", master,
         "--driver-memory", driver_mem,
-        "--executor-memory", executor_mem,
+        # NB: spark-submit silently DROPS --executor-memory for
+        # local-cluster masters (executors launch at the 1024M default;
+        # verified via the worker's ExecutorRunner launch command) —
+        # the conf form survives into the ResourceProfile.
+        "--conf", f"spark.executor.memory={executor_mem}",
         "--py-files", zip_path,
         os.path.join(REPO, "askg_spark", "cli.py"),
         "bench", "--servers", str(servers), "--pages", pages,
@@ -152,9 +156,13 @@ def main() -> int:
     ap.add_argument("--timeout", type=int, default=4000)
     ap.add_argument("--steal-gate", type=float, default=0.2)
     ap.add_argument("--load-gate", type=float, default=1.5)
-    ap.add_argument("--worker-mb", type=int, default=13312)
+    # 16g executors: the 2M-page extract stage OOMs (exit 52) 8-wide at
+    # 11g in a 4-replica dense level (and the big level at 11g survives
+    # only sometimes); identical per-executor heap at both levels keeps
+    # the comparison fair, total commit 4x(16+6)+overhead < 100 GiB.
+    ap.add_argument("--worker-mb", type=int, default=17408)
     ap.add_argument("--driver-mem", type=str, default="6g")
-    ap.add_argument("--executor-mem", type=str, default="11g")
+    ap.add_argument("--executor-mem", type=str, default="16g")
     ap.add_argument("--out", type=str, required=True)
     args = ap.parse_args()
 
