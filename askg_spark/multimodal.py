@@ -19,8 +19,8 @@ from __future__ import annotations
 from typing import Iterator
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import (ArrayType, FloatType, IntegerType, LongType,
-                               StringType, StructField, StructType)
+from pyspark.sql.types import (ArrayType, BinaryType, FloatType, IntegerType,
+                               LongType, StringType, StructField, StructType)
 
 FEATURE_DIM = 8
 
@@ -105,6 +105,130 @@ def decode_media(df: DataFrame) -> DataFrame:
 
     return df.select("doc_id", "payload", "media_meta").mapInPandas(
         run, schema=DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("payload", BinaryType()),
+    StructField("resize_error", StringType()),
+])
+
+
+def _resize_real(payload: bytes, max_side: int):
+    """Real resize — requires an image library not present here."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image resize requires PIL; deterministic fallback keeps the "
+            "plumbing testable") from exc
+    raise NotImplementedError("wire Image.thumbnail((max_side, max_side))")
+
+
+def _resize_fallback(payload: bytes, max_side: int):
+    """Deterministic fake resize: source dims from the same md5-derived
+    geometry as `_decode_fallback`, aspect-ratio-preserving scale to fit
+    `max_side`, output payload scaled to ~scale^2 of the input bytes
+    (what a real re-encode roughly does) — md5-keyed so it is stable
+    across runs/executors."""
+    import hashlib
+    d = hashlib.md5(payload).digest()
+    w, h = 64 + d[0], 64 + d[1]
+    scale = min(1.0, max_side / max(w, h))
+    ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+    out_len = max(1, int(len(payload) * scale * scale))
+    reps = out_len // len(d) + 1
+    return ow, oh, (d * reps)[:out_len]
+
+
+def resize_media(df: DataFrame, max_side: int = 256) -> DataFrame:
+    """(doc_id, payload, media_meta) -> RESIZED_SCHEMA rows: bounded-box
+    downscale keeping aspect ratio (never upscales). Kernel stubbed like
+    `decode_media` (no PIL here); the Spark contract — binary-in /
+    binary-out Arrow batches, quarantine rows for empty payloads, a
+    schema any downstream encoder can consume — is real.
+
+    Scale note: output bytes <= input bytes by construction, so this
+    stage only ever shrinks the shuffle footprint; run it BEFORE any
+    repartition of media rows."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    rows.append({"doc_id": doc_id, "width": None,
+                                 "height": None, "payload": None,
+                                 "resize_error": "empty_payload"})
+                    continue
+                try:
+                    w, h, out = _resize_real(bytes(payload), max_side)
+                except NotImplementedError:
+                    w, h, out = _resize_fallback(bytes(payload), max_side)
+                rows.append({"doc_id": doc_id, "width": w, "height": h,
+                             "payload": out, "resize_error": None})
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA])
+
+    return df.select("doc_id", "payload", "media_meta").mapInPandas(
+        run, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("ts_ms", LongType()),
+    StructField("frame", BinaryType()),
+    StructField("sample_error", StringType()),
+])
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Uniform temporal frame sampling for video payloads:
+    (doc_id, payload, media_meta) -> one FRAME_SCHEMA row per sampled
+    frame, indices evenly spaced over the clip (first and last always
+    included when n_frames >= 2).
+
+    The ffmpeg seek+decode kernel is stubbed (none in this container);
+    the fake derives a deterministic per-clip frame count and duration
+    from md5(payload) and emits md5(payload || frame_idx)-keyed frame
+    bytes — stable across executors, so tests can assert the exact
+    emission set. Fan-out is n_frames rows per clip: bound Arrow batch
+    memory with spark.sql.execution.arrow.maxRecordsPerBatch, and size
+    n_frames so frame_bytes x n_frames stays under the per-worker
+    budget (the same working-set rule as decode_media)."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    rows.append({"doc_id": doc_id, "frame_idx": None,
+                                 "ts_ms": None, "frame": None,
+                                 "sample_error": "empty_payload"})
+                    continue
+                d = hashlib.md5(bytes(payload)).digest()
+                total = 8 + d[2] % 120          # fake clip frame count
+                fps = 24
+                if n_frames >= total:
+                    idxs = list(range(total))
+                else:
+                    step = (total - 1) / max(1, n_frames - 1)
+                    idxs = sorted({round(i * step) for i in range(n_frames)})
+                for fi in idxs:
+                    fd = hashlib.md5(bytes(payload) + fi.to_bytes(4, "big"))
+                    rows.append({"doc_id": doc_id, "frame_idx": fi,
+                                 "ts_ms": int(fi * 1000 / fps),
+                                 "frame": fd.digest(),
+                                 "sample_error": None})
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA])
+
+    return df.select("doc_id", "payload", "media_meta").mapInPandas(
+        run, schema=FRAME_SCHEMA)
 
 
 def media_feature_stats(decoded: DataFrame) -> DataFrame:

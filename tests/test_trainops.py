@@ -207,3 +207,47 @@ def test_multimodal_decode_deterministic(spark, docs):
     key = lambda r: (r["doc_id"], r["width"], r["height"],
                      tuple(r["features"] or []))
     assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+def test_multimodal_resize_bounds_and_quarantine(spark):
+    df = spark.createDataFrame(
+        [(1, "x" * 4096), (2, None)], "doc_id long, text string")
+    out = multimodal.resize_media(
+        multimodal.attach_payload(df), max_side=96).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    ok = by_id[1]
+    assert ok["resize_error"] is None
+    assert max(ok["width"], ok["height"]) <= 96
+    assert len(ok["payload"]) <= 4096      # downscale never grows bytes
+    # aspect ratio preserved within integer truncation
+    dec = multimodal.decode_media(
+        multimodal.attach_payload(df.filter("doc_id = 1"))).collect()[0]
+    src_ratio = dec["width"] / dec["height"]
+    out_ratio = ok["width"] / ok["height"]
+    assert abs(src_ratio - out_ratio) < 0.1
+    assert by_id[2]["resize_error"] == "empty_payload"
+
+
+def test_multimodal_frame_sampling(spark):
+    df = spark.createDataFrame(
+        [(1, "clip payload"), (2, None)], "doc_id long, text string")
+    out = multimodal.sample_frames(
+        multimodal.attach_payload(df), n_frames=4).collect()
+    frames = sorted((r["frame_idx"], r["ts_ms"], bytes(r["frame"]))
+                    for r in out if r["doc_id"] == 1)
+    assert 1 <= len(frames) <= 4
+    idxs = [f[0] for f in frames]
+    assert idxs[0] == 0                     # first frame always sampled
+    assert idxs == sorted(set(idxs))        # unique ascending
+    assert all(f[1] == f[0] * 1000 // 24 for f in frames)  # 24fps ts
+    assert len({f[2] for f in frames}) == len(frames)  # distinct bytes
+    quarantined = [r for r in out if r["doc_id"] == 2]
+    assert len(quarantined) == 1
+    assert quarantined[0]["sample_error"] == "empty_payload"
+    # determinism across runs
+    again = multimodal.sample_frames(
+        multimodal.attach_payload(df), n_frames=4).collect()
+    assert sorted((r["doc_id"], r["frame_idx"],
+                   bytes(r["frame"] or b"")) for r in out) == \
+           sorted((r["doc_id"], r["frame_idx"],
+                   bytes(r["frame"] or b"")) for r in again)
