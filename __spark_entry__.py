@@ -289,6 +289,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def doc_lang_id(spark, sf):
         return textops.lang_id(_t(spark, sf, "documents"))
 
+    def doc_quality_filter(spark, sf):
+        return textops.quality_filter(_t(spark, sf, "documents"))
+
     def doc_fingerprints(spark, sf):
         return textops.fingerprints(_t(spark, sf, "documents"))
 
@@ -431,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_relations_capped": kg_relations_capped,
         "kg_fixture_entities": kg_fixture_entities,
         "doc_token_stats": doc_token_stats,
+        "doc_quality_filter": doc_quality_filter,
         "doc_lang_id": doc_lang_id,
         "doc_fingerprints": doc_fingerprints,
         "doc_category_counts": doc_category_counts,
@@ -874,6 +878,34 @@ SELECT doc_id,
                               ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\r\\f]+'))
          AS n_bpe_tokens
 FROM t
+""",
+        # Gopher-style quality rules — same integer arithmetic as
+        # textops.QUALITY_RULES, emission order fixed by the CTE list
+        "doc_quality_filter": f"""
+WITH t AS (SELECT doc_id, text, {_TOKS_SAFE} AS toks FROM documents),
+c AS (SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_filter(toks, x -> x IN ({_STOPWORDS}))) AS n_stopword_tokens,
+       len(list_filter(toks, x -> length(x) > 20)) AS n_long_tokens,
+       length(coalesce(text, '')) AS n_chars,
+       length(regexp_replace(coalesce(text, ''), '[^A-Za-z]', '', 'g'))
+         AS n_alpha_chars,
+       length(regexp_replace(coalesce(text, ''),
+                             '[A-Za-z0-9 \\t\\n\\r\\f]', '', 'g'))
+         AS n_punct_chars
+      FROM t),
+r AS (SELECT doc_id, concat_ws(',',
+       CASE WHEN n_tokens < 25 THEN 'too_short' END,
+       CASE WHEN n_tokens > 100000 THEN 'too_long' END,
+       CASE WHEN n_alpha_chars < 3 * n_tokens
+              OR n_alpha_chars > 10 * n_tokens
+            THEN 'bad_mean_word_len' END,
+       CASE WHEN 50 * n_stopword_tokens < 3 * n_tokens
+            THEN 'low_stopword' END,
+       CASE WHEN 10 * n_punct_chars > n_chars THEN 'high_symbol' END,
+       CASE WHEN 10 * n_long_tokens > n_tokens THEN 'gibberish' END
+      ) AS reasons FROM c)
+SELECT doc_id, CAST(reasons = '' AS BIGINT) AS keep, reasons FROM r
 """,
         "doc_lang_id": f"""
 WITH t AS (SELECT doc_id, {_TOKS_SAFE} AS toks FROM documents),

@@ -83,6 +83,52 @@ def quality_counts(df: DataFrame, text_col: str = "text",
     )
 
 
+# Gopher-style quality rules (Rae et al. 2021, table A1 shape) as pure
+# integer arithmetic — no floats, so the DuckDB oracle hashes match
+# exactly. Fixed emission order = list order.
+QUALITY_RULES: list[tuple[str, str]] = [
+    ("too_short", "n_tokens < {min_tokens}"),
+    ("too_long", "n_tokens > {max_tokens}"),
+    # mean word length outside [3, 10]: alpha chars per token, cross-
+    # multiplied to stay integral
+    ("bad_mean_word_len",
+     "n_alpha_chars < 3 * n_tokens OR n_alpha_chars > 10 * n_tokens"),
+    # stopword fraction < 0.06  <=>  50*stop < 3*tokens
+    ("low_stopword", "50 * n_stopword_tokens < 3 * n_tokens"),
+    # symbol-to-char ratio > 0.1
+    ("high_symbol", "10 * n_punct_chars > n_chars"),
+    # >10% of tokens longer than 20 chars (gibberish / base64 blobs)
+    ("gibberish", "10 * n_long_tokens > n_tokens"),
+]
+
+
+def quality_filter(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", min_tokens: int = 25,
+                   max_tokens: int = 100_000) -> DataFrame:
+    """Gopher-style document quality filter for training-data curation:
+    -> (doc_id, keep 0/1, reasons comma-joined in QUALITY_RULES order).
+
+    Every rule is an integer comparison over :func:`quality_counts`
+    signals (whole-stage codegen; one scan, no shuffle), so the filter
+    costs one projection at any corpus size and the exact SQL oracle
+    reproduces it bit-for-bit. Thresholds are args, defaults tuned so
+    the synthetic corpus (10-99-token docs) splits instead of
+    degenerating to all-keep/all-reject."""
+    qc = quality_counts(df, text_col=text_col, id_col=id_col)
+    flags = [
+        (name, F.expr(tmpl.format(min_tokens=min_tokens,
+                                  max_tokens=max_tokens)))
+        for name, tmpl in QUALITY_RULES
+    ]
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in flags])
+    return qc.select(
+        F.col(id_col),
+        (reasons == "").cast("long").alias("keep"),
+        reasons.alias("reasons"),
+    )
+
+
 def lang_id(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """Marker-token language ID: per language, count matching tokens;

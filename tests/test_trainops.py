@@ -55,6 +55,27 @@ def test_bpe_token_count_splits_runs(spark):
     assert punct[2] == 1  # .
 
 
+def test_quality_filter_rules(spark):
+    long_good = "the word of nice " * 20              # 80 toks, 50% stopwords
+    short = "tiny doc"                                 # too_short
+    symbols = "the of and to a !!! ### $$$ %%% ^^^ &&& *** ((( )))" * 3
+    df = spark.createDataFrame(
+        [(1, long_good), (2, short), (4, symbols)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textops.quality_filter(
+        df, min_tokens=5).collect()}
+    assert got[1]["keep"] == 1 and got[1]["reasons"] == ""
+    assert got[2]["keep"] == 0 and "too_short" in got[2]["reasons"]
+    assert got[4]["keep"] == 0 and "high_symbol" in got[4]["reasons"]
+    # reasons are emitted in fixed QUALITY_RULES order
+    multi = spark.createDataFrame([(9, "zz qq")], "doc_id long, text string")
+    r9 = textops.quality_filter(multi).collect()[0]
+    names = r9["reasons"].split(",")
+    assert r9["keep"] == 0 and len(names) >= 2
+    order = [n for n, _ in textops.QUALITY_RULES]
+    assert names == sorted(names, key=order.index)
+
+
 def test_lang_id_markers_and_tiebreak(spark):
     df = spark.createDataFrame(
         [(1, "the cat and the dog"), (2, "der die das und"),
