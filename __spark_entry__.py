@@ -306,6 +306,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_ngram_pairs(spark, sf):
         return dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"))
 
+    def dedup_near_clusters(spark, sf):
+        # CC over (ngram-Jaccard ∪ exact-fingerprint) edges — gives the
+        # connected-components operator itself an exact SQL oracle
+        # (DuckDB recursive-CTE closure), beyond its pytest property
+        # tests
+        return dedup.near_dup_clusters(_t(spark, sf, "documents"))
+
     def dedup_minhash_pairs(spark, sf):
         return dedup.minhash_pairs(_t(spark, sf, "documents"))
 
@@ -440,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_category_counts": doc_category_counts,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_ngram_pairs": dedup_ngram_pairs,
+        "dedup_near_clusters": dedup_near_clusters,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_embedding_pairs": dedup_embedding_pairs,
@@ -524,8 +532,7 @@ _TOKS_SAFE = (f"CASE WHEN text IS NULL OR length(trim(text)) = 0 "
 
 
 def oracle_sql() -> dict[str, str]:
-    grams_cte = f"""
-WITH t AS (SELECT doc_id, {_TOKS_SAFE} AS toks FROM documents),
+    ngram_ctes = f"""t AS (SELECT doc_id, {_TOKS_SAFE} AS toks FROM documents),
 g AS (SELECT doc_id,
              CASE WHEN len(toks) >= 3 THEN list_distinct(
                [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
@@ -537,13 +544,47 @@ sz AS (SELECT doc_id, len(grams) AS n_grams FROM g),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
   FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
-  GROUP BY 1, 2)
+  GROUP BY 1, 2)"""
+    grams_cte = f"""
+WITH {ngram_ctes}
 SELECT doc_a, doc_b, n_common,
        sa.n_grams + sb.n_grams - n_common AS n_union
 FROM inter
 JOIN sz sa ON doc_a = sa.doc_id
 JOIN sz sb ON doc_b = sb.doc_id
 WHERE n_common >= 0.5 * (sa.n_grams + sb.n_grams - n_common)
+"""
+    # transitive closure of (ngram-Jaccard ∪ exact-fingerprint) edges;
+    # recursive CTE terminates because reach ⊆ vertices² and UNION
+    # dedups. cluster_id = numeric-min reachable doc_id — the exact
+    # semantics of dedup.near_dup_clusters' CC over padded string ids.
+    clusters_cte = f"""
+WITH RECURSIVE {ngram_ctes},
+np AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sz sa ON doc_a = sa.doc_id
+  JOIN sz sb ON doc_b = sb.doc_id
+  WHERE n_common >= 0.5 * (sa.n_grams + sb.n_grams - n_common)),
+fpm AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(coalesce(text, '')),
+                                 '\\s+', ' ', 'g'))) AS fp
+  FROM documents),
+fpe AS (
+  SELECT f.doc_id AS doc_a, m.canon AS doc_b
+  FROM fpm f
+  JOIN (SELECT fp, min(doc_id) AS canon FROM fpm GROUP BY fp) m
+    USING (fp)
+  WHERE f.doc_id <> m.canon),
+allp AS (SELECT doc_a, doc_b FROM np UNION
+         SELECT doc_a, doc_b FROM fpe),
+und AS (SELECT doc_a AS u, doc_b AS v FROM allp UNION
+        SELECT doc_b, doc_a FROM allp),
+reach AS (
+  SELECT doc_id AS u, doc_id AS v FROM documents
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN und e2 ON r.v = e2.u)
+SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
 """
     lang_scores = ", ".join(
         f"len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in ws)})))"
@@ -1009,6 +1050,7 @@ SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS canonical_doc_id
 FROM fp GROUP BY fingerprint HAVING count(*) > 1
 """,
         "dedup_ngram_pairs": grams_cte,
+        "dedup_near_clusters": clusters_cte,
         # minhash is LSH-blocked but at this corpus's separation (planted
         # dups >=0.8 Jaccard, background <=0.3) its pair set equals the
         # exact join's — asserted here; recall trade documented in dedup.py

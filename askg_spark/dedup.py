@@ -127,6 +127,49 @@ def ngram_jaccard_pairs(
     )
 
 
+# ---------------------------------------------------------------- clusters
+
+def near_dup_clusters(df: DataFrame, n: int = 3, threshold: float = 0.5,
+                      max_gram_df: int | None = None) -> DataFrame:
+    """Transitive near-duplicate clusters -> (doc_id, cluster_id).
+
+    Connected components over the union of exact-fingerprint edges
+    (doc -> min doc of its fingerprint group) and n-gram Jaccard >=
+    threshold edges — the canonical "collapse each near-dup family to
+    one survivor" step after pairwise detection: pairwise output alone
+    under-merges chains (A~B, B~C but A!~C), exactly the greedy-merge
+    gap documented in cc.py. cluster_id is the numeric-min doc_id of
+    the component (deterministic); singletons map to themselves.
+
+    Scale: both edge generators are the sub-quadratic plans above; the
+    CC contraction shuffles one 16-byte row per edge endpoint
+    (cc.py). doc_ids ride as zero-padded fixed-width strings so the CC
+    module's lexicographic-min component label IS the numeric min."""
+    from askg_spark.cc import connected_components
+
+    def enc(c: Column) -> Column:
+        return F.lpad(c.cast("string"), 20, "0")
+
+    ng = ngram_jaccard_pairs(df, n=n, threshold=threshold,
+                             max_gram_df=max_gram_df)
+    fp = fingerprints(df)
+    fp_min = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("canon"))
+    fp_edges = (
+        fp.join(fp_min, "fingerprint")
+        .filter(F.col("doc_id") != F.col("canon"))
+        .select(enc(F.col("doc_id")).alias("src"),
+                enc(F.col("canon")).alias("dst"))
+    )
+    edges = ng.select(enc(F.col("doc_a")).alias("src"),
+                      enc(F.col("doc_b")).alias("dst")) \
+        .unionByName(fp_edges)
+    verts = df.select(enc(F.col("doc_id")).alias("id"))
+    comp = connected_components(edges, verts)
+    return comp.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"))
+
+
 # ---------------------------------------------------------------- minhash
 
 def minhash_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,

@@ -115,6 +115,24 @@ def test_ngram_jaccard_finds_planted_near_dups(spark, docs):
         assert p["n_common"] * 2 >= p["n_union"]
 
 
+def test_near_dup_clusters_transitive(spark):
+    # A~B and B~C by shared grams, A!~C directly -> one cluster {A,B,C};
+    # D, E byte-identical modulo case -> fingerprint edge; F isolated
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(3, base + " one two"), (1, base + " one three"),
+         (2, base + " four five" if False else base + " one two three"),
+         (10, "Totally Different Words Here Now"),
+         (11, "totally different words here now"),
+         (12, "isolated lonely document text")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.near_dup_clusters(df, threshold=0.5).collect()}
+    assert got[1] == got[2] == got[3] == 1      # numeric-min root
+    assert got[10] == got[11] == 10
+    assert got[12] == 12
+
+
 def test_minhash_matches_exact_join_on_separated_corpus(spark, docs):
     exact = {(r["doc_a"], r["doc_b"])
              for r in dedup.ngram_jaccard_pairs(docs).collect()}
