@@ -292,6 +292,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def doc_quality_filter(spark, sf):
         return textops.quality_filter(_t(spark, sf, "documents"))
 
+    def doc_repetition_stats(spark, sf):
+        # Gopher repetition signals: dup-line and dup/top n-gram
+        # integer counts via the sorted-run-length JVM aggregate
+        # (textops._run_scan) — linear per doc, no shuffle
+        return textops.repetition_stats(_t(spark, sf, "documents"))
+
+    def doc_pii_scan(spark, sf):
+        # PII counts + redacted-text md5 over a corpus with planted,
+        # SQL-expressible PII (the raw testdata contains none, which
+        # would make the oracle vacuous): every 3rd doc gains an email,
+        # every 5th an IPv4, every 7th a phone number — all closed
+        # forms of doc_id, mirrored exactly in the oracle
+        docs = _t(spark, sf, "documents")
+        aug = docs.select(
+            "doc_id",
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.when(F.col("doc_id") % 3 == 0, F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"))).otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 5 == 0, F.concat(
+                    F.lit(" host 10."),
+                    (F.col("doc_id") % 200).cast("string"),
+                    F.lit(".0.1"))).otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 7 == 0,
+                       F.lit(" call +1 555 867 5309"))
+                .otherwise(F.lit("")),
+            ).alias("text"))
+        return textops.pii_scan(aug)
+
+    def doc_sample_mixture(spark, sf):
+        # deterministic hash-based mixture sampling: per-lang keep
+        # rates, reproducible on any partitioning; the md5-prefix
+        # threshold is the same closed form in the oracle
+        return textops.stratified_sample(
+            _t(spark, sf, "documents"),
+            rates={"en": 0.5, "de": 0.25, "es": 0.25,
+                   "fr": 0.125, "zh": 0.125},
+            default_rate=0.0625,
+        ).select("doc_id", "lang")
+
+    def doc_contamination(spark, sf):
+        # benchmark-decontamination scan: 4-gram overlap between the
+        # train split and a deterministic eval split (doc_id % 97 == 0)
+        # via the broadcast inverted-index join
+        docs = _t(spark, sf, "documents")
+        ev = docs.filter(F.col("doc_id") % 97 == 0)
+        tr = docs.filter(F.col("doc_id") % 97 != 0)
+        return dedup.contamination_check(tr, ev, n=4)
+
     def doc_fingerprints(spark, sf):
         return textops.fingerprints(_t(spark, sf, "documents"))
 
@@ -443,6 +494,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": doc_token_stats,
         "doc_quality_filter": doc_quality_filter,
         "doc_lang_id": doc_lang_id,
+        "doc_repetition_stats": doc_repetition_stats,
+        "doc_pii_scan": doc_pii_scan,
+        "doc_sample_mixture": doc_sample_mixture,
+        "doc_contamination": doc_contamination,
         "doc_fingerprints": doc_fingerprints,
         "doc_category_counts": doc_category_counts,
         "dedup_exact_groups": dedup_exact_groups,
@@ -962,6 +1017,115 @@ SELECT doc_id,
     WHEN s_zh > 0 THEN 'zh'
     ELSE 'und' END AS lang_pred
 FROM s
+""",
+        # repetition: per-(doc, value) counts via unnest + GROUP BY;
+        # top-gram tie-break = (count DESC, gram ASC) row_number — the
+        # exact mirror of the sorted-run-length scan's first-strictly-
+        # longer-run-wins rule
+        "doc_repetition_stats": f"""
+WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS lines,
+                  {_TOKS_SAFE} AS toks
+           FROM documents),
+g AS (SELECT doc_id, lines,
+             CASE WHEN len(toks) >= 2 THEN
+               [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+             ELSE [] END AS g2,
+             CASE WHEN len(toks) >= 3 THEN
+               [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                for i in range(1, len(toks) - 1)]
+             ELSE [] END AS g3
+      FROM t),
+lc AS (SELECT doc_id, line, count(*) AS cnt
+       FROM (SELECT doc_id, unnest(lines) AS line FROM g) GROUP BY 1, 2),
+la AS (SELECT doc_id, CAST(sum(cnt - 1) AS BIGINT) AS n_dup_lines,
+              CAST(sum((cnt - 1) * length(line)) AS BIGINT)
+                AS n_dup_line_chars
+       FROM lc GROUP BY 1),
+c2 AS (SELECT doc_id, gram, count(*) AS cnt
+       FROM (SELECT doc_id, unnest(g2) AS gram FROM g) GROUP BY 1, 2),
+a2 AS (SELECT doc_id, CAST(sum(cnt - 1) AS BIGINT) AS n_dup_2grams
+       FROM c2 GROUP BY 1),
+t2 AS (SELECT doc_id, cnt AS top_2gram_count, gram AS top_2gram
+       FROM (SELECT doc_id, gram, cnt, row_number() OVER (
+               PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+             FROM c2) WHERE rn = 1),
+c3 AS (SELECT doc_id, gram, count(*) AS cnt
+       FROM (SELECT doc_id, unnest(g3) AS gram FROM g) GROUP BY 1, 2),
+a3 AS (SELECT doc_id, CAST(sum(cnt - 1) AS BIGINT) AS n_dup_3grams
+       FROM c3 GROUP BY 1),
+t3 AS (SELECT doc_id, cnt AS top_3gram_count
+       FROM (SELECT doc_id, cnt, row_number() OVER (
+               PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+             FROM c3) WHERE rn = 1)
+SELECT g.doc_id, len(g.lines) AS n_lines,
+       coalesce(la.n_dup_lines, 0) AS n_dup_lines,
+       coalesce(la.n_dup_line_chars, 0) AS n_dup_line_chars,
+       len(g.g2) AS n_2grams,
+       coalesce(a2.n_dup_2grams, 0) AS n_dup_2grams,
+       coalesce(t2.top_2gram_count, 0) AS top_2gram_count,
+       coalesce(t2.top_2gram, '') AS top_2gram,
+       len(g.g3) AS n_3grams,
+       coalesce(a3.n_dup_3grams, 0) AS n_dup_3grams,
+       coalesce(t3.top_3gram_count, 0) AS top_3gram_count
+FROM g LEFT JOIN la USING (doc_id) LEFT JOIN a2 USING (doc_id)
+       LEFT JOIN t2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+       LEFT JOIN t3 USING (doc_id)
+""",
+        # PII: planted closed forms of doc_id; counts per pattern over
+        # the original augmented text, redaction applied in pattern
+        # order (email, ip, phone) — RE2 and Java agree on these
+        # ASCII-class patterns byte-for-byte
+        "doc_pii_scan": r"""
+WITH aug AS (
+  SELECT doc_id,
+    coalesce(text, '')
+    || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+              || CAST(doc_id AS VARCHAR) || '@example.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' host 10.'
+              || CAST(doc_id % 200 AS VARCHAR) || '.0.1'
+            ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' call +1 555 867 5309'
+            ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+  len(regexp_extract_all(text,
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+  len(regexp_extract_all(text,
+      '\+\d{1,2}[- ]\d{3}[- ]\d{3}[- ]\d{4}')) AS n_phone,
+  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      '\+\d{1,2}[- ]\d{3}[- ]\d{3}[- ]\d{4}', '<PHONE>', 'g'))
+    AS redacted_md5
+FROM aug
+""",
+        # sampling: keep iff 4-hex md5 prefix < per-stratum threshold
+        # (rate * 65536 in hex); fixed-width hex compares numerically
+        "doc_sample_mixture": """
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+  CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN '4000'
+            WHEN 'es' THEN '4000' WHEN 'fr' THEN '2000'
+            WHEN 'zh' THEN '2000' ELSE '1000' END
+""",
+        # contamination: distinct-4-gram equi-join between the train
+        # and eval splits; the engine joins on xxhash64 gram keys
+        # (collision P ~ m^2/2^64 — the documented trade shared with
+        # dedup_ngram_pairs)
+        "doc_contamination": f"""
+WITH t AS (SELECT doc_id, {_TOKS_SAFE} AS toks FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct(
+        [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+         for i in range(1, len(toks) - 2)])) AS gram
+      FROM t WHERE len(toks) >= 4)
+SELECT tr.doc_id AS train_doc_id, ev.doc_id AS eval_doc_id,
+       count(*) AS n_shared_grams
+FROM g tr JOIN g ev ON tr.gram = ev.gram
+WHERE tr.doc_id % 97 <> 0 AND ev.doc_id % 97 = 0
+GROUP BY 1, 2
 """,
         "doc_fingerprints": """
 SELECT doc_id,

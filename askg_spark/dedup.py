@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from askg_spark.textops import fingerprints, tokens
+from askg_spark.textops import fingerprints, ngrams_from_tokens, tokens
 
 
 # ---------------------------------------------------------------- exact
@@ -54,22 +54,6 @@ def exact_dedup(df: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------- n-grams
-
-def ngrams_from_tokens(toks: Column, n: int = 3) -> Column:
-    """Distinct word n-grams (space-joined) from a token-ARRAY column;
-    < n tokens -> empty.
-
-    `toks` must be a plain column reference (not an inline expression):
-    Catalyst inlines a higher-order lambda's free expressions into
-    every use site, so an inline `split()` here would re-run the regex
-    per `element_at` — measured 8.9s -> 0.5s at sf0.1 (n=3 means 3
-    splits per gram) when callers project the token array first."""
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    grams = F.transform(idx, lambda i: F.concat_ws(
-        " ", *[F.element_at(toks, i + j) for j in range(n)]))
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)) \
-            .otherwise(F.array().cast("array<string>"))
-
 
 def token_ngrams(text: Column, n: int = 3) -> Column:
     """Distinct word n-grams of a TEXT column. Prefer projecting
@@ -124,6 +108,52 @@ def ngram_jaccard_pairs(
         .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_common"))
         .filter(F.col("n_common") >= F.lit(threshold) * F.col("n_union"))
         .select("doc_a", "doc_b", "n_common", "n_union")
+    )
+
+
+def contamination_check(
+    train: DataFrame, eval_df: DataFrame, n: int = 4,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Benchmark-contamination scan: which training documents share
+    word n-grams with an evaluation/benchmark set?
+    -> (train_doc_id, eval_doc_id, n_shared_grams) for every
+    contaminated (train, eval) pair.
+
+    The standard decontamination step of an LLM training pipeline
+    (n-gram overlap against held-out benchmarks, cf. GPT-3 appx C /
+    Dolma): inverted-index equi-join on distinct gram keys — the eval
+    side is tiny (benchmarks are thousands of docs, the corpus is
+    billions), so after the gram explode the join broadcasts the eval
+    posting list; the train side streams through map-side. Never
+    all-pairs, never a corpus-wide shuffle beyond the gram explode.
+
+    Gram keys are xxhash64 (8-byte) like :func:`ngram_jaccard_pairs`;
+    a 64-bit collision adds one spurious shared-gram count with
+    P ~ m^2/2^64. ``max_gram_df`` optionally drops grams appearing in
+    more than that many TRAIN docs (boilerplate guard, same stop-gram
+    policy as the Jaccard join). Both frames need (doc_id, text)."""
+    def grams_of(df: DataFrame, out_id: str) -> DataFrame:
+        return (
+            df.select(F.col("doc_id").alias(out_id),
+                      tokens(F.col("text")).alias("toks"))
+            .filter(F.size("toks") >= n)
+            .select(out_id,
+                    F.explode(ngrams_from_tokens(F.col("toks"), n))
+                    .alias("gram"))
+            .select(out_id, F.xxhash64("gram").alias("gram"))
+        )
+
+    tg = grams_of(train, "train_doc_id")
+    if max_gram_df is not None:
+        hot = tg.groupBy("gram").agg(F.count(F.lit(1)).alias("df_"))
+        tg = tg.join(hot.filter(F.col("df_") <= max_gram_df)
+                     .select("gram"), "gram", "left_semi")
+    eg = grams_of(eval_df, "eval_doc_id")
+    return (
+        tg.join(F.broadcast(eg), "gram")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
 
 

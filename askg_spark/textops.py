@@ -33,6 +33,26 @@ def tokens(text: Column) -> Column:
             .otherwise(F.split(t, r"\s+"))
 
 
+def ngrams_from_tokens(toks: Column, n: int = 3,
+                       distinct: bool = True) -> Column:
+    """Word n-grams (space-joined) from a token-ARRAY column; < n
+    tokens -> empty. ``distinct=False`` keeps every occurrence (the
+    repetition-stats input); True (default) is the set-semantics
+    variant the dedup joins use.
+
+    `toks` must be a plain column reference (not an inline expression):
+    Catalyst inlines a higher-order lambda's free expressions into
+    every use site, so an inline `split()` here would re-run the regex
+    per `element_at` — measured 8.9s -> 0.5s at sf0.1 (n=3 means 3
+    splits per gram) when callers project the token array first."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(
+        " ", *[F.element_at(toks, i + j) for j in range(n)]))
+    out = F.array_distinct(grams) if distinct else grams
+    return F.when(F.size(toks) >= n, out) \
+            .otherwise(F.array().cast("array<string>"))
+
+
 def token_count(text: Column) -> Column:
     return F.size(tokens(text)).cast("long")
 
@@ -127,6 +147,184 @@ def quality_filter(df: DataFrame, text_col: str = "text",
         (reasons == "").cast("long").alias("keep"),
         reasons.alias("reasons"),
     )
+
+
+def _run_scan(arr: Column) -> Column:
+    """One linear pass over a SORTED string array -> struct(top_count,
+    top_val, n_dup, n_dup_chars):
+
+      top_count / top_val   longest run = the most frequent value;
+                            ties resolve to the SMALLEST value (only a
+                            strictly longer run displaces the champion,
+                            and runs arrive in sorted order)
+      n_dup / n_dup_chars   occurrences beyond each value's first
+                            (sum over values of (count-1), and of
+                            (count-1)*length(value))
+
+    `F.aggregate` keeps the whole scan a JVM-side expression — linear
+    per document, zero Python, zero shuffle — vs the O(distinct x
+    total) `transform(array_distinct(..), d -> size(filter(..)))`
+    shape, which is quadratic on long documents, or an explode +
+    groupBy(doc, value), which shuffles the full gram mass of the
+    corpus for a per-document-local statistic."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("top_count"),
+        F.lit(None).cast("string").alias("top_val"),
+        F.lit(0).cast("long").alias("n_dup"),
+        F.lit(0).cast("long").alias("n_dup_chars"),
+    )
+
+    def merge(s, x):
+        same = F.coalesce(s["prev"] == x, F.lit(False))
+        run = F.when(same, s["run"] + 1).otherwise(F.lit(1).cast("long"))
+        new_top = run > s["top_count"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(new_top, run).otherwise(s["top_count"]).alias("top_count"),
+            F.when(new_top, x).otherwise(s["top_val"]).alias("top_val"),
+            (s["n_dup"] + F.when(same, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long"))).alias("n_dup"),
+            (s["n_dup_chars"] + F.when(same, F.length(x).cast("long"))
+             .otherwise(F.lit(0).cast("long"))).alias("n_dup_chars"),
+        )
+
+    def fin(s):
+        return F.struct(
+            s["top_count"].alias("top_count"),
+            F.coalesce(s["top_val"], F.lit("")).alias("top_val"),
+            s["n_dup"].alias("n_dup"),
+            s["n_dup_chars"].alias("n_dup_chars"),
+        )
+
+    return F.aggregate(F.array_sort(arr), init, merge, fin)
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1) as exact
+    integers: duplicate-line counts/chars and duplicate / most-frequent
+    word-2-gram and 3-gram counts. Ratios (dup-line fraction, top-gram
+    fraction) are the consumer's division, keeping cross-engine value
+    hashes exact.
+
+      n_lines, n_dup_lines, n_dup_line_chars   lines = split on \\n
+                                               (no trimming); dups are
+                                               occurrences beyond each
+                                               distinct line's first
+      n_2grams, n_dup_2grams,
+      top_2gram_count, top_2gram               non-distinct word grams;
+                                               top tie -> smallest gram
+      n_3grams, n_dup_3grams, top_3gram_count
+
+    Plan shape: two stacked projections, no shuffle, no Python — the
+    per-array frequency scan is a sorted-run-length `F.aggregate`
+    (see :func:`_run_scan`), linear per document at any corpus size.
+    Reference analog: none (training-data curation operator); rule
+    thresholds (e.g. dup-line fraction > 0.30 -> reject) belong to the
+    caller, composing with :func:`quality_filter`."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    base = df.select(
+        F.col(id_col),
+        F.split(t, "\n", -1).alias("_lines"),
+        tokens(F.col(text_col)).alias("_toks"),
+    )
+    staged = base.select(
+        F.col(id_col), "_lines",
+        ngrams_from_tokens(F.col("_toks"), 2, distinct=False).alias("_g2"),
+        ngrams_from_tokens(F.col("_toks"), 3, distinct=False).alias("_g3"),
+    )
+    scanned = staged.select(
+        F.col(id_col),
+        F.size("_lines").cast("long").alias("n_lines"),
+        F.size("_g2").cast("long").alias("n_2grams"),
+        F.size("_g3").cast("long").alias("n_3grams"),
+        _run_scan(F.col("_lines")).alias("_ls"),
+        _run_scan(F.col("_g2")).alias("_s2"),
+        _run_scan(F.col("_g3")).alias("_s3"),
+    )
+    return scanned.select(
+        F.col(id_col),
+        "n_lines",
+        F.col("_ls")["n_dup"].alias("n_dup_lines"),
+        F.col("_ls")["n_dup_chars"].alias("n_dup_line_chars"),
+        "n_2grams",
+        F.col("_s2")["n_dup"].alias("n_dup_2grams"),
+        F.col("_s2")["top_count"].alias("top_2gram_count"),
+        F.col("_s2")["top_val"].alias("top_2gram"),
+        "n_3grams",
+        F.col("_s3")["n_dup"].alias("n_dup_3grams"),
+        F.col("_s3")["top_count"].alias("top_3gram_count"),
+    )
+
+
+# PII patterns chosen for byte-identical semantics across Java regex
+# (Spark) and RE2 (the DuckDB oracle): ASCII classes, bounded repeats,
+# \b word boundaries — no lookarounds (RE2 has none). Redaction applies
+# the replacements IN LIST ORDER over the text (email first, so an
+# address's host part is consumed before the ip/phone patterns see it);
+# counts are over the ORIGINAL text per pattern, independently.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,2}[- ]\d{3}[- ]\d{3}[- ]\d{4}", "<PHONE>"),
+]
+
+
+def pii_scan(df: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """PII detection + redaction for training-data curation:
+    -> (doc_id, n_email, n_ipv4, n_phone, redacted_md5).
+
+    Counts are non-overlapping matches of each :data:`PII_PATTERNS`
+    regex over the original text (`regexp_count`, JVM-side);
+    `redacted_md5` is the md5 of the text after replacing each pattern
+    with its tag in list order — the hash (not the redacted body)
+    keeps the output narrow for the cross-engine value compare; a real
+    pipeline would project the redacted text itself. One scan, no
+    shuffle, whole-stage codegen."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = [
+        F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    red = t
+    for _, pat, rep in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, rep)
+    return df.select(F.col(id_col), *counts, F.md5(red).alias("redacted_md5"))
+
+
+def stratified_sample(df: DataFrame, rates: dict[str, float],
+                      strata_col: str = "lang", key_col: str = "doc_id",
+                      default_rate: float = 0.0) -> DataFrame:
+    """Deterministic hash-based stratified sampling — the mixture-
+    weighting step of a training-data pipeline (e.g. downsample Common
+    Crawl, upweight curated sources), reproducible across runs,
+    engines, and partitionings.
+
+    A row is kept iff the first 4 hex digits of md5(key) — a uniform
+    16-bit value, compared lexicographically, which for fixed-width hex
+    IS numeric order — fall below round(rate * 65536) for its stratum.
+    Per-key deterministic: no RNG state, no seed plumbing, identical
+    results on any cluster layout, and a row's fate never changes when
+    other rows appear (stable under incremental reruns). Pure filter:
+    no shuffle, codegen, pushes down past column pruning."""
+    h = F.substring(F.md5(F.col(key_col).cast("string")), 1, 4)
+
+    def thr_lit(rate: float):
+        # rate >= 1.0 -> "g", one char above the hex alphabet, so every
+        # 4-hex digest compares below it (full keep); "10000" would NOT
+        # work — lexicographically it sorts under "2***".."f***"
+        n = max(0, min(65536, round(rate * 65536)))
+        return F.lit("g" if n == 65536 else format(n, "04x"))
+
+    thr = thr_lit(default_rate)
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(F.col(strata_col) == stratum, thr_lit(rate)) \
+            .otherwise(thr)
+    return df.filter(h < thr)
 
 
 def lang_id(df: DataFrame, text_col: str = "text",

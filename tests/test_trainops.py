@@ -87,6 +87,133 @@ def test_lang_id_markers_and_tiebreak(spark):
     assert got == {1: "en", 2: "de", 3: "und", 4: "und", 5: "en"}
 
 
+def _brute_repetition(text, n):
+    """Pure-Python mirror of repetition_stats for one doc + gram size."""
+    from collections import Counter
+    toks = text.split() if text and text.strip() else []
+    grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)] \
+        if len(toks) >= n else []
+    c = Counter(grams)
+    top = max(sorted(c.items()), key=lambda kv: kv[1]) if c else ("", 0)
+    return {
+        "n": len(grams),
+        "n_dup": sum(v - 1 for v in c.values()),
+        "top_count": top[1],
+        "top_gram": top[0],
+    }
+
+
+def test_repetition_stats_lines_and_grams(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"),          # top 2-gram 'a b' x3, 'b a' x2
+         (2, "x\ny\nx\nz z\nz z"),    # dup lines: x (2), 'z z' (2)
+         (3, ""), (4, None),
+         (5, "q w e r t")],           # all grams unique
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textops.repetition_stats(df).collect()}
+    assert got[1]["n_2grams"] == 5
+    assert got[1]["top_2gram_count"] == 3
+    assert got[1]["top_2gram"] == "a b"
+    assert got[1]["n_dup_2grams"] == 3          # 'a b' x2 extra + 'b a' x1
+    assert got[1]["n_3grams"] == 4
+    assert got[1]["top_3gram_count"] == 2       # 'a b a' x2 (= 'b a b')
+    assert got[2]["n_lines"] == 5
+    assert got[2]["n_dup_lines"] == 2           # second 'x', second 'z z'
+    assert got[2]["n_dup_line_chars"] == len("x") + len("z z")
+    assert got[3]["n_lines"] == 1 and got[3]["n_2grams"] == 0
+    assert got[3]["top_2gram"] == ""
+    assert got[4]["n_2grams"] == 0
+    assert got[5]["n_dup_2grams"] == 0 and got[5]["top_2gram_count"] == 1
+
+
+def test_repetition_stats_tie_breaks_to_smallest_gram(spark):
+    # 'b c' and 'a b' both occur twice -> smallest gram wins
+    df = spark.createDataFrame(
+        [(1, "b c x a b y b c z a b")], "doc_id long, text string")
+    r = textops.repetition_stats(df).collect()[0]
+    assert r["top_2gram_count"] == 2
+    assert r["top_2gram"] == "a b"
+
+
+def test_repetition_stats_matches_bruteforce(spark, docs):
+    rows = {r["doc_id"]: r
+            for r in textops.repetition_stats(docs).collect()}
+    for d in docs.select("doc_id", "text").collect():
+        want2 = _brute_repetition(d["text"], 2)
+        want3 = _brute_repetition(d["text"], 3)
+        g = rows[d["doc_id"]]
+        assert (g["n_2grams"], g["n_dup_2grams"], g["top_2gram_count"],
+                g["top_2gram"]) == (want2["n"], want2["n_dup"],
+                                    want2["top_count"], want2["top_gram"])
+        assert (g["n_3grams"], g["n_dup_3grams"], g["top_3gram_count"]) \
+            == (want3["n"], want3["n_dup"], want3["top_count"])
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    import hashlib
+    txt = "mail bob@corp.io or b.a+x@a.co, ip 10.0.0.1, call +1 555 123 4567"
+    df = spark.createDataFrame(
+        [(1, txt), (2, "clean text"), (3, None)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textops.pii_scan(df).collect()}
+    assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_phone"]) \
+        == (2, 1, 1)
+    red = ("mail <EMAIL> or <EMAIL>, ip <IP>, call <PHONE>")
+    assert got[1]["redacted_md5"] == hashlib.md5(red.encode()).hexdigest()
+    assert (got[2]["n_email"], got[2]["n_ipv4"], got[2]["n_phone"]) \
+        == (0, 0, 0)
+    assert got[3]["redacted_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_stratified_sample_deterministic_and_stratified(spark, docs):
+    import hashlib
+    rates = {"en": 0.5, "de": 0.25}
+    s1 = textops.stratified_sample(docs, rates, default_rate=0.0625)
+    s2 = textops.stratified_sample(docs, rates, default_rate=0.0625)
+    got1 = {r["doc_id"] for r in s1.select("doc_id").collect()}
+    got2 = {r["doc_id"] for r in s2.select("doc_id").collect()}
+    assert got1 == got2 and got1          # deterministic, non-empty
+    # exact per-row mirror: md5-prefix threshold per stratum
+    thr = {"en": "8000", "de": "4000"}
+    want = set()
+    for r in docs.select("doc_id", "lang").collect():
+        h = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:4]
+        if h < thr.get(r["lang"], "1000"):
+            want.add(r["doc_id"])
+    assert got1 == want
+
+
+def test_stratified_sample_full_keep_rate(spark, docs):
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    out = textops.stratified_sample(
+        docs, {lg: 1.0 for lg in langs}, default_rate=1.0)
+    assert out.count() == docs.count()    # rate 1.0 keeps every row
+
+
+def test_contamination_check_bruteforce(spark, docs):
+    ev = docs.filter(F.col("doc_id") % 11 == 0)
+    tr = docs.filter(F.col("doc_id") % 11 != 0)
+    got = {(r["train_doc_id"], r["eval_doc_id"]): r["n_shared_grams"]
+           for r in dedup.contamination_check(tr, ev, n=3).collect()}
+
+    def gramset(text, n=3):
+        t = text.split() if text and text.strip() else []
+        return {" ".join(t[i:i + n]) for i in range(len(t) - n + 1)}
+
+    rows = docs.select("doc_id", "text").collect()
+    evs = [(r["doc_id"], gramset(r["text"])) for r in rows
+           if r["doc_id"] % 11 == 0]
+    trs = [(r["doc_id"], gramset(r["text"])) for r in rows
+           if r["doc_id"] % 11 != 0]
+    want = {}
+    for tid, tg in trs:
+        for eid, eg in evs:
+            shared = len(tg & eg)
+            if shared:
+                want[(tid, eid)] = shared
+    assert got == want and want           # non-vacuous at sf0.001
+
+
 def test_fingerprint_normalizes_case_and_whitespace(spark):
     df = spark.createDataFrame(
         [(1, "Hello  World"), (2, "hello world"), (3, " HELLO WORLD \n")],
