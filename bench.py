@@ -87,6 +87,10 @@ def main() -> int:
     run("registry_completeness")
     run("doc_token_stats")
     run("doc_lang_id")
+    run("doc_repetition_stats")
+    run("doc_pii_scan")
+    run("doc_sample_mixture")
+    run("doc_contamination")
     run("events_latest_per_user")
     run("events_hourly_counts")
     run("top_customers_by_revenue", lambda df: len(df.collect()))

@@ -50,6 +50,65 @@ from scaling import REPO, _load_avg, _steal_ticks, _zip_pkg  # noqa: E402
 from quiet_sampler import steal_cores  # noqa: E402
 
 
+def mem_health(streams: int = 8, mb: int = 256, reps: int = 4) -> float:
+    """Median wall of `streams` concurrent pinned numpy int64
+    sum-streams (mb MB each, reps passes) — a direct memory-bandwidth
+    probe. The hypervisor's throttle episodes do NOT show up as steal
+    (measured 2026-08-21: a pair with 1.6%/3.1% steal on both sides
+    still ran the 32-core big level 2.7x slower than the same binary
+    minutes later), but they multiply this probe's wall by >10x
+    (healthy window: 0.12-0.13s at 1 AND 8 streams; BENCH.md §1b
+    recorded 29s-class walls for same-shape work in a throttled
+    window).
+    Gate on this BEFORE each level, not just per pair — windows flip
+    within minutes."""
+    code = ("import numpy,time\n"
+            f"a=numpy.ones({mb * 131072},dtype=numpy.int64)\n"
+            "t=time.monotonic();s=0\n"
+            f"for _ in range({reps}): s+=a.sum()\n"
+            "print(time.monotonic()-t)")
+    procs = [
+        subprocess.Popen(
+            ["taskset", "-c", str((i * 4) % 32), sys.executable, "-c", code],
+            stdout=subprocess.PIPE, text=True)
+        for i in range(streams)
+    ]
+    walls = sorted(float(p.communicate()[0]) for p in procs)
+    return walls[len(walls) // 2]
+
+
+def cpu_scale_ratio(secs: float = 4.0) -> float:
+    """The HOST's own 8->32-stream ALU scaling: aggregate iterations of
+    32 concurrent pinned spin streams / aggregate of 8, each over
+    `secs`. On honest hardware this is ~4.0; this VM floats between
+    ~2.7 (hypervisor gives ~20 effective cores out of 32 — measured
+    2026-08-21, a window where the SAME binary's 32-core wall swung
+    94.6s..321.6s with near-zero steal and healthy mem_health) and
+    ~3.8+ (the windows behind BENCH.md §1e's 0.83-0.94 pairs, where
+    local[32] really ran ~4x a local[8]). No software can measure
+    >= 0.8 pipeline efficiency while the host itself caps 8->32 at
+    0.7 — gate pair sampling on this ratio and DISCLOSE it per pair."""
+    code = ("import time\n"
+            f"t=time.monotonic();n=0;x=1\n"
+            f"while time.monotonic()-t<{secs}:\n"
+            "    for _ in range(100000): x=(x*1103515245+12345)%2147483647\n"
+            "    n+=1\n"
+            "print(n)")
+
+    def agg(streams: int) -> int:
+        procs = [
+            subprocess.Popen(
+                ["taskset", "-c", str(i % 32), sys.executable, "-c", code],
+                stdout=subprocess.PIPE, text=True)
+            for i in range(streams)
+        ]
+        return sum(int(p.communicate()[0]) for p in procs)
+
+    a8 = agg(8)
+    a32 = agg(32)
+    return a32 / a8 if a8 else 0.0
+
+
 def _cmd(master: str, cpu_lo: int, cpu_hi: int, servers: int,
          zip_path: str, pages: str, driver_mem: str,
          executor_mem: str) -> list[str]:
@@ -163,16 +222,35 @@ def main() -> int:
     ap.add_argument("--worker-mb", type=int, default=17408)
     ap.add_argument("--driver-mem", type=str, default="6g")
     ap.add_argument("--executor-mem", type=str, default="16g")
+    ap.add_argument("--mem-gate", type=float, default=0.5,
+                    help="max healthy mem_health() median secs "
+                         "(healthy ~0.13; throttled windows >1)")
+    ap.add_argument("--cpu-scale-gate", type=float, default=3.4,
+                    help="min host 8->32-stream ALU scaling ratio "
+                         "(honest 4x hardware ~4.0; this VM floats "
+                         "2.7..3.8+ — below the gate the HOST caps "
+                         "measurable efficiency under the 0.8 target)")
     ap.add_argument("--out", type=str, required=True)
     args = ap.parse_args()
 
     zip_path = _zip_pkg()
-    done = 0
-    while done < args.pairs:
+
+    def quiet() -> tuple[bool, float, float, float, float]:
         sc = steal_cores()
         load = _load_avg()
-        if sc > args.steal_gate or load > args.load_gate:
-            print(f"waiting: steal {sc:.2f} cores, load {load}",
+        mh = mem_health()
+        ok = (sc <= args.steal_gate and load <= args.load_gate
+              and mh <= args.mem_gate)
+        cr = cpu_scale_ratio() if ok else 0.0
+        ok = ok and cr >= args.cpu_scale_gate
+        return ok, sc, load, mh, cr
+
+    done = 0
+    while done < args.pairs:
+        ok, sc, load, mh, cr = quiet()
+        if not ok:
+            print(f"waiting: steal {sc:.2f} cores, load {load}, "
+                  f"mem_health {mh:.2f}s, cpu_scale {cr:.2f}",
                   file=sys.stderr, flush=True)
             time.sleep(45)
             continue
@@ -180,14 +258,36 @@ def main() -> int:
                           zip_path, args.pages, args.timeout,
                           args.worker_mb, args.driver_mem,
                           args.executor_mem)
+        rec_big["mem_health_before"] = round(mh, 3)
+        rec_big["cpu_scale_before"] = round(cr, 2)
+        rec_big["mem_health_after"] = round(mem_health(), 3)
+        rec_big["cpu_scale_after"] = round(cpu_scale_ratio(), 2)
         with open(args.out, "a") as fh:
             fh.write(json.dumps(rec_big) + "\n")
         print(f"big[{args.copies}x{args.cores}c]: {rec_big.get('sec')}s "
-              f"steal {rec_big['steal_corepct']}%", flush=True)
+              f"steal {rec_big['steal_corepct']}% "
+              f"mem {rec_big['mem_health_before']:.2f}->"
+              f"{rec_big['mem_health_after']:.2f} "
+              f"cpu_scale {rec_big['cpu_scale_before']:.2f}->"
+              f"{rec_big['cpu_scale_after']:.2f}", flush=True)
+        # re-gate between levels: throttle windows flip within minutes,
+        # and a pair whose two levels straddle a flip is meaningless
+        while True:
+            ok, sc, load, mh, cr = quiet()
+            if ok:
+                break
+            print(f"waiting (dense): steal {sc:.2f}, load {load}, "
+                  f"mem_health {mh:.2f}s, cpu_scale {cr:.2f}",
+                  file=sys.stderr, flush=True)
+            time.sleep(45)
         rec_d = run_dense(args.cores, args.copies, args.servers,
                           zip_path, args.pages, args.timeout,
                           args.worker_mb, args.driver_mem,
                           args.executor_mem)
+        rec_d["mem_health_before"] = round(mh, 3)
+        rec_d["cpu_scale_before"] = round(cr, 2)
+        rec_d["mem_health_after"] = round(mem_health(), 3)
+        rec_d["cpu_scale_after"] = round(cpu_scale_ratio(), 2)
         with open(args.out, "a") as fh:
             fh.write(json.dumps(rec_d) + "\n")
         if rec_d["median_wall"] and rec_big.get("sec"):
