@@ -149,6 +149,34 @@ def test_repetition_stats_matches_bruteforce(spark, docs):
             == (want3["n"], want3["n_dup"], want3["top_count"])
 
 
+def test_repetition_stats_random_multiline_corpus(spark):
+    # seeded random docs over a tiny alphabet with newlines mixed in:
+    # exercises dup-line runs, gram ties, single-token lines — all
+    # against the pure-Python mirror (line stats recomputed here)
+    import random
+    from collections import Counter
+    rng = random.Random(7)
+    docs = []
+    for i in range(120):
+        toks = [rng.choice(["a", "b", "c", "aa\nb", "x"])
+                for _ in range(rng.randrange(0, 25))]
+        docs.append((i, " ".join(toks) if toks else rng.choice(["", None])))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textops.repetition_stats(df).collect()}
+    for doc_id, text in docs:
+        lines = (text or "").split("\n")
+        lc = Counter(lines)
+        g = got[doc_id]
+        assert g["n_lines"] == len(lines)
+        assert g["n_dup_lines"] == sum(v - 1 for v in lc.values())
+        assert g["n_dup_line_chars"] == sum(
+            (v - 1) * len(k) for k, v in lc.items())
+        w2 = _brute_repetition(text, 2)
+        assert (g["n_2grams"], g["n_dup_2grams"], g["top_2gram_count"],
+                g["top_2gram"]) == (w2["n"], w2["n_dup"], w2["top_count"],
+                                    w2["top_gram"])
+
+
 def test_pii_scan_counts_and_redaction(spark):
     import hashlib
     txt = "mail bob@corp.io or b.a+x@a.co, ip 10.0.0.1, call +1 555 123 4567"
