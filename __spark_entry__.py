@@ -292,6 +292,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def doc_quality_filter(spark, sf):
         return textops.quality_filter(_t(spark, sf, "documents"))
 
+    def doc_quality_extended(spark, sf):
+        # full Gopher-style filter: signal rules + repetition rules
+        # in one stacked-projection plan (no shuffle, no Python)
+        return textops.quality_filter_extended(_t(spark, sf, "documents"))
+
     def doc_repetition_stats(spark, sf):
         # Gopher repetition signals: dup-line and dup/top n-gram
         # integer counts via the sorted-run-length JVM aggregate
@@ -494,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": doc_token_stats,
         "doc_quality_filter": doc_quality_filter,
         "doc_lang_id": doc_lang_id,
+        "doc_quality_extended": doc_quality_extended,
         "doc_repetition_stats": doc_repetition_stats,
         "doc_pii_scan": doc_pii_scan,
         "doc_sample_mixture": doc_sample_mixture,
@@ -1017,6 +1023,77 @@ SELECT doc_id,
     WHEN s_zh > 0 THEN 'zh'
     ELSE 'und' END AS lang_pred
 FROM s
+""",
+        # extended Gopher filter: signal rules + repetition rules,
+        # same integer arithmetic and fixed emission order as
+        # textops.QUALITY_RULES + REPETITION_RULES
+        "doc_quality_extended": f"""
+WITH t AS (SELECT doc_id, text, {_TOKS_SAFE} AS toks,
+                  string_split(coalesce(text, ''), chr(10)) AS lines
+           FROM documents),
+g AS (SELECT doc_id,
+             CASE WHEN len(toks) >= 2 THEN
+               [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+             ELSE [] END AS g2,
+             CASE WHEN len(toks) >= 3 THEN
+               [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                for i in range(1, len(toks) - 1)]
+             ELSE [] END AS g3
+      FROM t),
+lc AS (SELECT doc_id, line, count(*) AS cnt
+       FROM (SELECT doc_id, unnest(lines) AS line FROM t) GROUP BY 1, 2),
+la AS (SELECT doc_id, CAST(sum(cnt - 1) AS BIGINT) AS n_dup_lines,
+              CAST(sum((cnt - 1) * length(line)) AS BIGINT)
+                AS n_dup_line_chars
+       FROM lc GROUP BY 1),
+c2 AS (SELECT doc_id, gram, count(*) AS cnt
+       FROM (SELECT doc_id, unnest(g2) AS gram FROM g) GROUP BY 1, 2),
+t2 AS (SELECT doc_id, max(cnt) AS top_2gram_count FROM c2 GROUP BY 1),
+c3 AS (SELECT doc_id, gram, count(*) AS cnt
+       FROM (SELECT doc_id, unnest(g3) AS gram FROM g) GROUP BY 1, 2),
+a3 AS (SELECT doc_id, CAST(sum(cnt - 1) AS BIGINT) AS n_dup_3grams
+       FROM c3 GROUP BY 1),
+sig AS (SELECT t.doc_id,
+         len(toks) AS n_tokens,
+         len(list_filter(toks, x -> x IN ({_STOPWORDS})))
+           AS n_stopword_tokens,
+         len(list_filter(toks, x -> length(x) > 20)) AS n_long_tokens,
+         length(coalesce(text, '')) AS n_chars,
+         length(regexp_replace(coalesce(text, ''), '[^A-Za-z]', '', 'g'))
+           AS n_alpha_chars,
+         length(regexp_replace(coalesce(text, ''),
+                               '[A-Za-z0-9 \\t\\n\\r\\f]', '', 'g'))
+           AS n_punct_chars,
+         len(t.lines) AS n_lines,
+         coalesce(la.n_dup_lines, 0) AS n_dup_lines,
+         coalesce(la.n_dup_line_chars, 0) AS n_dup_line_chars,
+         length(coalesce(text, '')) - (len(t.lines) - 1) AS n_line_chars,
+         len(g.g2) AS n_2grams,
+         coalesce(t2.top_2gram_count, 0) AS top_2gram_count,
+         len(g.g3) AS n_3grams,
+         coalesce(a3.n_dup_3grams, 0) AS n_dup_3grams
+        FROM t JOIN g USING (doc_id) LEFT JOIN la USING (doc_id)
+             LEFT JOIN t2 USING (doc_id) LEFT JOIN a3 USING (doc_id)),
+r AS (SELECT doc_id, concat_ws(',',
+       CASE WHEN n_tokens < 25 THEN 'too_short' END,
+       CASE WHEN n_tokens > 100000 THEN 'too_long' END,
+       CASE WHEN n_alpha_chars < 3 * n_tokens
+              OR n_alpha_chars > 10 * n_tokens
+            THEN 'bad_mean_word_len' END,
+       CASE WHEN 50 * n_stopword_tokens < 3 * n_tokens
+            THEN 'low_stopword' END,
+       CASE WHEN 10 * n_punct_chars > n_chars THEN 'high_symbol' END,
+       CASE WHEN 10 * n_long_tokens > n_tokens THEN 'gibberish' END,
+       CASE WHEN 10 * n_dup_lines > 3 * n_lines AND n_lines > 1
+            THEN 'dup_lines' END,
+       CASE WHEN 5 * n_dup_line_chars > n_line_chars AND n_lines > 1
+            THEN 'dup_line_chars' END,
+       CASE WHEN 10 * top_2gram_count > n_2grams AND n_2grams > 0
+            THEN 'top_2gram' END,
+       CASE WHEN 10 * n_dup_3grams > 3 * n_3grams AND n_3grams > 0
+            THEN 'dup_3grams' END
+      ) AS reasons FROM sig)
+SELECT doc_id, CAST(reasons = '' AS BIGINT) AS keep, reasons FROM r
 """,
         # repetition: per-(doc, value) counts via unnest + GROUP BY;
         # top-gram tie-break = (count DESC, gram ASC) row_number — the

@@ -327,6 +327,94 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
     return df.filter(h < thr)
 
 
+# Repetition rejection rules (Gopher §A1.1 second block) as integer
+# cross-multiplications over repetition_stats columns; emission order =
+# list order, appended after QUALITY_RULES in the extended filter.
+REPETITION_RULES: list[tuple[str, str]] = [
+    # duplicate-line fraction > 0.30
+    ("dup_lines", "10 * n_dup_lines > 3 * n_lines AND n_lines > 1"),
+    # fraction of characters in duplicate lines > 0.20
+    ("dup_line_chars",
+     "5 * n_dup_line_chars > n_line_chars AND n_lines > 1"),
+    # most frequent 2-gram covers > 0.10 of all 2-grams
+    ("top_2gram", "10 * top_2gram_count > n_2grams AND n_2grams > 0"),
+    # duplicate 3-grams (occurrences beyond first) > 0.30 of 3-grams
+    ("dup_3grams", "10 * n_dup_3grams > 3 * n_3grams AND n_3grams > 0"),
+]
+
+
+def quality_filter_extended(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", min_tokens: int = 25,
+                            max_tokens: int = 100_000) -> DataFrame:
+    """Full Gopher-style filter: the :data:`QUALITY_RULES` signal rules
+    plus the :data:`REPETITION_RULES` repetition rules, one keep/reject
+    row per document with comma-joined reasons in fixed order.
+
+    The whole composition is stacked projections over one scan — no
+    join, no shuffle, no Python: char/token signals and the
+    sorted-run-length repetition scans are computed side by side from
+    the same staged (lines, tokens, grams) columns.
+
+    `n_line_chars` (denominator of dup_line_chars) = total characters
+    across lines = n_chars minus the n_lines-1 newline separators."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    stop = F.array([F.lit(w) for _, ws in LANG_MARKERS for w in ws])
+    base = df.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("n_chars"),
+        F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+        .cast("long").alias("n_alpha_chars"),
+        F.length(F.regexp_replace(t, r"[A-Za-z0-9 \t\n\r\f]", ""))
+        .cast("long").alias("n_punct_chars"),
+        F.split(t, "\n", -1).alias("_lines"),
+        tokens(F.col(text_col)).alias("_toks"),
+    )
+    staged = base.select(
+        F.col(id_col), "n_chars", "n_alpha_chars", "n_punct_chars",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.size(F.filter("_toks", lambda x: F.array_contains(stop, x)))
+        .cast("long").alias("n_stopword_tokens"),
+        F.size(F.filter("_toks", lambda x: F.length(x) > 20))
+        .cast("long").alias("n_long_tokens"),
+        "_lines",
+        ngrams_from_tokens(F.col("_toks"), 2, distinct=False).alias("_g2"),
+        ngrams_from_tokens(F.col("_toks"), 3, distinct=False).alias("_g3"),
+    )
+    scanned = staged.select(
+        F.col(id_col), "n_chars", "n_alpha_chars", "n_punct_chars",
+        "n_tokens", "n_stopword_tokens", "n_long_tokens",
+        F.size("_lines").cast("long").alias("n_lines"),
+        F.size("_g2").cast("long").alias("n_2grams"),
+        F.size("_g3").cast("long").alias("n_3grams"),
+        _run_scan(F.col("_lines")).alias("_ls"),
+        _run_scan(F.col("_g2")).alias("_s2"),
+        _run_scan(F.col("_g3")).alias("_s3"),
+    )
+    signals = scanned.select(
+        F.col(id_col), "n_chars", "n_alpha_chars", "n_punct_chars",
+        "n_tokens", "n_stopword_tokens", "n_long_tokens",
+        "n_lines", "n_2grams", "n_3grams",
+        F.col("_ls")["n_dup"].alias("n_dup_lines"),
+        F.col("_ls")["n_dup_chars"].alias("n_dup_line_chars"),
+        (F.col("n_chars") - (F.col("n_lines") - F.lit(1)))
+        .alias("n_line_chars"),
+        F.col("_s2")["top_count"].alias("top_2gram_count"),
+        F.col("_s3")["n_dup"].alias("n_dup_3grams"),
+    )
+    flags = [
+        (name, F.expr(tmpl.format(min_tokens=min_tokens,
+                                  max_tokens=max_tokens)))
+        for name, tmpl in QUALITY_RULES + REPETITION_RULES
+    ]
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in flags])
+    return signals.select(
+        F.col(id_col),
+        (reasons == "").cast("long").alias("keep"),
+        reasons.alias("reasons"),
+    )
+
+
 def lang_id(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """Marker-token language ID: per language, count matching tokens;

@@ -149,6 +149,23 @@ def test_repetition_stats_matches_bruteforce(spark, docs):
             == (want3["n"], want3["n_dup"], want3["top_count"])
 
 
+def test_quality_filter_extended_repetition_rules(spark):
+    line = "the elephant and gorilla of a python to running worlds"
+    repetitive = "\n".join([line] * 4)      # 40 toks, 4 identical lines
+    clean = ("the quick brown foxes jumped over lazy dogs and then "
+             "swiftly ran across seven green fields while the bright "
+             "morning sun was rising over distant misty mountains "
+             "casting long shadows")        # 30 distinct-ish tokens
+    df = spark.createDataFrame(
+        [(1, repetitive), (2, clean)], "doc_id long, text string")
+    got = {r["doc_id"]: r
+           for r in textops.quality_filter_extended(df).collect()}
+    assert got[2]["keep"] == 1 and got[2]["reasons"] == ""
+    assert got[1]["keep"] == 0
+    assert got[1]["reasons"] == \
+        "dup_lines,dup_line_chars,top_2gram,dup_3grams"
+
+
 def test_repetition_stats_random_multiline_corpus(spark):
     # seeded random docs over a tiny alphabet with newlines mixed in:
     # exercises dup-line runs, gram ties, single-token lines — all
