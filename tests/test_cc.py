@@ -4,10 +4,10 @@ from __future__ import annotations
 from askg_spark.cc import connected_components
 
 
-def _run(spark, edges, vertices):
+def _run(spark, edges, vertices, **kw):
     e = spark.createDataFrame(edges, "src string, dst string")
     v = spark.createDataFrame([(x,) for x in vertices], "id string")
-    rows = connected_components(e, v).collect()
+    rows = connected_components(e, v, **kw).collect()
     return {r["id"]: r["component"] for r in rows}
 
 
@@ -34,6 +34,41 @@ def test_two_components_and_long_path(spark):
     got = _run(spark, path + tri, verts)
     assert {got[str(i)] for i in range(1, 9)} == {"1"}
     assert {got[x] for x in ("x1", "x2", "x3")} == {"x1"}
+
+
+def test_loop_collapse_known_shapes(spark):
+    # the distributed final phase (no serial task) on the same shapes
+    got = _run(spark, [("b", "a"), ("b", "c"), ("c", "d")], "abcd",
+               final_collapse="loop")
+    assert got == {x: "a" for x in "abcd"}
+    path = [(str(i), str(i + 1)) for i in range(1, 8)]
+    tri = [("x1", "x2"), ("x2", "x3"), ("x1", "x3")]
+    verts = [str(i) for i in range(1, 9)] + ["x1", "x2", "x3", "solo"]
+    got = _run(spark, path + tri, verts, final_collapse="loop")
+    assert {got[str(i)] for i in range(1, 9)} == {"1"}
+    assert {got[x] for x in ("x1", "x2", "x3")} == {"x1"}
+    assert got["solo"] == "solo"
+
+
+def test_loop_collapse_matches_serial_random_graphs(spark):
+    # seeded random graphs incl. chains that span contraction
+    # partitions: the loop mode must agree with the exact serial path
+    import random
+    rng = random.Random(11)
+    for trial in range(3):
+        n = rng.randrange(20, 90)
+        verts = [f"v{trial}_{i:03d}" for i in range(n)]
+        edges = [
+            (rng.choice(verts), rng.choice(verts))
+            for _ in range(rng.randrange(10, int(1.3 * n)))
+        ]
+        # contract_rounds=1 leaves maximal cross-partition residue for
+        # the final phase to resolve
+        a = _run(spark, edges, verts, final_collapse="serial",
+                 contract_rounds=1)
+        b = _run(spark, edges, verts, final_collapse="loop",
+                 contract_rounds=1)
+        assert a == b
 
 
 def test_min_label_matches_union_find():
