@@ -328,6 +328,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("text"))
         return textops.pii_scan(aug)
 
+    def doc_line_dedup(spark, sf):
+        # C4-style cross-document line dedup over a corpus with
+        # planted boilerplate (the raw testdata has no cross-doc
+        # duplicate lines, which would make the removal vacuous):
+        # every 5th doc gains a 2-line copyright footer, every 3rd a
+        # newsletter line — each occurs in >=3 docs corpus-wide, so
+        # line_dedup strips them everywhere; mirrored in the oracle
+        docs = _t(spark, sf, "documents")
+        aug = docs.select(
+            "doc_id",
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.when(F.col("doc_id") % 5 == 0,
+                       F.lit("\n(c) corpus footer\nAll rights reserved."))
+                .otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 3 == 0,
+                       F.lit("\nSubscribe to our newsletter today"))
+                .otherwise(F.lit("")),
+            ).alias("text"))
+        return textops.line_dedup(aug)
+
     def doc_sample_mixture(spark, sf):
         # deterministic hash-based mixture sampling: per-lang keep
         # rates, reproducible on any partitioning; the md5-prefix
@@ -502,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_extended": doc_quality_extended,
         "doc_repetition_stats": doc_repetition_stats,
         "doc_pii_scan": doc_pii_scan,
+        "doc_line_dedup": doc_line_dedup,
         "doc_sample_mixture": doc_sample_mixture,
         "doc_contamination": doc_contamination,
         "doc_fingerprints": doc_fingerprints,
@@ -1181,6 +1203,50 @@ FROM aug
 """,
         # sampling: keep iff 4-hex md5 prefix < per-stratum threshold
         # (rate * 65536 in hex); fixed-width hex compares numerically
+        # C4-style line dedup: same planted-boilerplate augmentation,
+        # boilerplate = line in >=3 DISTINCT docs; cleaned_md5 is the
+        # md5 of surviving lines rejoined with \n in original order
+        # (string_agg ... ORDER BY idx FILTER (WHERE NOT rm);
+        # coalesce('') covers the doc whose every line was removed)
+        "doc_line_dedup": """
+WITH aug AS (
+  SELECT doc_id,
+    coalesce(text, '')
+    || CASE WHEN doc_id % 5 = 0 THEN chr(10) || '(c) corpus footer'
+              || chr(10) || 'All rights reserved.' ELSE '' END
+    || CASE WHEN doc_id % 3 = 0 THEN chr(10)
+              || 'Subscribe to our newsletter today' ELSE '' END
+      AS text
+  FROM documents
+),
+l AS (
+  SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS lines
+  FROM aug
+),
+occ AS (
+  SELECT doc_id,
+         unnest([{'idx': i, 'line': lines[i]}
+                 for i in range(1, len(lines) + 1)], recursive := true)
+  FROM l
+),
+boiler AS (
+  SELECT line FROM (SELECT DISTINCT doc_id, line FROM occ)
+  GROUP BY line HAVING count(*) >= 3
+),
+m AS (
+  SELECT o.doc_id, o.idx, o.line, b.line IS NOT NULL AS rm
+  FROM occ o LEFT JOIN boiler b ON o.line = b.line
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed_lines,
+       CAST(sum(CASE WHEN rm THEN length(line) ELSE 0 END) AS BIGINT)
+         AS n_removed_chars,
+       md5(coalesce(string_agg(line, chr(10) ORDER BY idx)
+                    FILTER (WHERE NOT rm), '')) AS cleaned_md5
+FROM m GROUP BY doc_id
+""",
         "doc_sample_mixture": """
 SELECT doc_id, lang FROM documents
 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <

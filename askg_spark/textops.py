@@ -458,3 +458,69 @@ def categorize_documents(df: DataFrame, text_col: str = "text",
         "doc_id",
         F.explode(classify_categories(name, F.col(text_col))).alias("category"),
     )
+
+
+def line_dedup(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", min_docs: int = 3) -> DataFrame:
+    """C4-style cross-document line-level deduplication (Raffel et al.
+    2020 §2.2): a line that occurs in >= ``min_docs`` DISTINCT
+    documents is corpus boilerplate (nav bars, cookie banners, license
+    footers) and is removed from every document that contains it.
+    -> (doc_id, n_lines, n_removed_lines, n_removed_chars, cleaned_md5)
+    with cleaned_md5 = md5 of the surviving lines re-joined with \\n in
+    original order (the hash keeps the compare frame narrow; a real
+    pipeline projects the cleaned text itself).
+
+    Plan (2 shuffles, both keyed and combinable):
+      1. per-doc `array_distinct` of lines (map-side), explode, groupBy
+         line -> distinct-doc count. Partial aggregation makes the
+         shuffle carry one row per (doc, distinct line).
+      2. explode all line occurrences with position, left-anti-ish
+         join against the boilerplate line set (left join + null
+         filter keeps AQE free to broadcast when the set is small),
+         then groupBy doc to reassemble in order.
+    Lines are compared verbatim (no trim/case-fold) so the operator is
+    exactly mirrored by the SQL oracle; at 10^12-doc scale the join key
+    would be xxhash64(line)<<64|crc32 rather than the raw string — the
+    shuffle carries 16 bytes instead of the line — at ~2^-96 collision
+    odds. min_docs counts documents, not occurrences, so a single page
+    repeating its own header never loses it."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = df.select(F.col(id_col), F.split(t, "\n", -1).alias("_lines"))
+
+    boiler = (
+        lines.select(F.explode(F.array_distinct("_lines")).alias("line"))
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= int(min_docs))
+        .select("line")
+    )
+
+    occ = lines.select(
+        F.col(id_col),
+        F.posexplode("_lines").alias("idx", "line"),
+    )
+    marked = (
+        occ.join(boiler.withColumn("_boiler", F.lit(True)),
+                 on="line", how="left")
+        .select(id_col, "idx", "line",
+                F.coalesce("_boiler", F.lit(False)).alias("_rm"))
+    )
+    kept_struct = F.array_sort(F.collect_list(
+        F.when(~F.col("_rm"), F.struct(F.col("idx"), F.col("line")))))
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("_rm").cast("long")).alias("n_removed_lines"),
+            F.sum(F.when(F.col("_rm"), F.length("line")).otherwise(F.lit(0)))
+             .cast("long").alias("n_removed_chars"),
+            kept_struct.alias("_kept"),
+        )
+        .select(
+            F.col(id_col), "n_lines", "n_removed_lines", "n_removed_chars",
+            F.md5(F.array_join(
+                F.transform("_kept", lambda s: s["line"]), "\n"))
+             .alias("cleaned_md5"),
+        )
+    )

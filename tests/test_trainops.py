@@ -462,3 +462,58 @@ def test_multimodal_frame_sampling(spark):
                    bytes(r["frame"] or b"")) for r in out) == \
            sorted((r["doc_id"], r["frame_idx"],
                    bytes(r["frame"] or b"")) for r in again)
+
+
+def test_line_dedup_c4_semantics(spark):
+    import hashlib
+
+    boiler = "All rights reserved."
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha one\n{boiler}\nbody a"),
+            (2, f"beta two\n{boiler}"),
+            (3, f"{boiler}\ngamma three"),
+            # pair-only shared line: occurs in 2 docs -> kept
+            (4, "shared pair line\ndelta"),
+            (5, "shared pair line\nepsilon"),
+            # per-doc repetition: 'echo' 3x in ONE doc -> kept
+            # (min_docs counts distinct documents, not occurrences)
+            (6, "echo\necho\necho"),
+            (7, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           textops.line_dedup(docs, min_docs=3).collect()}
+
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    # boilerplate stripped from all three docs, order preserved
+    assert out[1]["n_removed_lines"] == 1
+    assert out[1]["cleaned_md5"] == md5("alpha one\nbody a")
+    assert out[2]["cleaned_md5"] == md5("beta two")
+    assert out[3]["cleaned_md5"] == md5("gamma three")
+    assert out[1]["n_removed_chars"] == len(boiler)
+    # 2-doc line survives
+    assert out[4]["n_removed_lines"] == 0
+    assert out[4]["cleaned_md5"] == md5("shared pair line\ndelta")
+    # intra-doc repetition survives
+    assert out[6]["n_removed_lines"] == 0
+    assert out[6]["cleaned_md5"] == md5("echo\necho\necho")
+    # null text = one empty line, only present in this doc -> kept
+    assert out[7]["n_lines"] == 1
+    assert out[7]["cleaned_md5"] == md5("")
+
+
+def test_line_dedup_removes_everything_leaves_empty_doc(spark):
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(i, "only boiler") for i in range(1, 5)],
+        "doc_id long, text string",
+    )
+    out = textops.line_dedup(docs, min_docs=3).collect()
+    assert all(r["n_removed_lines"] == 1 for r in out)
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    assert all(r["cleaned_md5"] == empty_md5 for r in out)
