@@ -427,6 +427,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("vec_id").alias("query_id"), "embedding")
         return simsearch.ivf_topk(emb, q, k=5, n_cells=16, nprobe=14)
 
+    def web_owner_indegree(spark, sf):
+        # link-graph in-degree rolled up to the target owner over the
+        # mcpmarket page family (2 github hrefs per page; doc_id%5==0
+        # pages repeat the first card's target) — closed-form oracle
+        from askg_spark import webgraph
+        from askg_spark.webcorpus import render_mcpmarket_pages
+        return webgraph.owner_indegree(
+            render_mcpmarket_pages(_t(spark, sf, "documents")))
+
+    def web_pagerank_topk(spark, sf):
+        # fixed-iteration distributed PageRank over the page->owner
+        # link graph: iterative algorithm -> rows-only (float ranks
+        # from distributed sums are not bit-stable across engines);
+        # the update rule is verified against a NumPy power-iteration
+        # reference to 1e-12 in tests/test_webgraph.py
+        from askg_spark import webgraph
+        from askg_spark.webcorpus import render_mcpmarket_pages
+        edges = webgraph.page_owner_edges(
+            render_mcpmarket_pages(_t(spark, sf, "documents")))
+        return (webgraph.pagerank(edges, iterations=8)
+                .orderBy(F.desc("rank"), F.asc("node")).limit(10))
+
     def multimodal_decode_stats(spark, sf):
         decoded = multimodal.decode_media(
             multimodal.attach_payload(_t(spark, sf, "documents")))
@@ -537,6 +559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": ann_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        "web_owner_indegree": web_owner_indegree,
+        "web_pagerank_topk": web_pagerank_topk,
         "multimodal_decode_stats": multimodal_decode_stats,
         "events_latest_per_user": events_latest_per_user,
         "events_counts_by_type": events_counts_by_type,
@@ -1246,6 +1270,19 @@ SELECT doc_id,
        md5(coalesce(string_agg(line, chr(10) ORDER BY idx)
                     FILTER (WHERE NOT rm), '')) AS cleaned_md5
 FROM m GROUP BY doc_id
+""",
+        # link-graph owner in-degree over the mcpmarket family: every
+        # page carries 2 hrefs to github.com/<source>/<card-name>;
+        # doc_id%5==0 pages repeat card 1's name, so they contribute 1
+        # distinct target instead of 2 — pure closed forms of
+        # (doc_id, source), no HTML parsing needed oracle-side
+        "web_owner_indegree": """
+SELECT 'github.com/' || source AS owner,
+       CAST(2 * count(*) AS BIGINT) AS n_links,
+       CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 2 END) AS BIGINT)
+         AS n_targets,
+       CAST(count(*) AS BIGINT) AS n_src_pages
+FROM documents GROUP BY source
 """,
         "doc_sample_mixture": """
 SELECT doc_id, lang FROM documents

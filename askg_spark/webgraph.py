@@ -1,0 +1,163 @@
+"""Web-link-graph operators over the Common-Crawl-style pages table:
+outlink extraction, per-target/per-owner in-degree, and a distributed
+fixed-iteration PageRank — the link-analysis half of a web curation
+pipeline (harmonic/PageRank centrality is a standard quality prior for
+crawl corpora next to the text signals in textops).
+
+Reference analog: none (the reference crawls registries one page at a
+time and never builds a link graph); this family is "beyond the
+reference" training-data-pipeline surface, same as dedup/textops.
+
+Design notes (100 TB posture):
+  * Link extraction is one JVM regex pass over the html column
+    (`regexp_extract_all`) — no Python, no shuffle; the scan prunes to
+    (url, html) only.
+  * In-degree is a single keyed groupBy with map-side partial
+    aggregation; owner rollup reuses the same shuffle key prefix.
+  * PageRank runs a FIXED iteration count (no per-iteration
+    convergence collect — the lesson of the round-1 CC loop): dangling
+    mass is folded in via a 1-row aggregate crossJoin (broadcast, stays
+    lazy), and lineage is truncated with a MEMORY_AND_DISK
+    localCheckpoint every `checkpoint_every` iterations so the plan
+    doesn't grow superlinearly. One job per iteration, zero driver
+    synchronization besides the scheduled actions themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import Column, DataFrame, functions as F
+
+# double-quoted href attributes; the corpus renderer escapes embedded
+# quotes (webcorpus._esc), so [^"]* is exact for our page families and
+# the standard approximation for wild HTML
+HREF_RE = r'href="([^"]*)"'
+
+
+def extract_outlinks(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) -> (src_url, href), one row per href
+    occurrence in document order. Pure JVM regex, columnar scan of two
+    columns only."""
+    html = F.col("html").cast("string")
+    return pages.select(
+        F.col("url").alias("src_url"),
+        F.explode(F.regexp_extract_all(html, F.lit(HREF_RE), F.lit(1)))
+         .alias("href"),
+    )
+
+
+def normalize_target(href: Column) -> Column:
+    """scheme://www.host/path/ -> host/path (lowercased host is left
+    to the caller if wanted; our corpus emits lowercase hosts)."""
+    t = F.regexp_replace(href, r"^[a-z][a-z0-9+.-]*://", "")
+    t = F.regexp_replace(t, r"^www\.", "")
+    return F.regexp_replace(t, r"/$", "")
+
+
+def target_owner(target: Column) -> Column:
+    """Rollup key: for forge-style targets (host/owner/repo...) the
+    first two segments (host/owner); bare hosts stay themselves."""
+    return F.regexp_extract(target, r"^([^/]+(?:/[^/]+)?)", 1)
+
+
+def owner_indegree(pages: DataFrame) -> DataFrame:
+    """Link-graph in-degree rolled up to the target owner:
+    -> (owner, n_links, n_targets, n_src_pages). n_links counts every
+    href occurrence, n_targets the distinct normalized targets under
+    the owner, n_src_pages the distinct linking pages. One explode +
+    one groupBy (distincts share the same shuffle key)."""
+    links = extract_outlinks(pages).select(
+        "src_url", normalize_target(F.col("href")).alias("target"))
+    return (
+        links.select("src_url", "target",
+                     target_owner(F.col("target")).alias("owner"))
+        .groupBy("owner")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("target").alias("n_targets"),
+            F.countDistinct("src_url").alias("n_src_pages"),
+        )
+    )
+
+
+def page_owner_edges(pages: DataFrame) -> DataFrame:
+    """Distinct (src, dst) edges from pages to link-target owners —
+    the bipartite graph PageRank runs over in the driver query."""
+    links = extract_outlinks(pages)
+    return links.select(
+        F.col("src_url").alias("src"),
+        target_owner(normalize_target(F.col("href"))).alias("dst"),
+    ).distinct()
+
+
+def pagerank(edges: DataFrame, iterations: int = 10,
+             damping: float = 0.85,
+             checkpoint_every: int = 4) -> DataFrame:
+    """Distributed power-iteration PageRank over (src, dst) edges:
+    -> (node, rank), sum(rank) == 1 at every step (dangling-node mass
+    is redistributed uniformly).
+
+    rank_{t+1}(v) = (1-d)/N + d * (sum_{u->v} rank_t(u)/outdeg(u)
+                                   + dangling_mass_t / N)
+
+    No per-iteration driver synchronization: the dangling mass is a
+    1-row groupBy().sum() crossJoined back in (Catalyst broadcasts the
+    single row), iteration count is fixed, and lineage is cut with a
+    MEMORY_AND_DISK localCheckpoint every `checkpoint_every` rounds.
+    The only collect is the initial vertex count. Per-iteration cost:
+    one shuffle (the contribution groupBy) plus a broadcast join —
+    the shape GraphX/Pregel would produce, expressed in DataFrames."""
+    edges = edges.select("src", "dst").distinct()
+    verts = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct()
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    n = verts.count()
+    if n == 0:
+        return verts.withColumn("rank", F.lit(0.0))
+
+    outdeg = (edges.groupBy("src")
+              .agg(F.count(F.lit(1)).alias("outdeg"))
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    # (src, dst, outdeg) is loop-invariant; persist once
+    fan = (edges.join(outdeg, "src")
+           .persist(StorageLevel.MEMORY_AND_DISK))
+
+    ranks = verts.select("node", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+    prev = None
+    for it in range(iterations):
+        contrib = (
+            fan.join(ranks, fan["src"] == ranks["node"])
+            .select(F.col("dst").alias("node"),
+                    (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        # dangling mass = 1 - total outflow of linking nodes; computed
+        # as a lazy 1-row aggregate, never collected to the driver
+        linked_mass = (
+            ranks.join(outdeg, ranks["node"] == outdeg["src"])
+            .groupBy()
+            .agg(F.sum("rank").alias("m"))
+            .select(F.coalesce(F.col("m"), F.lit(0.0)).alias("m"))
+        )
+        ranks = (
+            verts.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(linked_mass))
+            .select(
+                "node",
+                (F.lit(base)
+                 + F.lit(damping)
+                 * (F.coalesce(F.col("inflow"), F.lit(0.0))
+                    + (F.lit(1.0) - F.col("m")) / F.lit(float(n))))
+                .alias("rank"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
+            ranks = ranks.localCheckpoint(
+                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+            if prev is not None:
+                prev.unpersist()
+            prev = ranks
+    return ranks

@@ -1,0 +1,103 @@
+"""webgraph: outlink extraction, owner in-degree, PageRank vs a NumPy
+power-iteration reference (same formula, same fixed iteration count)."""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from askg_spark import webgraph
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(
+        [(u, bytearray(h.encode())) for u, h in rows],
+        "url string, html binary")
+
+
+def test_extract_outlinks_order_and_multiplicity(spark):
+    pages = _pages(spark, [
+        ("p1", '<a href="https://x.com/a">1</a><a href="https://x.com/a">'
+               '2</a><a href="https://y.com/b/c">3</a>'),
+        ("p2", "<p>no links</p>"),
+    ])
+    out = webgraph.extract_outlinks(pages).collect()
+    assert [(r["src_url"], r["href"]) for r in out] == [
+        ("p1", "https://x.com/a"),
+        ("p1", "https://x.com/a"),
+        ("p1", "https://y.com/b/c"),
+    ]
+
+
+def test_normalize_and_owner():
+    df_in = [("https://www.x.com/A/b/c/",), ("http://y.org",),
+             ("https://github.com/own/repo",)]
+    import pyspark.sql.session as _s
+    spark = _s.SparkSession.getActiveSession()
+    df = spark.createDataFrame(df_in, "href string")
+    out = df.select(
+        webgraph.normalize_target(F.col("href")).alias("t")).collect()
+    assert [r["t"] for r in out] == ["x.com/A/b/c", "y.org",
+                                     "github.com/own/repo"]
+    owners = df.select(webgraph.target_owner(
+        webgraph.normalize_target(F.col("href"))).alias("o")).collect()
+    assert [r["o"] for r in owners] == ["x.com/A", "y.org",
+                                        "github.com/own"]
+
+
+def test_owner_indegree_counts(spark):
+    pages = _pages(spark, [
+        ("p1", '<a href="https://github.com/o1/r1">x</a>'
+               '<a href="https://github.com/o1/r2">y</a>'),
+        ("p2", '<a href="https://github.com/o1/r1">x</a>'),
+        ("p3", '<a href="https://z.net/">x</a>'),
+    ])
+    rows = {r["owner"]: r for r in webgraph.owner_indegree(pages).collect()}
+    assert rows["github.com/o1"]["n_links"] == 3
+    assert rows["github.com/o1"]["n_targets"] == 2
+    assert rows["github.com/o1"]["n_src_pages"] == 2
+    assert rows["z.net"]["n_links"] == 1
+
+
+def _numpy_pagerank(edges, iters, d):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    ix = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    adj = np.zeros((n, n))
+    for u, v in set(edges):
+        adj[ix[v], ix[u]] += 1.0
+        out[ix[u]] += 1.0
+    r = np.full(n, 1.0 / n)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        w = np.where(out > 0, 1.0 / out, 0.0)
+    for _ in range(iters):
+        linked = r[out > 0].sum()
+        dang = 1.0 - linked
+        r = (1 - d) / n + d * (adj @ (r * w) + dang / n)
+    return {v: r[ix[v]] for v in nodes}
+
+
+@pytest.mark.parametrize("iters", [1, 7])
+def test_pagerank_matches_numpy_reference(spark, iters):
+    rng = np.random.default_rng(7)
+    n = 40
+    edges = [(f"n{a}", f"n{b}")
+             for a, b in rng.integers(0, n, size=(160, 2)) if a != b]
+    # guarantee some dangling nodes: n37..n39 receive only
+    edges = [(u, v) for u, v in edges if not u.startswith("n3")] + \
+            [("n0", "n37"), ("n1", "n38"), ("n2", "n39")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["rank"]
+           for r in webgraph.pagerank(df, iterations=iters,
+                                      checkpoint_every=3).collect()}
+    want = _numpy_pagerank(edges, iters, 0.85)
+    assert set(got) == set(want)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+
+
+def test_pagerank_empty_graph(spark):
+    df = spark.createDataFrame([], "src string, dst string")
+    assert webgraph.pagerank(df, iterations=2).count() == 0
