@@ -90,6 +90,27 @@ def page_owner_edges(pages: DataFrame) -> DataFrame:
     ).distinct()
 
 
+class _AqeOff:
+    """Temporarily disable AQE: inside a fixed-point loop every
+    exchange AQE re-plans becomes its own driver-scheduled job — tiny
+    per-iteration frames turn into dozens of ~1s scheduling rounds
+    (the round-1 CC pathology). Restores the prior setting on exit,
+    exception or not."""
+
+    def __init__(self, spark):
+        self._spark = spark
+
+    def __enter__(self):
+        self._prev = self._spark.conf.get("spark.sql.adaptive.enabled",
+                                          "true")
+        self._spark.conf.set("spark.sql.adaptive.enabled", "false")
+        return self
+
+    def __exit__(self, *exc):
+        self._spark.conf.set("spark.sql.adaptive.enabled", self._prev)
+        return False
+
+
 def pagerank(edges: DataFrame, iterations: int = 10,
              damping: float = 0.85,
              checkpoint_every: int = 4) -> DataFrame:
@@ -100,14 +121,26 @@ def pagerank(edges: DataFrame, iterations: int = 10,
     rank_{t+1}(v) = (1-d)/N + d * (sum_{u->v} rank_t(u)/outdeg(u)
                                    + dangling_mass_t / N)
 
-    No per-iteration driver synchronization: the dangling mass is a
-    1-row groupBy().sum() crossJoined back in (Catalyst broadcasts the
-    single row), iteration count is fixed, and lineage is cut with a
-    MEMORY_AND_DISK localCheckpoint every `checkpoint_every` rounds.
-    The only collect is the initial vertex count. Per-iteration cost:
-    one shuffle (the contribution groupBy) plus a broadcast join —
-    the shape GraphX/Pregel would produce, expressed in DataFrames."""
-    edges = edges.select("src", "dst").distinct()
+    Zero per-iteration driver synchronization AND zero per-iteration
+    materialization: every round is lazy — the dangling mass is NOT a
+    second pass over `ranks` but the 1-row total of the inflow
+    aggregate itself (sum_v inflow(v) == sum of linked nodes' rank, so
+    one shuffle serves both terms; at execution the repeated subtree is
+    a ReusedExchange, not a recompute), crossJoined back as a broadcast
+    row. `ranks` is referenced exactly once per round, so the logical
+    plan grows ~2x per iteration via the inflow double-reference —
+    bounded by a MEMORY_AND_DISK localCheckpoint every
+    `checkpoint_every` rounds and at the end (the ONLY eager points).
+    AQE is disabled for the loop body (restored via context manager):
+    with it on, every exchange materializes as its own driver job, so
+    a checkpoint of k rounds costs ~4k scheduling rounds on tiny
+    frames instead of one job (measured 43s -> ~5s for the sf0.001
+    driver graph). The only collect is the initial vertex count."""
+    # edges is referenced 3x (verts union, outdeg, fan) — persist, or
+    # an expensive upstream (page render + regex extract) re-executes
+    # per reference (measured 39s -> 12s for the sf0.001 driver query)
+    edges = (edges.select("src", "dst").distinct()
+             .persist(StorageLevel.MEMORY_AND_DISK))
     verts = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
              .distinct()
@@ -116,48 +149,49 @@ def pagerank(edges: DataFrame, iterations: int = 10,
     if n == 0:
         return verts.withColumn("rank", F.lit(0.0))
 
-    outdeg = (edges.groupBy("src")
-              .agg(F.count(F.lit(1)).alias("outdeg"))
-              .persist(StorageLevel.MEMORY_AND_DISK))
-    # (src, dst, outdeg) is loop-invariant; persist once
+    # (src -> dst, 1/outdeg(src)) is loop-invariant; one narrow frame
+    outdeg = edges.groupBy("src").agg(
+        (F.lit(1.0) / F.count(F.lit(1))).alias("w"))
     fan = (edges.join(outdeg, "src")
            .persist(StorageLevel.MEMORY_AND_DISK))
 
     ranks = verts.select("node", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
     prev = None
-    for it in range(iterations):
-        contrib = (
-            fan.join(ranks, fan["src"] == ranks["node"])
-            .select(F.col("dst").alias("node"),
-                    (F.col("rank") / F.col("outdeg")).alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("inflow"))
-        )
-        # dangling mass = 1 - total outflow of linking nodes; computed
-        # as a lazy 1-row aggregate, never collected to the driver
-        linked_mass = (
-            ranks.join(outdeg, ranks["node"] == outdeg["src"])
-            .groupBy()
-            .agg(F.sum("rank").alias("m"))
-            .select(F.coalesce(F.col("m"), F.lit(0.0)).alias("m"))
-        )
-        ranks = (
-            verts.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(linked_mass))
-            .select(
-                "node",
-                (F.lit(base)
-                 + F.lit(damping)
-                 * (F.coalesce(F.col("inflow"), F.lit(0.0))
-                    + (F.lit(1.0) - F.col("m")) / F.lit(float(n))))
-                .alias("rank"),
+    with _AqeOff(edges.sparkSession):
+        for it in range(iterations):
+            inflow = (
+                fan.join(ranks, fan["src"] == ranks["node"])
+                .select(F.col("dst").alias("node"),
+                        (F.col("rank") * F.col("w")).alias("c"))
+                .groupBy("node")
+                .agg(F.sum("c").alias("inflow"))
             )
-        )
-        if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
-            ranks = ranks.localCheckpoint(
-                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
-            if prev is not None:
-                prev.unpersist()
-            prev = ranks
+            # sum_v inflow(v) = sum of linked nodes' rank -> dangling
+            # mass = 1 - that total; same exchange as `inflow`, reused
+            linked_mass = (inflow.groupBy()
+                           .agg(F.coalesce(F.sum("inflow"), F.lit(0.0))
+                                .alias("m")))
+            ranks = (
+                verts.join(inflow, "node", "left")
+                .crossJoin(F.broadcast(linked_mass))
+                .select(
+                    "node",
+                    (F.lit(base)
+                     + F.lit(damping)
+                     * (F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + (F.lit(1.0) - F.col("m")) / F.lit(float(n))))
+                    .alias("rank"),
+                )
+            )
+            if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
+                ranks = ranks.localCheckpoint(
+                    eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+                if prev is not None:
+                    prev.unpersist()
+                prev = ranks
+    # the final ranks frame is an eager checkpoint — self-contained —
+    # so the loop-invariant caches can be dropped before returning
+    for df in (fan, verts, edges):
+        df.unpersist()
     return ranks

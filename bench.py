@@ -90,7 +90,10 @@ def main() -> int:
     run("doc_repetition_stats")
     run("doc_pii_scan")
     run("doc_sample_mixture")
+    run("doc_line_dedup")
     run("doc_contamination")
+    run("web_owner_indegree")
+    run("web_pagerank_topk", lambda df: len(df.collect()))
     run("events_latest_per_user")
     run("events_hourly_counts")
     run("top_customers_by_revenue", lambda df: len(df.collect()))
