@@ -474,6 +474,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select(F.col("window.start").alias("hour_start"),
                         "event_type", "n"))
 
+    def events_asof_join(spark, sf):
+        # point-in-time join: each purchase gains the latest click at
+        # or before it per user — one window shuffle, no range join
+        # (timeseries.asof_join); oracle = DuckDB's native ASOF JOIN
+        from askg_spark.timeseries import asof_join
+        ev = _t(spark, sf, "events")
+        purchases = ev.filter(F.col("event_type") == "purchase") \
+            .select("user_id", "event_id", "ts", "value")
+        clicks = ev.filter(F.col("event_type") == "click") \
+            .select("user_id", "event_id", "ts", "value")
+        return asof_join(purchases, clicks)
+
     def events_json_extract(spark, sf):
         return _t(spark, sf, "events").select(
             "event_id",
@@ -565,6 +577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_latest_per_user": events_latest_per_user,
         "events_counts_by_type": events_counts_by_type,
         "events_hourly_counts": events_hourly_counts,
+        "events_asof_join": events_asof_join,
         "events_json_extract": events_json_extract,
         "top_customers_by_revenue": top_customers_by_revenue,
         "lineitem_pricing_summary": lineitem_pricing_summary,
@@ -1480,6 +1493,28 @@ SELECT event_type, count(*) AS n FROM events GROUP BY event_type
         "events_hourly_counts": """
 SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n
 FROM events GROUP BY 1, 2
+""",
+        # point-in-time lookup via DuckDB's native ASOF LEFT JOIN;
+        # right side pre-deduped on (user_id, ts) by greatest event_id
+        # — the same tie rule asof_join applies, so the match is
+        # deterministic on both engines
+        "events_asof_join": """
+WITH p AS (
+  SELECT user_id, event_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, event_id, ts, value FROM (
+    SELECT user_id, event_id, ts, value,
+           row_number() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'click') WHERE rn = 1
+)
+SELECT p.user_id, p.event_id, p.ts, p.value,
+       c.event_id AS prior_event_id, c.ts AS prior_ts,
+       c.value AS prior_value
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
 """,
         "events_json_extract": """
 SELECT event_id,

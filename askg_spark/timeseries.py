@@ -1,0 +1,81 @@
+"""Time-series operators Spark lacks natively, expressed shuffle-once
+in DataFrames: the as-of (point-in-time) join.
+
+`asof_join` answers "for each left row, the most recent right row at or
+before its timestamp, per key" — the standard point-in-time lookup for
+feature backfills (latest model score / price / session event before
+each label event). Spark has no ASOF JOIN; the naive formulations are a
+range join (quadratic per key) or a per-key mapInPandas merge (Python
+in the hot path). This one is a single window pass:
+
+  1. union the two sides into one frame tagged with a side marker,
+  2. one window partitioned by key ordered by (ts, side, tiebreak)
+     carries the last-seen right payload forward (`last_value`
+     IGNORE NULLS over unbounded-preceding..current),
+  3. keep the left rows; the carried struct IS the as-of match.
+
+Cost: ONE shuffle of |L|+|R| rows keyed by the join key — the same
+exchange a sort-merge equi-join would pay — no per-key quadratic term,
+no Python. Hot keys skew the window like any keyed op; salting cannot
+apply (the carry is order-dependent within a key), so extreme per-key
+row counts are the documented limit — at web scale, bucket/partition
+the input by key and day so a window instance never exceeds one
+partition's memory (ts-ordered secondary sort makes state a single
+row: Spark's window frame here is running-last, not buffered).
+
+Tie rule (mirrored exactly by the DuckDB `ASOF JOIN` oracle in
+__spark_entry__): right rows at ts == left ts DO match (<= semantics);
+among right rows sharing (key, ts) the greatest tiebreak column wins.
+Reference analog: none (training-pipeline operator family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str = "user_id",
+              ts: str = "ts", tiebreak: str = "event_id",
+              payload_prefix: str = "prior_") -> DataFrame:
+    """Point-in-time join: every `left` row gains the latest `right`
+    row with right.ts <= left.ts for the same key (NULLs when no prior
+    right row exists). Output = all left columns + right's non-key
+    columns renamed `prior_<col>`.
+
+    Rows from `right` that share (key, ts) are resolved to the one
+    with the greatest `tiebreak` value before the merge, making the
+    result deterministic on any partitioning."""
+    rcols = [c for c in right.columns if c != key]
+
+    # deterministic pre-dedup of right on (key, ts): greatest tiebreak
+    w_dedup = Window.partitionBy(key, ts).orderBy(F.desc(tiebreak))
+    r1 = (right.withColumn("_rn", F.row_number().over(w_dedup))
+          .filter(F.col("_rn") == 1).drop("_rn"))
+
+    tagged_r = r1.select(
+        F.col(key), F.col(ts).alias("_ts"), F.lit(0).alias("_side"),
+        F.struct(*[F.col(c) for c in rcols]).alias("_rpay"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
+          for c in left.columns if c != key],
+    )
+    tagged_l = left.select(
+        F.col(key), F.col(ts).alias("_ts"), F.lit(1).alias("_side"),
+        F.lit(None).cast(tagged_r.schema["_rpay"].dataType).alias("_rpay"),
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns if c != key],
+    )
+
+    # right rows sort before left rows at equal ts -> <= semantics;
+    # running last_value(IGNORE NULLS) needs no buffering: the frame
+    # is unbounded-preceding..current over the ts-sorted key group
+    w = (Window.partitionBy(key).orderBy("_ts", "_side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    merged = (
+        tagged_r.unionByName(tagged_l)
+        .withColumn("_asof", F.last("_rpay", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    out_left = [F.col(f"_l_{c}").alias(c)
+                for c in left.columns if c != key]
+    out_right = [F.col("_asof")[c].alias(f"{payload_prefix}{c}")
+                 for c in rcols]
+    return merged.select(F.col(key), *out_left, *out_right)

@@ -1,0 +1,84 @@
+"""asof_join: point-in-time semantics — <= inclusion, right-side tie
+rule, missing-prior NULLs — plus a brute-force cross-check."""
+from __future__ import annotations
+
+from datetime import datetime
+
+from askg_spark.timeseries import asof_join
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double")
+
+
+def _t(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_semantics(spark):
+    left = _df(spark, [
+        (1, 100, _t("2025-01-01T10:00:00"), 5.0),   # prior at 09:00
+        (1, 101, _t("2025-01-01T12:00:00"), 6.0),   # equal-ts right
+        (2, 200, _t("2025-01-01T08:00:00"), 7.0),   # no prior
+    ])
+    right = _df(spark, [
+        (1, 10, _t("2025-01-01T09:00:00"), 1.5),
+        (1, 11, _t("2025-01-01T12:00:00"), 2.5),    # == left 101 ts
+        (1, 12, _t("2025-01-01T13:00:00"), 3.5),    # after everything
+        (2, 20, _t("2025-01-01T09:30:00"), 4.5),    # after left 200
+    ])
+    out = {r["event_id"]: r for r in asof_join(left, right).collect()}
+    assert out[100]["prior_event_id"] == 10
+    assert out[100]["prior_value"] == 1.5
+    # ts equality matches (<= semantics)
+    assert out[101]["prior_event_id"] == 11
+    # no right row at-or-before -> NULLs
+    assert out[200]["prior_event_id"] is None
+    assert out[200]["prior_ts"] is None
+    # left columns survive untouched
+    assert out[100]["value"] == 5.0
+
+
+def test_asof_join_right_tie_takes_greatest_tiebreak(spark):
+    left = _df(spark, [(1, 100, _t("2025-01-01T10:00:00"), 0.0)])
+    right = _df(spark, [
+        (1, 10, _t("2025-01-01T09:00:00"), 1.0),
+        (1, 13, _t("2025-01-01T09:00:00"), 2.0),   # same ts, higher id
+        (1, 11, _t("2025-01-01T09:00:00"), 3.0),
+    ])
+    out = asof_join(left, right).collect()
+    assert out[0]["prior_event_id"] == 13
+    assert out[0]["prior_value"] == 2.0
+
+
+def test_asof_join_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(11)
+    left = _df(spark, [
+        (rng.randrange(5), 1000 + i,
+         _t("2025-01-01T00:00:00").replace(hour=rng.randrange(24)),
+         float(i))
+        for i in range(60)
+    ])
+    right_rows = [
+        (rng.randrange(5), i,
+         _t("2025-01-01T00:00:00").replace(hour=rng.randrange(24)),
+         float(i) / 7)
+        for i in range(80)
+    ]
+    right = _df(spark, right_rows)
+    got = {r["event_id"]: (r["prior_event_id"], r["prior_ts"])
+           for r in asof_join(left, right).collect()}
+
+    # brute force: per left row, max (ts, event_id) among right rows
+    # with same key and ts <= left ts
+    by_key: dict[int, list] = {}
+    for u, eid, ts, _v in right_rows:
+        by_key.setdefault(u, []).append((ts, eid))
+    for row in left.collect():
+        cands = [(ts, eid) for ts, eid in by_key.get(row["user_id"], [])
+                 if ts <= row["ts"]]
+        want = max(cands) if cands else (None, None)
+        assert got[row["event_id"]] == (want[1], want[0]), row["event_id"]
