@@ -486,6 +486,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("user_id", "event_id", "ts", "value")
         return asof_join(purchases, clicks)
 
+    def events_sessions(spark, sf):
+        # gap-based sessionization (30-min gap): one exchange — the
+        # session groupBy rides the window's hash partitioning
+        from askg_spark.timeseries import sessionize
+        return sessionize(_t(spark, sf, "events"), gap_seconds=1800)
+
     def events_json_extract(spark, sf):
         return _t(spark, sf, "events").select(
             "event_id",
@@ -578,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_counts_by_type": events_counts_by_type,
         "events_hourly_counts": events_hourly_counts,
         "events_asof_join": events_asof_join,
+        "events_sessions": events_sessions,
         "events_json_extract": events_json_extract,
         "top_customers_by_revenue": top_customers_by_revenue,
         "lineitem_pricing_summary": lineitem_pricing_summary,
@@ -1515,6 +1522,33 @@ SELECT p.user_id, p.event_id, p.ts, p.value,
        c.value AS prior_value
 FROM p ASOF LEFT JOIN c
   ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+        # sessionization: second-truncated gap comparison mirrors
+        # Spark's unix_timestamp (floor-to-second) exactly
+        "events_sessions": """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev
+  FROM events),
+f AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(prev)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS ns
+  FROM o),
+s AS (
+  SELECT user_id, ts,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM f)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT)
+         AS duration_sec
+FROM s GROUP BY user_id, session_id
 """,
         "events_json_extract": """
 SELECT event_id,

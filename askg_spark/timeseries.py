@@ -79,3 +79,39 @@ def asof_join(left: DataFrame, right: DataFrame, key: str = "user_id",
     out_right = [F.col("_asof")[c].alias(f"{payload_prefix}{c}")
                  for c in rcols]
     return merged.select(F.col(key), *out_left, *out_right)
+
+
+def sessionize(events: DataFrame, key: str = "user_id", ts: str = "ts",
+               tiebreak: str = "event_id",
+               gap_seconds: int = 1800) -> DataFrame:
+    """Gap-based sessionization: consecutive events of a key belong to
+    one session while the inter-event gap is <= ``gap_seconds``; a
+    larger gap starts a new session. -> per-session summary
+    (key, session_id 1-based, n_events, session_start, session_end,
+    duration_sec).
+
+    Plan: ONE exchange. The session boundary is a running sum of
+    new-session flags over the (key)-partitioned ts-ordered window;
+    the follow-up groupBy(key, session_id) needs rows co-located by
+    key only, which the window's hash partitioning already guarantees,
+    so Catalyst plans it shuffle-free on top of the same exchange.
+    All outputs are integers/timestamps — exact cross-engine compare."""
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    prev = F.lag(F.col(ts)).over(w)
+    new_session = F.when(
+        prev.isNull()
+        | ((F.unix_timestamp(F.col(ts)) - F.unix_timestamp(prev))
+           > int(gap_seconds)),
+        F.lit(1)).otherwise(F.lit(0))
+    runw = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_sess = events.select(
+        F.col(key), F.col(ts),
+        F.sum(new_session).over(runw).alias("session_id"))
+    return (with_sess.groupBy(key, "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min(ts).alias("session_start"),
+                 F.max(ts).alias("session_end"))
+            .withColumn(
+                "duration_sec",
+                (F.unix_timestamp("session_end")
+                 - F.unix_timestamp("session_start")).cast("long")))

@@ -82,3 +82,37 @@ def test_asof_join_matches_bruteforce(spark):
                  if ts <= row["ts"]]
         want = max(cands) if cands else (None, None)
         assert got[row["event_id"]] == (want[1], want[0]), row["event_id"]
+
+
+def test_sessionize_gap_boundary(spark):
+    from askg_spark.timeseries import sessionize
+
+    rows = [
+        # user 1: events at t0, t0+1800s (== gap, same session),
+        # t0+3601s (> gap from prev, new session)
+        (1, 1, _t("2025-01-01T00:00:00"), 0.0),
+        (1, 2, _t("2025-01-01T00:30:00"), 0.0),
+        (1, 3, _t("2025-01-01T01:30:01"), 0.0),
+        # user 2: single event
+        (2, 4, _t("2025-01-01T05:00:00"), 0.0),
+    ]
+    df = _df(spark, rows)
+    out = {(r["user_id"], r["session_id"]): r
+           for r in sessionize(df, gap_seconds=1800).collect()}
+    assert out[(1, 1)]["n_events"] == 2
+    assert out[(1, 1)]["duration_sec"] == 1800
+    assert out[(1, 2)]["n_events"] == 1
+    assert out[(1, 2)]["session_start"] == _t("2025-01-01T01:30:01")
+    assert out[(2, 1)]["n_events"] == 1
+    assert out[(2, 1)]["duration_sec"] == 0
+    assert len(out) == 3
+
+
+def test_sessionize_single_exchange_plan(spark):
+    from askg_spark.timeseries import sessionize
+
+    df = _df(spark, [(1, 1, _t("2025-01-01T00:00:00"), 0.0)])
+    plan = sessionize(df)._jdf.queryExecution().executedPlan().toString()
+    # the groupBy must reuse the window's hash partitioning: exactly
+    # one Exchange in the physical plan
+    assert plan.count("Exchange") == 1, plan
