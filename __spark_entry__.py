@@ -349,6 +349,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("text"))
         return textops.line_dedup(aug)
 
+    def corpus_token_vocab(spark, sf):
+        # tokenizer-training vocabulary: corpus-wide top-100 tokens,
+        # map-side-combined counts, TakeOrdered top-k (no global sort)
+        return textops.token_vocabulary(_t(spark, sf, "documents"), k=100)
+
+    def doc_length_quantiles(spark, sf):
+        # exact interpolated percentiles per language (Spark
+        # `percentile` == DuckDB `quantile_cont` definition)
+        return textops.length_quantiles(_t(spark, sf, "documents"))
+
     def doc_sample_mixture(spark, sf):
         # deterministic hash-based mixture sampling: per-lang keep
         # rates, reproducible on any partitioning; the md5-prefix
@@ -564,6 +574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_stats": doc_repetition_stats,
         "doc_pii_scan": doc_pii_scan,
         "doc_line_dedup": doc_line_dedup,
+        "corpus_token_vocab": corpus_token_vocab,
+        "doc_length_quantiles": doc_length_quantiles,
         "doc_sample_mixture": doc_sample_mixture,
         "doc_contamination": doc_contamination,
         "doc_fingerprints": doc_fingerprints,
@@ -1247,6 +1259,29 @@ FROM aug
 """,
         # sampling: keep iff 4-hex md5 prefix < per-stratum threshold
         # (rate * 65536 in hex); fixed-width hex compares numerically
+        # corpus vocabulary: same whitespace tokenization; n_docs =
+        # distinct source rows containing the token; total order via
+        # (count DESC, token ASC) makes the top-100 deterministic
+        "corpus_token_vocab": f"""
+WITH t AS (SELECT doc_id, {_TOKS_SAFE} AS toks FROM documents),
+e AS (SELECT doc_id, unnest(toks) AS token FROM t)
+SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM e GROUP BY token
+ORDER BY n_occurrences DESC, token ASC LIMIT 100
+""",
+        # exact interpolated quantiles: quantile_cont == Spark
+        # percentile (linear interpolation between closest ranks)
+        "doc_length_quantiles": """
+SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       min(n_chars) AS min_len, max(n_chars) AS max_len,
+       quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS p25,
+       quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS p50,
+       quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS p75,
+       quantile_cont(CAST(n_chars AS DOUBLE), 0.9) AS p90,
+       quantile_cont(CAST(n_chars AS DOUBLE), 0.99) AS p99
+FROM documents GROUP BY lang
+""",
         # C4-style line dedup: same planted-boilerplate augmentation,
         # boilerplate = line in >=3 DISTINCT docs; cleaned_md5 is the
         # md5 of surviving lines rejoined with \n in original order

@@ -524,3 +524,44 @@ def line_dedup(df: DataFrame, text_col: str = "text",
              .alias("cleaned_md5"),
         )
     )
+
+
+def token_vocabulary(df: DataFrame, k: int = 100, text_col: str = "text",
+                     min_count: int = 1) -> DataFrame:
+    """Corpus-wide token vocabulary: top-``k`` whitespace tokens by
+    total occurrence count (ties broken token-ascending for a total
+    order). -> (token, n_occurrences, n_docs).
+
+    The workhorse of tokenizer training / vocab pruning. Plan: one
+    explode + one keyed groupBy — partial aggregation combines counts
+    map-side, so the shuffle carries one row per (partition, distinct
+    token), not per occurrence; the final top-k is a TakeOrdered over
+    the aggregated frame (no global sort materialization)."""
+    # n_docs needs a per-source-row id; project it before the explode
+    toks = df.select(F.col(text_col), F.monotonically_increasing_id()
+                     .alias("_rid")) \
+        .select(F.explode(tokens(F.col(text_col))).alias("token"), "_rid")
+    return (toks.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                 F.countDistinct("_rid").alias("n_docs"))
+            .where(F.col("n_occurrences") >= int(min_count))
+            .orderBy(F.desc("n_occurrences"), F.asc("token"))
+            .limit(int(k)))
+
+
+def length_quantiles(df: DataFrame, value_col: str = "n_chars",
+                     strata_col: str = "lang") -> DataFrame:
+    """Per-stratum length distribution for corpus curation: exact
+    linear-interpolation percentiles (Spark `percentile`, not the
+    approximate sketch) plus min/max/count. Exact-oracle-able against
+    DuckDB `quantile_cont` — both implement the same interpolated
+    quantile definition."""
+    v = F.col(value_col).cast("double")
+    pcts = [0.25, 0.5, 0.75, 0.9, 0.99]
+    qcols = [F.percentile(v, F.lit(p)).alias(f"p{int(p * 100)}")
+             for p in pcts]
+    return (df.groupBy(strata_col)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min(F.col(value_col)).alias("min_len"),
+                 F.max(F.col(value_col)).alias("max_len"),
+                 *qcols))

@@ -91,6 +91,8 @@ def main() -> int:
     run("doc_pii_scan")
     run("doc_sample_mixture")
     run("doc_line_dedup")
+    run("corpus_token_vocab", lambda df: len(df.collect()))
+    run("doc_length_quantiles", lambda df: len(df.collect()))
     run("doc_contamination")
     run("web_owner_indegree")
     run("web_pagerank_topk", lambda df: len(df.collect()))

@@ -517,3 +517,26 @@ def test_line_dedup_removes_everything_leaves_empty_doc(spark):
     assert all(r["n_removed_lines"] == 1 for r in out)
     empty_md5 = hashlib.md5(b"").hexdigest()
     assert all(r["cleaned_md5"] == empty_md5 for r in out)
+
+
+def test_token_vocabulary_counts_and_order(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c"), (3, None), (4, "")],
+        "doc_id long, text string")
+    out = textops.token_vocabulary(df, k=10).collect()
+    assert [(r["token"], r["n_occurrences"], r["n_docs"]) for r in out] \
+        == [("a", 3, 2), ("b", 1, 1), ("c", 1, 1)]
+    # tie between b and c broken token-ascending; k truncates
+    top2 = textops.token_vocabulary(df, k=2).collect()
+    assert [r["token"] for r in top2] == ["a", "b"]
+
+
+def test_length_quantiles_interpolation(spark):
+    df = spark.createDataFrame(
+        [(i, "en", v) for i, v in enumerate([10, 20, 30, 40])],
+        "doc_id long, lang string, n_chars long")
+    r = textops.length_quantiles(df).collect()[0]
+    assert r["n"] == 4 and r["min_len"] == 10 and r["max_len"] == 40
+    # linear interpolation: p50 of [10,20,30,40] = 25.0
+    assert r["p50"] == 25.0
+    assert r["p25"] == 17.5
