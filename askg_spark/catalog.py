@@ -119,3 +119,34 @@ def fingerprint(df: DataFrame, ts_col: str | None = "warc_ts") -> str:
     row = df.agg(*aggs).collect()[0]
     parts = [str(row["n"])] + ([str(row["maxts"])] if len(row) > 1 else [])
     return "|".join(parts)
+
+
+def write_bucketed(df: DataFrame, table: str, key: str,
+                   n_buckets: int = 32, sort: bool = True,
+                   mode: str = "overwrite",
+                   path: str | None = None) -> None:
+    """Bucketed parquet sink: co-locates rows by ``hash(key) %
+    n_buckets`` at WRITE time so every later equi-join or aggregation
+    on ``key`` between same-bucketed tables plans with NO exchange —
+    the shuffle is paid once, at ingest, instead of per query
+    (verified by plan assertion in tests/test_skew_and_prune.py).
+
+    This is the catalog-level counterpart of the in-query
+    `repartition` co-location the pipeline uses: on a 100 TB corpus
+    the node/edge tables a KG serves are joined by entity id by every
+    downstream query, so bucketing them by id at materialization
+    amortizes the dominant exchange across the whole workload.
+    ``sortBy(key)`` additionally pre-sorts within buckets, letting
+    sort-merge joins skip their sort when Spark reads one file per
+    bucket. Iceberg analog: a `bucket(n_buckets, key)` partition
+    transform on the table spec."""
+    w = (df.write.mode(mode).format("parquet")
+         .bucketBy(int(n_buckets), key))
+    if sort:
+        w = w.sortBy(key)
+    if path is not None:
+        # external table: bucketed data lands at `path`, metadata (incl.
+        # bucket spec) in the session catalog — the warehouse dir is a
+        # static conf, so callers pass a path instead of retargeting it
+        w = w.option("path", path)
+    w.saveAsTable(table)
