@@ -459,6 +459,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (webgraph.pagerank(edges, iterations=8)
                 .orderBy(F.desc("rank"), F.asc("node")).limit(10))
 
+    def emb_label_centroids(spark, sf):
+        # grouped applyInPandas: per-label centroid sums as exact
+        # scaled ints (order-independent -> hash-stable vs the oracle)
+        return simsearch.label_centroids(_t(spark, sf, "embeddings"))
+
     def multimodal_decode_stats(spark, sf):
         decoded = multimodal.decode_media(
             multimodal.attach_payload(_t(spark, sf, "documents")))
@@ -589,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": ann_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        "emb_label_centroids": emb_label_centroids,
         "web_owner_indegree": web_owner_indegree,
         "web_pagerank_topk": web_pagerank_topk,
         "multimodal_decode_stats": multimodal_decode_stats,
@@ -1325,6 +1331,27 @@ SELECT doc_id,
        md5(coalesce(string_agg(line, chr(10) ORDER BY idx)
                     FILTER (WHERE NOT rm), '')) AS cleaned_md5
 FROM m GROUP BY doc_id
+""",
+        # per-label centroid sums: unnest-with-ordinality mirrors the
+        # numpy matrix sum; floor(v*1e6) in double is bit-identical on
+        # both engines (no round-half ambiguity), integer sums are
+        # order-independent
+        "emb_label_centroids": """
+WITH e AS (
+  SELECT label, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+s AS (
+  SELECT label, i,
+         CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
+              AS BIGINT) AS sv
+  FROM e GROUP BY label, i),
+n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+      FROM embeddings GROUP BY label)
+SELECT n.label, n.n_vecs,
+       (SELECT list(sv ORDER BY i) FROM s
+        WHERE s.label = n.label) AS vec_sum
+FROM n
 """,
         # link-graph owner in-degree over the mcpmarket family: every
         # page carries 2 hrefs to github.com/<source>/<card-name>;

@@ -337,3 +337,39 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def label_centroids(emb: DataFrame, label_col: str = "label",
+                    vec_col: str = "embedding",
+                    scale: int = 1_000_000) -> DataFrame:
+    """Per-label embedding centroid SUMS as exact scaled integers:
+    -> (label, n_vecs, vec_sum array<long>) with
+    vec_sum[i] = sum over the group of floor(vec[i] * scale).
+
+    The grouped `applyInPandas` surface (one Arrow batch per group,
+    numpy matrix sum — the §2.9 family member the rest of the engine
+    doesn't otherwise exercise outside streaming state). Integer sums
+    are order-independent, so the output hash-matches the SQL oracle
+    on any partitioning; the consumer divides by n_vecs for the float
+    centroid. At 10^12 rows per-label groups can exceed one task's
+    Arrow batch budget — for that regime pre-aggregate with the
+    posexplode + groupBy(label, pos) JVM path; this operator is the
+    one-group-per-task formulation appropriate while groups fit (the
+    common case: labels ~ classes/clusters, not users)."""
+    import numpy as np
+    import pandas as pd
+
+    s = float(scale)
+
+    def agg(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        m = np.floor(
+            np.stack(pdf[vec_col].to_numpy()).astype("float64") * s
+        ).astype("int64")
+        return pd.DataFrame({
+            label_col: [pdf[label_col].iloc[0]],
+            "n_vecs": [len(pdf)],
+            "vec_sum": [m.sum(axis=0).tolist()],
+        })
+
+    return emb.groupBy(label_col).applyInPandas(
+        agg, f"{label_col} int, n_vecs long, vec_sum array<long>")

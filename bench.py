@@ -94,6 +94,7 @@ def main() -> int:
     run("corpus_token_vocab", lambda df: len(df.collect()))
     run("doc_length_quantiles", lambda df: len(df.collect()))
     run("doc_contamination")
+    run("emb_label_centroids")
     run("web_owner_indegree")
     run("web_pagerank_topk", lambda df: len(df.collect()))
     run("events_latest_per_user")

@@ -540,3 +540,19 @@ def test_length_quantiles_interpolation(spark):
     # linear interpolation: p50 of [10,20,30,40] = 25.0
     assert r["p50"] == 25.0
     assert r["p25"] == 17.5
+
+
+def test_label_centroids_exact_scaled_sums(spark):
+    import numpy as np
+
+    rows = [(1, [0.5, -0.25]), (1, [0.1, 0.2]), (2, [1.0, 1.0])]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    out = {r["label"]: r for r in simsearch.label_centroids(df).collect()}
+    # floor semantics on float32-promoted doubles, per element
+    def fsum(vs):
+        m = np.floor(np.stack(vs).astype("float32").astype("float64")
+                     * 1e6).astype("int64")
+        return m.sum(axis=0).tolist()
+    assert out[1]["n_vecs"] == 2
+    assert out[1]["vec_sum"] == fsum([rows[0][1], rows[1][1]])
+    assert out[2]["vec_sum"] == [1000000, 1000000]
