@@ -90,3 +90,59 @@ def test_changed_pages_stateful_freshness_gate(spark, tmp_path):
 
     # third run, no new files: checkpoint drains nothing
     assert changed_pages_extract(spark, pages_dir, out_dir, ckpt) == 0
+
+
+def test_windowed_counts_watermark_closes_windows_and_drops_late(
+        spark, tmp_path):
+    """Append-mode event-time windows with a 10-minute watermark across
+    three checkpointed AvailableNow runs: a window is emitted only
+    once its end falls behind the watermark, and a late row arriving
+    after its window closed is DROPPED (no duplicate/updated row)."""
+    from askg_spark.streaming import windowed_mention_counts
+    from askg_spark.webcorpus import render_pages
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_pages(sec_offsets):
+        # warc_ts = EPOCH + doc_id seconds (webcorpus), so the offset
+        # IS the doc id: exact event-time control
+        docs = spark.createDataFrame(
+            [(int(s), f"body {s}", "en", "srcA", 10) for s in sec_offsets],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long")
+        render_pages(docs).write.mode("append").parquet(pages_dir)
+
+    def run_once():
+        q = (windowed_mention_counts(spark, pages_dir,
+                                     watermark="10 minutes",
+                                     window="1 hour")
+             .writeStream.outputMode("append")
+             .format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    H = 3600
+    # run 1: 10:05 and 12:30 -> watermark ends at 12:20; append emits
+    # nothing yet (emission happens the batch AFTER the watermark moves)
+    write_pages([10 * H + 300, 12 * H + 1800])
+    run_once()
+    # run 2: a LATE row at 10:20 (far below the 12:20 watermark ->
+    # dropped) plus 13:45; the closed 10:00 window is emitted
+    write_pages([10 * H + 1200, 13 * H + 2700])
+    run_once()
+    # run 3: 15:00 advances the watermark past 13:00, emitting the
+    # 12:00 window
+    write_pages([15 * H])
+    run_once()
+
+    out = spark.read.parquet(out_dir)
+    rows = {(r["window"]["start"].hour, r["n_mentions"])
+            for r in out.collect()}
+    # windows whose end fell behind the final 14:50 watermark emitted
+    # exactly once each (the trailing no-data micro-batch flushes
+    # 13:00 too); the late 10:20 row did NOT bump or re-emit 10:00
+    assert rows == {(10, 1), (12, 1), (13, 1)}, rows
+    assert out.count() == 3, out.collect()
