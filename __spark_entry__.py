@@ -359,6 +359,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # `percentile` == DuckDB `quantile_cont` definition)
         return textops.length_quantiles(_t(spark, sf, "documents"))
 
+    def doc_oov_rate(spark, sf):
+        # gibberish signal: per-doc token count + OOV count vs the
+        # corpus top-20 vocabulary (broadcast join; k=20 so the
+        # synthetic corpus actually has OOV tokens)
+        return textops.oov_stats(_t(spark, sf, "documents"), vocab_k=20)
+
+    def doc_pack_assignments(spark, sf):
+        # GPT-style sequence packing: 32 token streams (doc_id % 32),
+        # budget-256 sequences, per-shard ordered cumsum — all ints
+        return textops.pack_assignments(
+            _t(spark, sf, "documents"), budget=256, shards=32)
+
     def doc_sample_mixture(spark, sf):
         # deterministic hash-based mixture sampling: per-lang keep
         # rates, reproducible on any partitioning; the md5-prefix
@@ -580,6 +592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_scan": doc_pii_scan,
         "doc_line_dedup": doc_line_dedup,
         "corpus_token_vocab": corpus_token_vocab,
+        "doc_oov_rate": doc_oov_rate,
+        "doc_pack_assignments": doc_pack_assignments,
         "doc_length_quantiles": doc_length_quantiles,
         "doc_sample_mixture": doc_sample_mixture,
         "doc_contamination": doc_contamination,
@@ -1275,6 +1289,39 @@ SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
 FROM e GROUP BY token
 ORDER BY n_occurrences DESC, token ASC LIMIT 100
+""",
+        # OOV: same top-k vocabulary CTE ((count DESC, token ASC)
+        # total order -> identical k-boundary), zero-token docs
+        # re-attached with (0, 0)
+        "doc_oov_rate": f"""
+WITH t AS (SELECT doc_id, {_TOKS_SAFE} AS toks FROM documents),
+e AS (SELECT doc_id, unnest(toks) AS token FROM t),
+v AS (SELECT token FROM (
+  SELECT token, count(*) AS n FROM e GROUP BY token
+  ORDER BY n DESC, token ASC LIMIT 20)),
+p AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_oov
+      FROM e LEFT JOIN v ON e.token = v.token GROUP BY e.doc_id)
+SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
+       coalesce(p.n_oov, 0) AS n_oov
+FROM documents d LEFT JOIN p USING (doc_id)
+""",
+        # packing: per-shard ordered window cumsum; doc_id is unique,
+        # so RANGE/ROWS framing agree on both engines
+        "doc_pack_assignments": f"""
+WITH t AS (SELECT doc_id, CAST(doc_id % 32 AS INT) AS shard,
+                  CAST(len({_TOKS_SAFE}) AS BIGINT) AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS pstart
+      FROM t)
+SELECT doc_id, shard, n_tokens,
+       CAST(floor(pstart / 256.0) AS BIGINT) AS pack_id,
+       CAST(pstart % 256 AS BIGINT) AS offset_in_pack
+FROM c
 """,
         # exact interpolated quantiles: quantile_cont == Spark
         # percentile (linear interpolation between closest ranks)

@@ -565,3 +565,61 @@ def length_quantiles(df: DataFrame, value_col: str = "n_chars",
                  F.min(F.col(value_col)).alias("min_len"),
                  F.max(F.col(value_col)).alias("max_len"),
                  *qcols))
+
+
+def oov_stats(df: DataFrame, vocab_k: int = 100, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus top-k
+    vocabulary: -> (doc_id, n_tokens, n_oov). High OOV fraction vs a
+    corpus-level vocabulary is a standard gibberish/encoding-noise
+    signal next to the Gopher rules. Two passes: the vocab top-k
+    (see :func:`token_vocabulary`), then a broadcast left join of the
+    exploded tokens against it — the vocab is k rows, so the join is
+    map-side at any corpus size. Zero-token docs are re-attached with
+    (0, 0) via a left join on the source frame."""
+    vocab = (token_vocabulary(df, k=vocab_k, text_col=text_col)
+             .select("token").withColumn("_in", F.lit(True)))
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens(F.col(text_col))).alias("token"))
+    per_doc = (toks.join(F.broadcast(vocab), "token", "left")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_tokens"),
+                    F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+                     .cast("long").alias("n_oov")))
+    return (df.select(id_col).join(per_doc, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                    F.coalesce("n_oov", F.lit(0)).alias("n_oov")))
+
+
+def pack_assignments(df: DataFrame, budget: int = 2048, shards: int = 32,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """GPT-style sequence-packing assignment: documents are
+    concatenated in deterministic order and split into fixed
+    ``budget``-token training sequences; each doc gets the pack it
+    STARTS in and its token offset there.
+    -> (doc_id, shard, n_tokens, pack_id, offset_in_pack).
+
+    Scale shape: a single global concatenation order would be one
+    window partition — instead docs are sharded by ``doc_id %
+    shards`` (each shard is an independent token stream, the way a
+    distributed tokenizer writes one output stream per task) and the
+    running token count is a per-shard ordered window cumsum. All
+    outputs are exact integers; the oracle mirrors the same window.
+    At 10^12 docs, `shards` scales with the cluster (one stream per
+    output partition) and the window state is a single running sum."""
+    from pyspark.sql import Window
+    t = df.select(
+        F.col(id_col),
+        F.pmod(F.col(id_col), F.lit(int(shards))).cast("int").alias("shard"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return t.select(
+        id_col, "shard", "n_tokens",
+        F.floor(start / int(budget)).cast("long").alias("pack_id"),
+        F.pmod(start, F.lit(int(budget))).cast("long")
+         .alias("offset_in_pack"),
+    )

@@ -556,3 +556,32 @@ def test_label_centroids_exact_scaled_sums(spark):
     assert out[1]["n_vecs"] == 2
     assert out[1]["vec_sum"] == fsum([rows[0][1], rows[1][1]])
     assert out[2]["vec_sum"] == [1000000, 1000000]
+
+
+def test_oov_stats_against_vocab(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b rare1"), (2, "a b rare2"), (3, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           textops.oov_stats(df, vocab_k=2).collect()}
+    # vocab = {a (3x), b (2x)}; rare1/rare2 are OOV
+    assert out[1]["n_tokens"] == 4 and out[1]["n_oov"] == 1
+    assert out[2]["n_tokens"] == 3 and out[2]["n_oov"] == 1
+    # empty doc -> (0, 0) row still present
+    assert out[3]["n_tokens"] == 0 and out[3]["n_oov"] == 0
+
+
+def test_pack_assignments_cumsum_and_offsets(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in
+         [(0, 100), (2, 200), (4, 60), (1, 50)]],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textops.pack_assignments(
+        docs, budget=128, shards=2).collect()}
+    # shard 0 stream in doc_id order: 0 (100 tok), 2 (200), 4 (60)
+    assert (out[0]["pack_id"], out[0]["offset_in_pack"]) == (0, 0)
+    assert (out[2]["pack_id"], out[2]["offset_in_pack"]) == (0, 100)
+    assert (out[4]["pack_id"], out[4]["offset_in_pack"]) == (2, 44)
+    # shard 1: doc 1 starts its own stream
+    assert (out[1]["shard"], out[1]["pack_id"],
+            out[1]["offset_in_pack"]) == (1, 0, 0)
