@@ -106,3 +106,29 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_partition_pruning_pushdown_and_column_pruning(spark, tmp_path):
+    """The three Catalyst freebies the engine relies on, asserted on
+    the physical plan of a partitioned parquet scan: partition pruning
+    (day filter -> PartitionFilters, not data filters), predicate
+    pushdown (v filter -> PushedFilters at the scan), and column
+    pruning (ReadSchema carries only the projected columns)."""
+    p = str(tmp_path / "part")
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 10).alias("day"),
+        (F.col("id") * 2).alias("v"))
+    df.write.partitionBy("day").parquet(p)
+
+    r = (spark.read.parquet(p)
+         .filter((F.col("day") == 3) & (F.col("v") > 100))
+         .select("id", "v"))
+    plan = r._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters:" in plan and "(day" in plan.split(
+        "PartitionFilters:")[1].split("]")[0], plan
+    assert "GreaterThan(v,100)" in plan.split(
+        "PushedFilters:")[1].split("]")[0], plan
+    assert "ReadSchema: struct<id:bigint,v:bigint>" in plan, plan
+    # and the answer is right: ids ≡ 3 (mod 10) with 2*id > 100
+    got = sorted(row["id"] for row in r.collect())
+    assert got == [i for i in range(1000) if i % 10 == 3 and 2 * i > 100]
