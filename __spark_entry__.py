@@ -471,6 +471,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (webgraph.pagerank(edges, iterations=8)
                 .orderBy(F.desc("rank"), F.asc("node")).limit(10))
 
+    def kg_triples_diff(spark, sf):
+        # snapshot diff (changelog scan): old = even-trailing-digit
+        # subjects + a planted ghost row, new = the current build;
+        # two left-anti joins on (s,p,o). cast('' as bigint) -> NULL
+        # in Spark mirrors the oracle's TRY_CAST
+        from askg_spark.triples import snapshot_diff
+        tr = _kg_run(spark, sf).triples.select("subj", "pred", "obj")
+        tail = F.regexp_extract(F.col("subj"), r"([0-9]+)$", 1) \
+            .cast("bigint")
+        old = tr.where(tail.isNotNull() & (tail % 2 == 0)) \
+            .unionByName(spark.createDataFrame(
+                [("ghost", "HAS_CATEGORY", "other")],
+                "subj string, pred string, obj string"))
+        return snapshot_diff(old, tr)
+
     def emb_label_centroids(spark, sf):
         # grouped applyInPandas: per-label centroid sums as exact
         # scaled ints (order-independent -> hash-stable vs the oracle)
@@ -608,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": ann_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        "kg_triples_diff": kg_triples_diff,
         "emb_label_centroids": emb_label_centroids,
         "web_owner_indegree": web_owner_indegree,
         "web_pagerank_topk": web_pagerank_topk,
@@ -755,15 +771,7 @@ SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
             ("fr", ["le", "la", "les", "et", "ne"]),
             ("zh", ["的", "是", "了", "在", "我"]),
         ])
-    return {
-        # Relation pairs mirror the pipeline-default skew cap
-        # (PipelineConfig.max_entities_per_key = 1000): top-M entities
-        # per hot key ordered by (popularity DESC NULLS LAST, id ASC);
-        # rendered-doc entities all have NULL popularity, so ORDER BY
-        # id is the exact mirror. The cap does not bind at sf<=0.01
-        # (well under 1000 entities per key) — it is mirrored anyway so
-        # the oracle stays exact at any sf.
-        "kg_triples": _KG_ENT_CTE + """
+    _kg_triples_sql = _KG_ENT_CTE + """
 , attr AS (
   SELECT id AS subj, 'HAS_CATEGORY' AS pred, category AS obj FROM ecat
   UNION ALL SELECT id, 'HAS_OPERATION', 'read' FROM ent
@@ -788,6 +796,35 @@ rel AS (
 )
 SELECT subj, pred, obj FROM attr
 UNION ALL SELECT subj, pred, obj FROM rel
+"""
+    return {
+        # Relation pairs mirror the pipeline-default skew cap
+        # (PipelineConfig.max_entities_per_key = 1000): top-M entities
+        # per hot key ordered by (popularity DESC NULLS LAST, id ASC);
+        # rendered-doc entities all have NULL popularity, so ORDER BY
+        # id is the exact mirror. The cap does not bind at sf<=0.01
+        # (well under 1000 entities per key) — it is mirrored anyway so
+        # the oracle stays exact at any sf.
+        "kg_triples": _kg_triples_sql,
+        # snapshot diff: old = even-trailing-digit subjects + a
+        # planted ghost triple, new = current build; added = the odd/
+        # suffixed subjects' triples, removed = the ghost. TRY_CAST
+        # mirrors Spark's silent cast-to-NULL on ''
+        "kg_triples_diff": f"""
+WITH alltr AS ({_kg_triples_sql}),
+oldt AS (
+  SELECT subj, pred, obj FROM alltr
+  WHERE TRY_CAST(regexp_extract(subj, '([0-9]+)$', 1) AS BIGINT)
+        % 2 = 0
+  UNION ALL SELECT 'ghost', 'HAS_CATEGORY', 'other'),
+newt AS (SELECT subj, pred, obj FROM alltr)
+SELECT subj, pred, obj, 'added' AS change FROM (
+  SELECT DISTINCT subj, pred, obj FROM newt
+  EXCEPT SELECT DISTINCT subj, pred, obj FROM oldt)
+UNION ALL
+SELECT subj, pred, obj, 'removed' AS change FROM (
+  SELECT DISTINCT subj, pred, obj FROM oldt
+  EXCEPT SELECT DISTINCT subj, pred, obj FROM newt)
 """,
         "kg_category_counts": _KG_ENT_CTE + """
 SELECT category, count(*) AS n FROM ecat GROUP BY category

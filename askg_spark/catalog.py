@@ -96,6 +96,26 @@ class Catalog:
         snap = next(s for s in man["snapshots"] if s["id"] == sid)
         return spark.read.parquet(snap["path"])
 
+    def compact_snapshot(self, spark, table: str,
+                         target_rows_per_file: int = 1_000_000) -> int:
+        """Small-files compaction: rewrite the CURRENT snapshot into
+        ceil(n / target_rows_per_file) files and append the result as
+        a NEW snapshot (time travel to the fragmented one still
+        works; `expire_snapshots` reclaims it later). The 100 TB
+        motivation: streaming/incremental appends leave thousands of
+        small files per partition, and scan tasks then quantize on
+        file boundaries — compaction restores full-size scan splits.
+        Iceberg analog: `rewrite_data_files`. Returns the new
+        snapshot id."""
+        import math
+        df = self.read(spark, table)
+        n = df.count()
+        files = max(1, math.ceil(n / max(1, int(target_rows_per_file))))
+        return self.write_snapshot(
+            df.repartition(files), table,
+            properties={"compacted_from": self.manifest(table)["current"],
+                        "rows": n, "files": files})
+
     # -- maintenance (master_data.py:200-218 keep-N semantics) ----------
 
     def expire_snapshots(self, table: str, keep: int = 5) -> int:

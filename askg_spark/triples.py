@@ -104,3 +104,23 @@ def build_triples(entities: DataFrame, rel_edges: DataFrame) -> DataFrame:
     sets without that guarantee."""
     return dedup_triples(attribute_triples(entities)).unionByName(
         relationship_triples(rel_edges))
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """KG maintenance: diff two triple snapshots on the (subj, pred,
+    obj) key -> (subj, pred, obj, change) with change in
+    {'added', 'removed'}. Two left-anti joins sharing the same key —
+    Catalyst shuffles both sides once per direction on identical keys
+    (at snapshot scale the two snapshots overlap ~entirely, so the
+    anti-joins' outputs — the actual change sets — are tiny, which is
+    the operand a downstream incremental edge-sink wants instead of a
+    full rewrite). Iceberg analog: a changelog scan between two
+    snapshot ids."""
+    key = ["subj", "pred", "obj"]
+    added = (new.select(*key).distinct()
+             .join(old.select(*key).distinct(), key, "left_anti")
+             .withColumn("change", F.lit("added")))
+    removed = (old.select(*key).distinct()
+               .join(new.select(*key).distinct(), key, "left_anti")
+               .withColumn("change", F.lit("removed")))
+    return added.unionByName(removed)

@@ -83,6 +83,7 @@ def main() -> int:
         len(exact & ivf) / len(exact), 4) if exact else 1.0
 
     run("kg_similar_servers")
+    run("kg_triples_diff")
     run("kg_semantic_search")
     run("registry_completeness")
     run("doc_token_stats")

@@ -61,3 +61,27 @@ def test_materialized_resume_skips_unchanged_input(spark, tmp_path):
     pages2 = generate_pages(spark, n_servers=12, seed=7)
     r3 = run_pipeline_materialized(spark, pages2, out)
     assert r3["skipped"] is False
+
+
+def test_compact_snapshot_reduces_files_preserves_rows(spark, tmp_path):
+    from askg_spark.catalog import Catalog
+    import glob
+
+    cat = Catalog(str(tmp_path / "cat"))
+    # fragmented write: 16 files for 200 rows
+    df = spark.range(0, 200).repartition(16)
+    s1 = cat.write_snapshot(df, "t")
+    frag = glob.glob(cat.manifest("t")["snapshots"][0]["path"]
+                     + "/part-*.parquet")
+    assert len(frag) == 16
+
+    s2 = cat.compact_snapshot(spark, "t", target_rows_per_file=100)
+    assert s2 == s1 + 1
+    snap = next(s for s in cat.manifest("t")["snapshots"] if s["id"] == s2)
+    compacted = glob.glob(snap["path"] + "/part-*.parquet")
+    assert len(compacted) == 2      # ceil(200 / 100)
+    assert snap["properties"]["compacted_from"] == s1
+    # content identical; time travel to the fragmented snapshot works
+    assert sorted(r["id"] for r in cat.read(spark, "t").collect()) \
+        == list(range(200))
+    assert cat.read(spark, "t", snapshot_id=s1).count() == 200
