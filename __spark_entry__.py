@@ -471,6 +471,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (webgraph.pagerank(edges, iterations=8)
                 .orderBy(F.desc("rank"), F.asc("node")).limit(10))
 
+    def kg_degree_topk(spark, sf):
+        # graph stats: top-20 subjects by out-degree (distinct
+        # predicates ride the same groupBy); (degree DESC, subj ASC)
+        # total order
+        tr = _kg_run(spark, sf).triples
+        return (tr.groupBy("subj")
+                .agg(F.count(F.lit(1)).alias("out_degree"),
+                     F.countDistinct("pred").alias("n_preds"))
+                .orderBy(F.desc("out_degree"), F.asc("subj"))
+                .limit(20))
+
     def kg_triples_diff(spark, sf):
         # snapshot diff (changelog scan): old = even-trailing-digit
         # subjects + a planted ghost row, new = the current build;
@@ -623,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": ann_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        "kg_degree_topk": kg_degree_topk,
         "kg_triples_diff": kg_triples_diff,
         "emb_label_centroids": emb_label_centroids,
         "web_owner_indegree": web_owner_indegree,
@@ -806,6 +818,13 @@ UNION ALL SELECT subj, pred, obj FROM rel
         # (well under 1000 entities per key) — it is mirrored anyway so
         # the oracle stays exact at any sf.
         "kg_triples": _kg_triples_sql,
+        "kg_degree_topk": f"""
+WITH alltr AS ({_kg_triples_sql})
+SELECT subj, CAST(count(*) AS BIGINT) AS out_degree,
+       CAST(count(DISTINCT pred) AS BIGINT) AS n_preds
+FROM alltr GROUP BY subj
+ORDER BY out_degree DESC, subj ASC LIMIT 20
+""",
         # snapshot diff: old = even-trailing-digit subjects + a
         # planted ghost triple, new = current build; added = the odd/
         # suffixed subjects' triples, removed = the ghost. TRY_CAST
