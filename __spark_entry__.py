@@ -545,6 +545,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from askg_spark.timeseries import sessionize
         return sessionize(_t(spark, sf, "events"), gap_seconds=1800)
 
+    def events_funnel(spark, sf):
+        # ordered first-touch funnel view -> click -> purchase: one
+        # keyed min-agg per step, each joined to the prior stage
+        from askg_spark.timeseries import funnel_counts
+        return funnel_counts(_t(spark, sf, "events"),
+                             ["view", "click", "purchase"])
+
     def events_json_extract(spark, sf):
         return _t(spark, sf, "events").select(
             "event_id",
@@ -645,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_counts": events_hourly_counts,
         "events_asof_join": events_asof_join,
         "events_sessions": events_sessions,
+        "events_funnel": events_funnel,
         "events_json_extract": events_json_extract,
         "top_customers_by_revenue": top_customers_by_revenue,
         "lineitem_pricing_summary": lineitem_pricing_summary,
@@ -1687,6 +1695,23 @@ SELECT p.user_id, p.event_id, p.ts, p.value,
        c.value AS prior_value
 FROM p ASOF LEFT JOIN c
   ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+        # first-touch ordered funnel: stage i = min ts of step i at or
+        # after stage i-1's first qualifying ts
+        "events_funnel": """
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY 1)
+SELECT 1 AS step_idx, 'view' AS step,
+       CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_keys
+UNION ALL SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+UNION ALL SELECT 3, 'purchase',
+       CAST((SELECT count(*) FROM s3) AS BIGINT)
 """,
         # sessionization: second-truncated gap comparison mirrors
         # Spark's unix_timestamp (floor-to-second) exactly

@@ -115,3 +115,40 @@ def sessionize(events: DataFrame, key: str = "user_id", ts: str = "ts",
                 "duration_sec",
                 (F.unix_timestamp("session_end")
                  - F.unix_timestamp("session_start")).cast("long")))
+
+
+def funnel_counts(events: DataFrame, steps: list[str],
+                  key: str = "user_id", ts: str = "ts",
+                  type_col: str = "event_type") -> DataFrame:
+    """Ordered-funnel analysis: for each step i, how many keys
+    performed steps[0..i] IN ORDER (each step at-or-after the
+    previous step's first qualifying occurrence — the standard
+    first-touch funnel). -> (step_idx, step, n_keys) with step_idx
+    1-based; n_keys is non-increasing.
+
+    Plan: one keyed groupBy per step (min qualifying ts), each joined
+    to the previous stage's frame on the key — k small equi-joins on
+    the same key, no windows over the full event stream and no
+    per-key Python. The per-stage frames shrink monotonically, so
+    every join after the first is AQE-broadcastable in practice."""
+    stage = None
+    out_rows = []
+    for i, step in enumerate(steps):
+        ev = events.where(F.col(type_col) == step)
+        if stage is None:
+            stage = (ev.groupBy(key)
+                     .agg(F.min(ts).alias("_t")))
+        else:
+            stage = (ev.join(stage, key)
+                     .where(F.col(ts) >= F.col("_t"))
+                     .groupBy(key)
+                     .agg(F.min(ts).alias("_t2"))
+                     .withColumnRenamed("_t2", "_t"))
+        out_rows.append(
+            stage.agg(F.count(F.lit(1)).alias("n_keys"))
+            .select(F.lit(i + 1).alias("step_idx"),
+                    F.lit(step).alias("step"), "n_keys"))
+    res = out_rows[0]
+    for r in out_rows[1:]:
+        res = res.unionByName(r)
+    return res

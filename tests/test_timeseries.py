@@ -116,3 +116,25 @@ def test_sessionize_single_exchange_plan(spark):
     # the groupBy must reuse the window's hash partitioning: exactly
     # one Exchange in the physical plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_funnel_order_matters(spark):
+    from askg_spark.timeseries import funnel_counts
+
+    rows = [
+        # user 1 completes in order
+        (1, 1, _t("2025-01-01T01:00:00"), 0.0, "view"),
+        (1, 2, _t("2025-01-01T02:00:00"), 0.0, "click"),
+        (1, 3, _t("2025-01-01T03:00:00"), 0.0, "purchase"),
+        # user 2 clicked BEFORE viewing -> stops at view
+        (2, 4, _t("2025-01-01T01:00:00"), 0.0, "click"),
+        (2, 5, _t("2025-01-01T02:00:00"), 0.0, "view"),
+        # user 3 never viewed -> not even step 1
+        (3, 6, _t("2025-01-01T01:00:00"), 0.0, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double, "
+              "event_type string")
+    out = {r["step_idx"]: r["n_keys"] for r in funnel_counts(
+        df, ["view", "click", "purchase"]).collect()}
+    assert out == {1: 2, 2: 1, 3: 1}
