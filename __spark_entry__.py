@@ -545,6 +545,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from askg_spark.timeseries import sessionize
         return sessionize(_t(spark, sf, "events"), gap_seconds=1800)
 
+    def events_rolling_weekly(spark, sf):
+        # trailing 7-day activity via a RANGE-framed window over
+        # day-granular pre-aggregates
+        from askg_spark.timeseries import rolling_counts
+        return rolling_counts(_t(spark, sf, "events"), window_days=7)
+
+    def events_cohort_retention(spark, sf):
+        from askg_spark.timeseries import cohort_retention
+        return cohort_retention(_t(spark, sf, "events"))
+
     def events_funnel(spark, sf):
         # ordered first-touch funnel view -> click -> purchase: one
         # keyed min-agg per step, each joined to the prior stage
@@ -653,6 +663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": events_asof_join,
         "events_sessions": events_sessions,
         "events_funnel": events_funnel,
+        "events_rolling_weekly": events_rolling_weekly,
+        "events_cohort_retention": events_cohort_retention,
         "events_json_extract": events_json_extract,
         "top_customers_by_revenue": top_customers_by_revenue,
         "lineitem_pricing_summary": lineitem_pricing_summary,
@@ -1695,6 +1707,31 @@ SELECT p.user_id, p.event_id, p.ts, p.value,
        c.value AS prior_value
 FROM p ASOF LEFT JOIN c
   ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+        # trailing-window counts: integer day = floor(epoch/86400) on
+        # both engines; RANGE frame over day numbers handles gaps
+        "events_rolling_weekly": """
+WITH d AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS n_day
+  FROM events GROUP BY 1, 2)
+SELECT user_id, day, n_day,
+       CAST(sum(n_day) OVER (PARTITION BY user_id ORDER BY day
+                             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_window
+FROM d
+""",
+        "events_cohort_retention": """
+WITH a AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS active_week
+  FROM events),
+c AS (SELECT user_id, min(active_week) AS cohort_week FROM a GROUP BY 1)
+SELECT c.cohort_week, a.active_week,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_keys
+FROM a JOIN c USING (user_id)
+GROUP BY 1, 2
 """,
         # first-touch ordered funnel: stage i = min ts of step i at or
         # after stage i-1's first qualifying ts

@@ -152,3 +152,48 @@ def funnel_counts(events: DataFrame, steps: list[str],
     for r in out_rows[1:]:
         res = res.unionByName(r)
     return res
+
+
+def rolling_counts(events: DataFrame, window_days: int = 7,
+                   key: str = "user_id", ts: str = "ts") -> DataFrame:
+    """Trailing-window activity: per (key, active day), the event
+    count over the previous ``window_days`` days inclusive.
+    -> (key, day, n_day, n_window).
+
+    Plan: pre-aggregate to one row per (key, day) — the shuffle
+    carries day-granular rows, not raw events — then a RANGE-framed
+    window (day numbers, `rangeBetween(-(w-1), 0)`) sums the trailing
+    counts per key without re-scanning events. The range frame makes
+    gaps correct: a day with no events contributes nothing and missing
+    days never appear as zero rows."""
+    day = F.floor(F.unix_timestamp(F.col(ts)) / F.lit(86400)) \
+        .cast("long").alias("day")
+    daily = (events.select(F.col(key), day)
+             .groupBy(key, "day")
+             .agg(F.count(F.lit(1)).alias("n_day")))
+    w = (Window.partitionBy(key).orderBy("day")
+         .rangeBetween(-(int(window_days) - 1), 0))
+    return daily.select(
+        key, "day", "n_day",
+        F.sum("n_day").over(w).alias("n_window"))
+
+
+def cohort_retention(events: DataFrame, key: str = "user_id",
+                     ts: str = "ts") -> DataFrame:
+    """Weekly cohort retention: cohort = the ISO-agnostic week number
+    (epoch days // 7) of a key's FIRST event; for every later active
+    week, how many of the cohort's keys were active.
+    -> (cohort_week, active_week, n_keys).
+
+    Plan: min-agg per key (cohort), join back on the key (AQE
+    broadcasts the cohort frame when small), then one groupBy over
+    (cohort_week, active_week) with a distinct-key count. Exact
+    integers throughout."""
+    week = F.floor(F.unix_timestamp(F.col(ts)) / F.lit(604800)) \
+        .cast("long")
+    acts = events.select(F.col(key), week.alias("active_week")).distinct()
+    cohorts = acts.groupBy(key).agg(F.min("active_week")
+                                    .alias("cohort_week"))
+    return (acts.join(cohorts, key)
+            .groupBy("cohort_week", "active_week")
+            .agg(F.countDistinct(key).alias("n_keys")))

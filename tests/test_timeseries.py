@@ -138,3 +138,50 @@ def test_funnel_order_matters(spark):
     out = {r["step_idx"]: r["n_keys"] for r in funnel_counts(
         df, ["view", "click", "purchase"]).collect()}
     assert out == {1: 2, 2: 1, 3: 1}
+
+
+def test_rolling_counts_range_frame_handles_gaps(spark):
+    from askg_spark.timeseries import rolling_counts
+    from datetime import timedelta
+
+    base = _t("2025-01-01T12:00:00")
+    rows = []
+    eid = 0
+    # user 1: 2 events day 0, 1 event day 3, 1 event day 20
+    for d, n in [(0, 2), (3, 1), (20, 1)]:
+        for _ in range(n):
+            rows.append((1, eid, base + timedelta(days=d), 0.0))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double")
+    rows_out = rolling_counts(df, window_days=7).collect()
+    d0 = min(r["day"] for r in rows_out)
+    out = {r["day"] - d0: (r["n_day"], r["n_window"]) for r in rows_out}
+    # day numbers are absolute (epoch//86400); normalize to offsets
+    assert out[0] == (2, 2)
+    # day 3 window covers days -3..3 -> includes day 0's 2 events
+    assert out[3] == (1, 3)
+    # day 20 is beyond any prior 7-day window -> only itself
+    assert out[20] == (1, 1)
+
+
+def test_cohort_retention_first_week_defines_cohort(spark):
+    from askg_spark.timeseries import cohort_retention
+    from datetime import timedelta
+
+    base = _t("2025-01-02T00:00:00")
+    rows = [
+        (1, 0, base, 0.0),                          # week W
+        (1, 1, base + timedelta(weeks=2), 0.0),     # week W+2
+        (2, 2, base + timedelta(weeks=2), 0.0),     # cohort W+2
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double")
+    out = {(r["cohort_week"], r["active_week"]): r["n_keys"]
+           for r in cohort_retention(df).collect()}
+    weeks = sorted({w for _, w in out})
+    w0, w2 = weeks[0], weeks[-1]
+    assert out[(w0, w0)] == 1
+    assert out[(w0, w2)] == 1          # user 1 retained
+    assert out[(w2, w2)] == 1          # user 2's own cohort
+    assert len(out) == 3
