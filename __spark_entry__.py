@@ -359,6 +359,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # `percentile` == DuckDB `quantile_cont` definition)
         return textops.length_quantiles(_t(spark, sf, "documents"))
 
+    def doc_normalize_text(spark, sf):
+        # Unicode NFC + line-ending + control-char cleanup over a
+        # corpus with planted non-NFC text (every 4th doc gains a
+        # decomposed e+combining-acute and a \r\n; every 6th a NUL) —
+        # the raw testdata is ASCII, which would make NFC vacuous
+        docs = _t(spark, sf, "documents")
+        aug = docs.select(
+            "doc_id",
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.when(F.col("doc_id") % 4 == 0,
+                       F.lit(" cafe\u0301 line\r\nnext"))
+                .otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 6 == 0, F.lit("\u0001tail"))
+                .otherwise(F.lit("")),
+            ).alias("text"))
+        return textops.normalize_text(aug)
+
     def doc_oov_rate(spark, sf):
         # gibberish signal: per-doc token count + OOV count vs the
         # corpus top-20 vocabulary (broadcast join; k=20 so the
@@ -635,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_scan": doc_pii_scan,
         "doc_line_dedup": doc_line_dedup,
         "corpus_token_vocab": corpus_token_vocab,
+        "doc_normalize_text": doc_normalize_text,
         "doc_oov_rate": doc_oov_rate,
         "doc_pack_assignments": doc_pack_assignments,
         "doc_length_quantiles": doc_length_quantiles,
@@ -1365,6 +1384,36 @@ SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
 FROM e GROUP BY token
 ORDER BY n_occurrences DESC, token ASC LIMIT 100
+""",
+        # NFC normalization: nfc_normalize uses the same Unicode
+        # tables as Python's unicodedata; chr(769) = combining acute,
+        # planted decomposed so composition actually fires. Control
+        # strip mirrors the engine's C0 class (NUL unplantable in SQL
+        # strings; the class still covers it engine-side)
+        "doc_normalize_text": r"""
+WITH aug AS (
+  SELECT doc_id,
+    coalesce(text, '')
+    || CASE WHEN doc_id % 4 = 0 THEN ' cafe' || chr(769) || ' line'
+              || chr(13) || chr(10) || 'next' ELSE '' END
+    || CASE WHEN doc_id % 6 = 0 THEN chr(1) || 'tail' ELSE '' END
+      AS text
+  FROM documents
+),
+n AS (
+  SELECT doc_id, text,
+         regexp_replace(
+           replace(replace(nfc_normalize(text),
+                           chr(13) || chr(10), chr(10)),
+                   chr(13), chr(10)),
+           '[\x01-\x08\x0B\x0C\x0E-\x1F]', '', 'g') AS norm
+  FROM aug
+)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_before,
+       CAST(length(norm) AS BIGINT) AS n_chars_after,
+       md5(norm) AS norm_md5
+FROM n
 """,
         # OOV: same top-k vocabulary CTE ((count DESC, token ASC)
         # total order -> identical k-boundary), zero-token docs

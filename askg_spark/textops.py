@@ -623,3 +623,48 @@ def pack_assignments(df: DataFrame, budget: int = 2048, shards: int = 32,
         F.pmod(start, F.lit(int(budget))).cast("long")
          .alias("offset_in_pack"),
     )
+
+
+def normalize_text(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Unicode normalization for multilingual training corpora:
+    NFC-compose, normalize line endings (\\r\\n and \\r -> \\n), strip
+    C0 control characters (except \\t and \\n).
+    -> (doc_id, n_chars_before, n_chars_after, norm_md5) with
+    norm_md5 = md5 of the normalized text (hash keeps the compare
+    frame narrow; a real pipeline projects the text).
+
+    NFC has no Spark builtin, so this is the one textops operator on
+    the Python path — an Arrow-batched mapInPandas over
+    `unicodedata.normalize` (C-implemented, ~10^6 short strings/s per
+    core; the same Unicode tables DuckDB's `nfc_normalize` oracle
+    uses, so outputs agree byte-for-byte). Line-ending + control-char
+    cleanup happens on the pandas batch too — one Python stage, not
+    three."""
+    import hashlib
+    import re
+    import unicodedata
+
+    import pandas as pd
+
+    ctrl = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f]")
+
+    def run(batches):
+        for pdf in batches:
+            raw = pdf[text_col].fillna("")
+            norm = []
+            for s in raw:
+                s2 = unicodedata.normalize("NFC", s)
+                s2 = s2.replace("\r\n", "\n").replace("\r", "\n")
+                norm.append(ctrl.sub("", s2))
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "n_chars_before": [len(s) for s in raw],
+                "n_chars_after": [len(s) for s in norm],
+                "norm_md5": [hashlib.md5(s.encode()).hexdigest()
+                             for s in norm],
+            })
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, f"{id_col} long, n_chars_before long, n_chars_after long, "
+             "norm_md5 string")

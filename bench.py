@@ -94,6 +94,7 @@ def main() -> int:
     run("doc_sample_mixture")
     run("doc_line_dedup")
     run("corpus_token_vocab", lambda df: len(df.collect()))
+    run("doc_normalize_text")
     run("doc_oov_rate")
     run("doc_pack_assignments")
     run("doc_length_quantiles", lambda df: len(df.collect()))

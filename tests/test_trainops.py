@@ -585,3 +585,25 @@ def test_pack_assignments_cumsum_and_offsets(spark):
     # shard 1: doc 1 starts its own stream
     assert (out[1]["shard"], out[1]["pack_id"],
             out[1]["offset_in_pack"]) == (1, 0, 0)
+
+
+def test_normalize_text_nfc_lineendings_controls(spark):
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(1, "cafe\u0301 x"),      # decomposed (7 ch) -> composed (6)
+         (2, "a\r\nb\rc"),             # \r\n and \r -> \n
+         (3, "k\x01e\x1fep\tok\n"),    # C0 stripped, \t and \n kept
+         (4, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textops.normalize_text(df).collect()}
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert out[1]["n_chars_before"] == 7
+    assert out[1]["n_chars_after"] == 6
+    assert out[1]["norm_md5"] == md5("caf\u00e9 x")
+    assert out[2]["norm_md5"] == md5("a\nb\nc")
+    assert out[3]["norm_md5"] == md5("keep\tok\n")
+    assert out[4]["norm_md5"] == md5("")
