@@ -573,6 +573,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from askg_spark.timeseries import cohort_retention
         return cohort_retention(_t(spark, sf, "events"))
 
+    def events_type_pivot(spark, sf):
+        # reshaping: per-user event counts pivoted to one column per
+        # type; explicit value list keeps the schema static (no
+        # distinct-scan) — the at-scale pivot discipline
+        return (_t(spark, sf, "events")
+                .groupBy("user_id")
+                .pivot("event_type",
+                       ["click", "error", "purchase", "signup", "view"])
+                .agg(F.count(F.lit(1)))
+                .na.fill(0))
+
     def events_funnel(spark, sf):
         # ordered first-touch funnel view -> click -> purchase: one
         # keyed min-agg per step, each joined to the prior stage
@@ -682,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": events_asof_join,
         "events_sessions": events_sessions,
         "events_funnel": events_funnel,
+        "events_type_pivot": events_type_pivot,
         "events_rolling_weekly": events_rolling_weekly,
         "events_cohort_retention": events_cohort_retention,
         "events_json_extract": events_json_extract,
@@ -1756,6 +1768,21 @@ SELECT p.user_id, p.event_id, p.ts, p.value,
        c.value AS prior_value
 FROM p ASOF LEFT JOIN c
   ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+        # pivot = conditional aggregation with a fixed column list
+        "events_type_pivot": """
+SELECT user_id,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+         AS click,
+       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+         AS error,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+         AS purchase,
+       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT)
+         AS signup,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+         AS view
+FROM events GROUP BY user_id
 """,
         # trailing-window counts: integer day = floor(epoch/86400) on
         # both engines; RANGE frame over day numbers handles gaps

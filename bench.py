@@ -107,6 +107,7 @@ def main() -> int:
     run("events_sessions")
     run("events_funnel", lambda df: len(df.collect()))
     run("events_rolling_weekly")
+    run("events_type_pivot")
     run("events_cohort_retention", lambda df: len(df.collect()))
     run("events_hourly_counts")
     run("top_customers_by_revenue", lambda df: len(df.collect()))
