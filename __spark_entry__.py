@@ -486,7 +486,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from askg_spark.webcorpus import render_mcpmarket_pages
         edges = webgraph.page_owner_edges(
             render_mcpmarket_pages(_t(spark, sf, "documents")))
-        return (webgraph.pagerank(edges, iterations=8)
+        # checkpoint_every=2: at this graph size the cost is Catalyst
+        # analyzing the 2^k-subtree logical plan, not materialization
+        # (measured 24.2s @ ck=4 vs 11.9s @ ck=2 for 8 iterations at
+        # sf0.1); a 10^9-node graph inverts the trade — there ranks
+        # materialization dominates and ck rises to 4-8
+        return (webgraph.pagerank(edges, iterations=8,
+                                  checkpoint_every=2)
                 .orderBy(F.desc("rank"), F.asc("node")).limit(10))
 
     def kg_degree_topk(spark, sf):
