@@ -292,6 +292,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def doc_quality_filter(spark, sf):
         return textops.quality_filter(_t(spark, sf, "documents"))
 
+    def doc_quality_report(spark, sf):
+        # corpus-level curation report: doc count per reject reason
+        # (a doc with k reasons contributes to k rows) + a '__keep__'
+        # row — one extra explode+groupBy over the filter output
+        qf = textops.quality_filter(_t(spark, sf, "documents"))
+        per_reason = (qf.where(F.col("reasons") != "")
+                      .select(F.explode(F.split("reasons", ","))
+                              .alias("reason"))
+                      .groupBy("reason")
+                      .agg(F.count(F.lit(1)).alias("n_docs")))
+        keep = qf.agg(F.sum("keep").alias("n_docs")) \
+            .select(F.lit("__keep__").alias("reason"), "n_docs")
+        return per_reason.unionByName(keep)
+
     def doc_quality_extended(spark, sf):
         # full Gopher-style filter: signal rules + repetition rules
         # in one stacked-projection plan (no shuffle, no Python)
@@ -665,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": doc_token_stats,
         "doc_quality_filter": doc_quality_filter,
         "doc_lang_id": doc_lang_id,
+        "doc_quality_report": doc_quality_report,
         "doc_quality_extended": doc_quality_extended,
         "doc_repetition_stats": doc_repetition_stats,
         "doc_pii_scan": doc_pii_scan,
@@ -866,7 +881,7 @@ rel AS (
 SELECT subj, pred, obj FROM attr
 UNION ALL SELECT subj, pred, obj FROM rel
 """
-    return {
+    oracles = {
         # Relation pairs mirror the pipeline-default skew cap
         # (PipelineConfig.max_entities_per_key = 1000): top-M entities
         # per hot key ordered by (popularity DESC NULLS LAST, id ASC);
@@ -1909,3 +1924,13 @@ FROM documents GROUP BY lang
         #   ann_lsh_topk         (approximate ANN, recall tested/benched)
         #   multimodal_decode_stats (stubbed decode, schema-level check)
     }
+    # corpus-level reject-reason breakdown composes over the existing
+    # quality-filter oracle as a subquery (same trick as kg_triples_diff)
+    oracles["doc_quality_report"] = f"""
+WITH qf AS ({oracles["doc_quality_filter"]}),
+r AS (SELECT unnest(string_split(reasons, ',')) AS reason
+      FROM qf WHERE reasons <> '')
+SELECT reason, CAST(count(*) AS BIGINT) AS n_docs FROM r GROUP BY reason
+UNION ALL SELECT '__keep__', CAST(sum(keep) AS BIGINT) FROM qf
+"""
+    return oracles

@@ -91,6 +91,7 @@ def main() -> int:
     run("doc_lang_id")
     run("doc_repetition_stats")
     run("doc_pii_scan")
+    run("doc_quality_report", lambda df: len(df.collect()))
     run("doc_sample_mixture")
     run("doc_line_dedup")
     run("corpus_token_vocab", lambda df: len(df.collect()))
