@@ -97,3 +97,21 @@ def test_count_pages_matches_rendered_count(spark):
     from askg_spark.fixtures import count_pages
     n = generate_pages(spark, n_servers=173, seed=SEED).count()
     assert count_pages(spark, 173, SEED) == n
+
+
+def test_determinism_across_partitioning(spark, result):
+    """The oracle gate depends on partitioning-invariant output: the
+    same corpus repartitioned differently AND run under a different
+    shuffle width must emit the identical (s,p,o) set."""
+    _, first, _ = result
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        pages = generate_pages(spark, n_servers=N_SERVERS, seed=SEED) \
+            .repartition(7)
+        res2 = run_pipeline(spark, pages, PipelineConfig())
+        second = {(r["subj"], r["pred"], r["obj"])
+                  for r in res2.triples.collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert first == second
