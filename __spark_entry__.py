@@ -509,6 +509,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                   checkpoint_every=2)
                 .orderBy(F.desc("rank"), F.asc("node")).limit(10))
 
+    def kg_two_hop(spark, sf):
+        # graph traversal: distinct 2-hop neighborhoods over the
+        # relationship edges (same_author / similar_functionality),
+        # anchored at the 5 lexicographically-first subjects for a
+        # bounded, deterministic result; two self-equi-joins, no
+        # iteration
+        tr = _kg_run(spark, sf).triples
+        rel = (tr.where(F.col("pred").isin(
+            "same_author", "similar_functionality"))
+            .select("subj", "obj").distinct())
+        anchors = (rel.select(F.col("subj").alias("a"))
+                   .distinct().orderBy("a").limit(5))
+        hop1 = (anchors.join(rel, anchors["a"] == rel["subj"])
+                .select("a", F.col("obj").alias("mid")).distinct())
+        hop2 = (hop1.join(rel, hop1["mid"] == rel["subj"])
+                .select("a", F.col("obj").alias("dst"))
+                .where(F.col("dst") != F.col("a"))
+                .distinct())
+        return (hop2.groupBy("a")
+                .agg(F.count(F.lit(1)).alias("n_two_hop"))
+                .orderBy("a"))
+
     def kg_degree_topk(spark, sf):
         # graph stats: top-20 subjects by out-degree (distinct
         # predicates ride the same groupBy); (degree DESC, subj ASC)
@@ -702,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": ann_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        "kg_two_hop": kg_two_hop,
         "kg_degree_topk": kg_degree_topk,
         "kg_triples_diff": kg_triples_diff,
         "emb_label_centroids": emb_label_centroids,
@@ -890,6 +913,19 @@ UNION ALL SELECT subj, pred, obj FROM rel
         # (well under 1000 entities per key) — it is mirrored anyway so
         # the oracle stays exact at any sf.
         "kg_triples": _kg_triples_sql,
+        "kg_two_hop": f"""
+WITH alltr AS ({_kg_triples_sql}),
+rel AS (SELECT DISTINCT subj, obj FROM alltr
+        WHERE pred IN ('same_author', 'similar_functionality')),
+anchors AS (SELECT DISTINCT subj AS a FROM rel ORDER BY a LIMIT 5),
+hop1 AS (SELECT DISTINCT an.a, r.obj AS mid
+         FROM anchors an JOIN rel r ON an.a = r.subj),
+hop2 AS (SELECT DISTINCT h.a, r.obj AS dst
+         FROM hop1 h JOIN rel r ON h.mid = r.subj
+         WHERE r.obj <> h.a)
+SELECT a, CAST(count(*) AS BIGINT) AS n_two_hop
+FROM hop2 GROUP BY a
+""",
         "kg_degree_topk": f"""
 WITH alltr AS ({_kg_triples_sql})
 SELECT subj, CAST(count(*) AS BIGINT) AS out_degree,

@@ -85,6 +85,7 @@ def main() -> int:
     run("kg_similar_servers")
     run("kg_triples_diff")
     run("kg_degree_topk", lambda df: len(df.collect()))
+    run("kg_two_hop", lambda df: len(df.collect()))
     run("kg_semantic_search")
     run("registry_completeness")
     run("doc_token_stats")
