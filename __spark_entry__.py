@@ -680,29 +680,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.countDistinct("source").alias("n_sources"),
                      F.count(F.lit(1)).alias("n_docs")))
 
+    # Entry ORDER is part of the driver contract: the r2 driver
+    # verified exactly the first 50 dict entries, so the dict leads
+    # with (a) queries that have never received a driver CORRECTNESS
+    # row (the r2 positions 51-65: the timeseries family, events/TPC
+    # basics, part_name_normalized, docs_per_lang), (b) queries whose
+    # code or output contract changed this round
+    # (emb_label_centroids exploded shape, kg_similar_servers author
+    # cap, kg_two_hop, multimodal, the new r3 queries), then (c)
+    # re-verification of r2-green queries. The tail past position 50
+    # holds only r2-green stable queries whose prior row stands.
     return {
         "kg_triples": kg_triples,
+        # (a) never driver-checked before r3
+        "events_asof_join": events_asof_join,
+        "events_sessions": events_sessions,
+        "events_funnel": events_funnel,
+        "events_type_pivot": events_type_pivot,
+        "events_rolling_weekly": events_rolling_weekly,
+        "events_cohort_retention": events_cohort_retention,
+        "events_latest_per_user": events_latest_per_user,
+        "events_counts_by_type": events_counts_by_type,
+        "events_hourly_counts": events_hourly_counts,
+        "events_json_extract": events_json_extract,
+        "top_customers_by_revenue": top_customers_by_revenue,
+        "lineitem_pricing_summary": lineitem_pricing_summary,
+        "nation_lineitem_volume": nation_lineitem_volume,
+        "part_name_normalized": part_name_normalized,
+        "docs_per_lang": docs_per_lang,
+        # (b) changed / new in r3
+        "emb_label_centroids": emb_label_centroids,
+        "kg_similar_servers": kg_similar_servers,
+        "kg_two_hop": kg_two_hop,
+        "multimodal_decode_stats": multimodal_decode_stats,
+        # (c) r2-green re-verification, cheapest-risk-first
         "kg_category_counts": kg_category_counts,
         "kg_search": kg_search,
-        "kg_similar_servers": kg_similar_servers,
         "kg_semantic_search": kg_semantic_search,
         "registry_completeness": registry_completeness,
         "kg_canonical_groups": kg_canonical_groups,
-        "kg_id_stats": kg_id_stats,
-        "kg_repo_domains": kg_repo_domains,
-        "kg_dedup_report": kg_dedup_report,
-        "kg_fuzzy_groups": kg_fuzzy_groups,
-        "kg_resource_triples": kg_resource_triples,
-        "kg_github_mentions": kg_github_mentions,
-        "kg_mcpmarket_mentions": kg_mcpmarket_mentions,
-        "stream_changed_pages": stream_changed_pages,
-        "kg_relations_capped": kg_relations_capped,
-        "kg_fixture_entities": kg_fixture_entities,
+        "kg_degree_topk": kg_degree_topk,
         "doc_token_stats": doc_token_stats,
-        "doc_quality_filter": doc_quality_filter,
         "doc_lang_id": doc_lang_id,
         "doc_quality_report": doc_quality_report,
-        "doc_quality_extended": doc_quality_extended,
         "doc_repetition_stats": doc_repetition_stats,
         "doc_pii_scan": doc_pii_scan,
         "doc_line_dedup": doc_line_dedup,
@@ -713,39 +733,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_quantiles": doc_length_quantiles,
         "doc_sample_mixture": doc_sample_mixture,
         "doc_contamination": doc_contamination,
-        "doc_fingerprints": doc_fingerprints,
-        "doc_category_counts": doc_category_counts,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_ngram_pairs": dedup_ngram_pairs,
-        "dedup_near_clusters": dedup_near_clusters,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_embedding_pairs": dedup_embedding_pairs,
         "ann_topk": ann_topk,
+        "web_owner_indegree": web_owner_indegree,
+        "kg_triples_diff": kg_triples_diff,
+        # rows-only by design (approximate/iterative) — last of the
+        # checked block so new oracle-bearing queries displace these
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
-        "kg_two_hop": kg_two_hop,
-        "kg_degree_topk": kg_degree_topk,
-        "kg_triples_diff": kg_triples_diff,
-        "emb_label_centroids": emb_label_centroids,
-        "web_owner_indegree": web_owner_indegree,
         "web_pagerank_topk": web_pagerank_topk,
-        "multimodal_decode_stats": multimodal_decode_stats,
-        "events_latest_per_user": events_latest_per_user,
-        "events_counts_by_type": events_counts_by_type,
-        "events_hourly_counts": events_hourly_counts,
-        "events_asof_join": events_asof_join,
-        "events_sessions": events_sessions,
-        "events_funnel": events_funnel,
-        "events_type_pivot": events_type_pivot,
-        "events_rolling_weekly": events_rolling_weekly,
-        "events_cohort_retention": events_cohort_retention,
-        "events_json_extract": events_json_extract,
-        "top_customers_by_revenue": top_customers_by_revenue,
-        "lineitem_pricing_summary": lineitem_pricing_summary,
-        "nation_lineitem_volume": nation_lineitem_volume,
-        "part_name_normalized": part_name_normalized,
-        "docs_per_lang": docs_per_lang,
+        # ---- past-50 tail: r2-green stable, prior rows stand ----
+        "kg_id_stats": kg_id_stats,
+        "kg_repo_domains": kg_repo_domains,
+        "kg_dedup_report": kg_dedup_report,
+        "kg_fuzzy_groups": kg_fuzzy_groups,
+        "kg_resource_triples": kg_resource_triples,
+        "kg_github_mentions": kg_github_mentions,
+        "kg_mcpmarket_mentions": kg_mcpmarket_mentions,
+        "stream_changed_pages": stream_changed_pages,
+        "kg_relations_capped": kg_relations_capped,
+        "kg_fixture_entities": kg_fixture_entities,
+        "doc_quality_filter": doc_quality_filter,
+        "doc_quality_extended": doc_quality_extended,
+        "doc_fingerprints": doc_fingerprints,
+        "doc_category_counts": doc_category_counts,
+        "dedup_near_clusters": dedup_near_clusters,
     }
 
 
@@ -959,18 +975,32 @@ SELECT category, count(*) AS n FROM ecat GROUP BY category
         # W3 per-server similarity top-10: the rendered corpus has
         # operations=['read'] for every entity (no tools in the page
         # template) and implementation_language NULL, so every pair
-        # shares exactly one operation and no language term applies
+        # shares exactly one operation and no language term applies.
+        # The +1 author bump mirrors the engine's default
+        # author_cap=1000 (top-M per author, popularity DESC NULLS
+        # LAST then id ASC; popularity is NULL corpus-wide so the
+        # order is id ASC) — both pair members must be in their
+        # author's top-M for the bump to score.
         "kg_similar_servers": _KG_ENT_CTE + """
 , common AS (
   SELECT a.id AS ia, b.id AS ib, count(*) AS nc
   FROM ecat a JOIN ecat b ON a.category = b.category AND a.id < b.id
   GROUP BY 1, 2),
+bumped AS (
+  SELECT id, author FROM (
+    SELECT id, author,
+           row_number() OVER (PARTITION BY author ORDER BY id) AS ar
+    FROM ent WHERE author IS NOT NULL AND author <> '')
+  WHERE ar <= 1000),
 pairs AS (
   SELECT a.id AS ia, b.id AS ib,
          CAST(coalesce(c.nc, 0) * 2 + 1 +
-              CASE WHEN a.author = b.author THEN 1 ELSE 0 END AS BIGINT)
+              CASE WHEN ba.id IS NOT NULL AND bb.id IS NOT NULL
+                    AND a.author = b.author THEN 1 ELSE 0 END AS BIGINT)
            AS score
   FROM ent a JOIN ent b ON a.id < b.id
+  LEFT JOIN bumped ba ON ba.id = a.id
+  LEFT JOIN bumped bb ON bb.id = b.id
   LEFT JOIN common c ON c.ia = a.id AND c.ib = b.id),
 directed AS (
   SELECT ia AS server_id, ib AS similar_id, score FROM pairs
@@ -1573,26 +1603,25 @@ SELECT doc_id,
                     FILTER (WHERE NOT rm), '')) AS cleaned_md5
 FROM m GROUP BY doc_id
 """,
-        # per-label centroid sums: unnest-with-ordinality mirrors the
-        # numpy matrix sum; floor(v*1e6) in double is bit-identical on
-        # both engines (no round-half ambiguity), integer sums are
-        # order-independent
+        # per-label centroid sums, exploded to one scalar row per
+        # (label, dimension): unnest-with-ordinality mirrors the numpy
+        # matrix sum; floor(v*1e6) in double is bit-identical on both
+        # engines (no round-half ambiguity), integer sums are
+        # order-independent; pos is 0-based to match the kernel
         "emb_label_centroids": """
 WITH e AS (
   SELECT label, unnest(embedding) AS v,
          generate_subscripts(embedding, 1) AS i
   FROM embeddings),
 s AS (
-  SELECT label, i,
+  SELECT label, CAST(i - 1 AS BIGINT) AS pos,
          CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
-              AS BIGINT) AS sv
+              AS BIGINT) AS sum_scaled
   FROM e GROUP BY label, i),
 n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
       FROM embeddings GROUP BY label)
-SELECT n.label, n.n_vecs,
-       (SELECT list(sv ORDER BY i) FROM s
-        WHERE s.label = n.label) AS vec_sum
-FROM n
+SELECT s.label, s.pos, n.n_vecs, s.sum_scaled
+FROM s JOIN n ON s.label = n.label
 """,
         # link-graph owner in-degree over the mcpmarket family: every
         # page carries 2 hrefs to github.com/<source>/<card-name>;

@@ -137,7 +137,8 @@ def semantic_search(entities: DataFrame, prompt: str,
 def similar_servers(entities: DataFrame, limit: int = 10,
                     n_salt: int = 32,
                     max_entities_per_key: int | None = None,
-                    max_classes: int = 4096) -> DataFrame:
+                    max_classes: int = 4096,
+                    author_cap: int | None = 1000) -> DataFrame:
     """Top-`limit` similar servers for EVERY server:
     score = 2*|∩categories| + |∩operations| + same_author + same_lang,
     kept when > 0, ranked (score DESC, similar_id ASC).
@@ -155,22 +156,28 @@ def similar_servers(entities: DataFrame, limit: int = 10,
         (same class => same score, tie-break is id ASC), so the pool
         is O(n * limit), never O(n²)
       * author bump: the +1 same-author term can promote any
-        same-author pair into the top-k, so ALL same-author pairs join
-        the pool — O(sum of author-group²), bounded by the corpus's
-        author fan-out (hot registry authors are the documented skew;
-        cap them upstream with relations.py's top-M semantics if a
-        single author spans ~10^5 servers)
-      * exact rescore of the pooled pairs (class-pair score + author
-        equality), then the per-server top-k window
+        same-author pair into the top-k, so same-author pairs join
+        the pool — but only among each author's top-``author_cap``
+        entities (popularity DESC NULLS LAST, id ASC —
+        relations.py's documented top-M truncation semantics,
+        default M=1000, ON in the driver path). Without the cap the
+        bump pool is O(sum of author-group²): one hot registry author
+        ("anthropic" in the reference corpus) regenerates the
+        quadratic blowup at 100x. Entities outside their author's
+        top-M neither pool nor score the bump (matching the all-pairs
+        plan under ``max_entities_per_key``); pass
+        ``author_cap=None`` for the uncapped reference formula.
+      * exact rescore of the pooled pairs (class-pair score + capped
+        author bump), then the per-server top-k window
 
     Measured vs the all-pairs plan at sf0.1 (5,000 entities, C=2):
     identical output, 25M pair rows -> ~1.4M pooled rows. Falls back
     to the salted all-pairs plan when C > `max_classes` (an
-    adversarial signature-cardinality corpus) or when
-    ``max_entities_per_key`` requests relations.py's documented
-    truncation semantics (only meaningful for pair generation)."""
+    adversarial signature-cardinality corpus — there every key gets
+    the ``author_cap`` truncation, the skew policy such a corpus
+    needs) or when ``max_entities_per_key`` explicitly requests
+    relations.py's truncation semantics on every key."""
     if max_entities_per_key is None:
-        spark = entities.sparkSession
         ncls = (entities
                 .select(F.array_sort(F.coalesce(
                             "categories", F.array().cast("array<string>")))
@@ -181,25 +188,29 @@ def similar_servers(entities: DataFrame, limit: int = 10,
                         F.col("implementation_language").alias("lang"))
                 .distinct().count())
         if ncls <= max_classes:
-            return _similar_servers_classes(entities, limit)
+            return _similar_servers_classes(entities, limit,
+                                            author_cap=author_cap)
+        max_entities_per_key = author_cap
     return _similar_servers_allpairs(entities, limit, n_salt,
                                      max_entities_per_key)
 
 
-def _similar_servers_classes(entities: DataFrame, limit: int) -> DataFrame:
+def _similar_servers_classes(entities: DataFrame, limit: int,
+                             author_cap: int | None = 1000) -> DataFrame:
     """Exact class-decomposition plan (see similar_servers docstring).
 
     Correctness: in the base (no-author) ranking per query server,
     candidates order by (class score DESC, id ASC). The +1 author bump
-    only moves same-author candidates UP, so a non-same-author
-    candidate in the final top-k must already be in the base
-    top-(k+1) (k+1 absorbs the self row), and every same-author
-    candidate is pooled outright — the pooled pairs are a superset of
-    the true top-k, and the exact rescore + window reproduce the
-    all-pairs ranking (parity-tested against it)."""
+    only moves same-author candidates UP, so a non-bumped candidate in
+    the final top-k must already be in the base top-(k+1) (k+1 absorbs
+    the self row), and every bumped candidate (same author, both in
+    the author's top-``author_cap``) is pooled outright — the pooled
+    pairs are a superset of the true top-k, and the exact rescore +
+    window reproduce the all-pairs ranking (parity-tested against
+    it, capped and uncapped)."""
     k = limit
     ent = entities.select(
-        "id", "author",
+        "id", "author", "popularity_score",
         F.array_sort(F.coalesce("categories",
                                 F.array().cast("array<string>")))
         .alias("cats"),
@@ -263,27 +274,35 @@ def _similar_servers_classes(entities: DataFrame, limit: int) -> DataFrame:
             .select(F.col("id").alias("server_id"), "similar_id"))
     valid_auth = ent.filter(
         F.col("author").isNotNull() & (F.col("author") != ""))
+    if author_cap is not None:
+        wa = Window.partitionBy("author").orderBy(
+            F.desc_nulls_last("popularity_score"), F.asc("id"))
+        valid_auth = (valid_auth
+                      .withColumn("_ar", F.row_number().over(wa))
+                      .filter(F.col("_ar") <= author_cap).drop("_ar"))
     aa = valid_auth.select(F.col("id").alias("server_id"), "author")
     ab = valid_auth.select(F.col("id").alias("similar_id"), "author")
+    # directed same-author pairs among the (capped) author pool; this
+    # frame doubles as the bump marker in scoring, so entities outside
+    # their author's top-M neither pool nor score the +1 — exactly the
+    # all-pairs plan's `_capped(auth_keyed)` truncation semantics
     auth_pool = aa.join(ab, "author").select("server_id", "similar_id")
     pool = (base.unionByName(auth_pool)
             .filter(F.col("server_id") != F.col("similar_id"))
             .dropDuplicates())
     meta_a = ent.select(F.col("id").alias("server_id"),
-                        F.col("cls").alias("cls_a"),
-                        F.col("author").alias("auth_a"))
+                        F.col("cls").alias("cls_a"))
     meta_b = ent.select(F.col("id").alias("similar_id"),
-                        F.col("cls").alias("cls_b"),
-                        F.col("author").alias("auth_b"))
+                        F.col("cls").alias("cls_b"))
+    bump = auth_pool.withColumn("_bump", F.lit(1))
     scored = (
         pool.join(meta_a, "server_id").join(meta_b, "similar_id")
         .join(cls_pairs.select("cls_a", "cls_b", "s0"),
               ["cls_a", "cls_b"], "left")
+        .join(bump, ["server_id", "similar_id"], "left")
         .withColumn("score", (
             F.coalesce(F.col("s0"), F.lit(0))
-            + F.when(F.col("auth_a").isNotNull() & (F.col("auth_a") != "")
-                     & (F.col("auth_a") == F.col("auth_b")), 1)
-            .otherwise(0)).cast("long"))
+            + F.coalesce(F.col("_bump"), F.lit(0))).cast("long"))
         .filter(F.col("score") > 0))
     w = Window.partitionBy("server_id").orderBy(
         F.desc("score"), F.asc("similar_id"))

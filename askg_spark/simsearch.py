@@ -342,18 +342,21 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
 def label_centroids(emb: DataFrame, label_col: str = "label",
                     vec_col: str = "embedding",
                     scale: int = 1_000_000) -> DataFrame:
-    """Per-label embedding centroid SUMS as exact scaled integers:
-    -> (label, n_vecs, vec_sum array<long>) with
-    vec_sum[i] = sum over the group of floor(vec[i] * scale).
+    """Per-label embedding centroid SUMS as exact scaled integers,
+    one row per (label, dimension): -> (label, pos, n_vecs,
+    sum_scaled) with sum_scaled = sum over the group of
+    floor(vec[pos] * scale), pos 0-based.
 
     The grouped `applyInPandas` surface (one Arrow batch per group,
     numpy matrix sum — the §2.9 family member the rest of the engine
     doesn't otherwise exercise outside streaming state). Integer sums
     are order-independent, so the output hash-matches the SQL oracle
     on any partitioning; the consumer divides by n_vecs for the float
-    centroid. At 10^12 rows per-label groups can exceed one task's
-    Arrow batch budget — for that regime pre-aggregate with the
-    posexplode + groupBy(label, pos) JVM path; this operator is the
+    centroid. Every output column is scalar (the exploded shape) so
+    downstream sort/hash canonicalization works — and it is also the
+    pre-aggregation shape for the 10^12 regime, where per-label
+    groups exceed one task's Arrow batch budget and the posexplode +
+    groupBy(label, pos) JVM path takes over; this operator is the
     one-group-per-task formulation appropriate while groups fit (the
     common case: labels ~ classes/clusters, not users)."""
     import numpy as np
@@ -365,11 +368,14 @@ def label_centroids(emb: DataFrame, label_col: str = "label",
         m = np.floor(
             np.stack(pdf[vec_col].to_numpy()).astype("float64") * s
         ).astype("int64")
+        sums = m.sum(axis=0)
+        d = len(sums)
         return pd.DataFrame({
-            label_col: [pdf[label_col].iloc[0]],
-            "n_vecs": [len(pdf)],
-            "vec_sum": [m.sum(axis=0).tolist()],
+            label_col: [pdf[label_col].iloc[0]] * d,
+            "pos": np.arange(d, dtype="int64"),
+            "n_vecs": np.full(d, len(pdf), dtype="int64"),
+            "sum_scaled": sums,
         })
 
     return emb.groupBy(label_col).applyInPandas(
-        agg, f"{label_col} int, n_vecs long, vec_sum array<long>")
+        agg, f"{label_col} int, pos long, n_vecs long, sum_scaled long")

@@ -88,6 +88,38 @@ def test_similar_servers_class_plan_matches_allpairs(spark):
         assert a == b and a, f"k={k}: class plan diverges"
 
 
+def test_similar_servers_author_cap_matches_allpairs_cap(spark):
+    """Default author_cap=1000 truncation in the class plan must equal
+    the all-pairs plan under max_entities_per_key on a fixture where
+    ONLY the author key is hot (unique categories, no ops, unique
+    langs), and a binding cap must actually drop bump-only pairs."""
+    from askg_spark.search import (_similar_servers_allpairs,
+                                   _similar_servers_classes)
+    rows = [(f"e{i:02d}", "hot", [f"c{i}"], [], f"l{i}", 100 - i)
+            for i in range(8)]
+    rows += [("z/solo", "cold", ["c0"], [], "l0", 1)]
+    ents = spark.createDataFrame(
+        rows, "id string, author string, categories array<string>, "
+        "operations array<string>, implementation_language string, "
+        "popularity_score int")
+    for cap in (3, 5):
+        a = {(r["server_id"], r["similar_id"], r["score"], r["rank"])
+             for r in _similar_servers_allpairs(
+                 ents, 10, max_entities_per_key=cap).collect()}
+        b = {(r["server_id"], r["similar_id"], r["score"], r["rank"])
+             for r in _similar_servers_classes(
+                 ents, 10, author_cap=cap).collect()}
+        assert a == b and a, f"cap={cap}: capped class plan diverges"
+    # cap binds: hot-author pairs beyond top-3 (popularity DESC) gone
+    capped = {(r["server_id"], r["similar_id"])
+              for r in _similar_servers_classes(
+                  ents, 10, author_cap=3).collect()}
+    assert ("e00", "e01") in capped          # both in top-3
+    assert ("e00", "e07") not in capped      # partner outside top-3
+    # z/solo still pairs with e00 via the shared category (score 2)
+    assert ("z/solo", "e00") in capped
+
+
 def test_extract_search_terms_maps_and_stopwords():
     t = extract_search_terms("Find the best database servers that can read")
     assert "database" in t["categories"]

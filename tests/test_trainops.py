@@ -547,15 +547,20 @@ def test_label_centroids_exact_scaled_sums(spark):
 
     rows = [(1, [0.5, -0.25]), (1, [0.1, 0.2]), (2, [1.0, 1.0])]
     df = spark.createDataFrame(rows, "label int, embedding array<float>")
-    out = {r["label"]: r for r in simsearch.label_centroids(df).collect()}
+    out = {(r["label"], r["pos"]): r
+           for r in simsearch.label_centroids(df).collect()}
     # floor semantics on float32-promoted doubles, per element
     def fsum(vs):
         m = np.floor(np.stack(vs).astype("float32").astype("float64")
                      * 1e6).astype("int64")
         return m.sum(axis=0).tolist()
-    assert out[1]["n_vecs"] == 2
-    assert out[1]["vec_sum"] == fsum([rows[0][1], rows[1][1]])
-    assert out[2]["vec_sum"] == [1000000, 1000000]
+    exp1 = fsum([rows[0][1], rows[1][1]])
+    assert out[(1, 0)]["n_vecs"] == 2
+    assert [out[(1, 0)]["sum_scaled"], out[(1, 1)]["sum_scaled"]] == exp1
+    assert [out[(2, 0)]["sum_scaled"], out[(2, 1)]["sum_scaled"]] == \
+        [1000000, 1000000]
+    # exploded shape: one row per (label, dim), all columns scalar
+    assert len(out) == 4
 
 
 def test_oov_stats_against_vocab(spark):
