@@ -132,6 +132,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return semantic_search(_kg_run(spark, sf).entities,
                                "find data process servers", limit=10)
 
+    def kg_category_hierarchy(spark, sf):
+        # S11 tail: static 12-row ontology dimension (reference
+        # main.py:20-93 + models.py parent_category_id) joined
+        # broadcast against per-category membership from the pipeline
+        # triples; HAS_SUBCATEGORY edges counted per parent
+        from askg_spark.ontology import ontology_categories
+        dim = ontology_categories(spark).select("id",
+                                                "parent_category_id")
+        members = (_kg_triples(spark, sf)
+                   .filter(F.col("pred") == "HAS_CATEGORY")
+                   .groupBy(F.col("obj").alias("id"))
+                   .agg(F.countDistinct("subj").alias("n_servers")))
+        subs = (dim.filter(F.col("parent_category_id").isNotNull())
+                .groupBy(F.col("parent_category_id").alias("id"))
+                .agg(F.count(F.lit(1)).alias("n_subcategories")))
+        return (dim
+                .join(F.broadcast(members), "id", "left")
+                .join(F.broadcast(subs), "id", "left")
+                .select("id", "parent_category_id",
+                        F.coalesce("n_servers", F.lit(0))
+                        .cast("long").alias("n_servers"),
+                        F.coalesce("n_subcategories", F.lit(0))
+                        .cast("long").alias("n_subcategories")))
+
     def registry_completeness(spark, sf):
         # A5 per-registry metadata completeness
         # (analyze_deduplication.py:183-207)
@@ -549,8 +573,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in Spark mirrors the oracle's TRY_CAST
         from askg_spark.triples import snapshot_diff
         tr = _kg_run(spark, sf).triples.select("subj", "pred", "obj")
+        # try_cast: digit-less subjects (the static HAS_SUBCATEGORY
+        # category ids) extract '' which ANSI cast would reject
         tail = F.regexp_extract(F.col("subj"), r"([0-9]+)$", 1) \
-            .cast("bigint")
+            .try_cast("bigint")
         old = tr.where(tail.isNotNull() & (tail % 2 == 0)) \
             .unionByName(spark.createDataFrame(
                 [("ghost", "HAS_CATEGORY", "other")],
@@ -712,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_label_centroids": emb_label_centroids,
         "kg_similar_servers": kg_similar_servers,
         "kg_two_hop": kg_two_hop,
+        "kg_category_hierarchy": kg_category_hierarchy,
         "multimodal_decode_stats": multimodal_decode_stats,
         # (c) r2-green re-verification, cheapest-risk-first
         "kg_category_counts": kg_category_counts,
@@ -919,6 +946,10 @@ rel AS (
 )
 SELECT subj, pred, obj FROM attr
 UNION ALL SELECT subj, pred, obj FROM rel
+UNION ALL SELECT subj, pred, obj FROM (VALUES
+  ('api_integration', 'HAS_SUBCATEGORY', 'authentication'),
+  ('cloud_services', 'HAS_SUBCATEGORY', 'monitoring'),
+  ('file_system', 'HAS_SUBCATEGORY', 'search')) AS h(subj, pred, obj)
 """
     oracles = {
         # Relation pairs mirror the pipeline-default skew cap
@@ -971,6 +1002,39 @@ SELECT subj, pred, obj, 'removed' AS change FROM (
 """,
         "kg_category_counts": _KG_ENT_CTE + """
 SELECT category, count(*) AS n FROM ecat GROUP BY category
+""",
+        # S11 tail: the 12-row static dimension (VALUES mirror of
+        # ontology.ONTOLOGY_CATEGORIES) + per-category entity counts;
+        # subcategory counts are a closed form of the static parents
+        "kg_category_hierarchy": _KG_ENT_CTE + """
+, dim AS (
+  SELECT * FROM (VALUES
+    ('database', CAST(NULL AS VARCHAR)),
+    ('file_system', CAST(NULL AS VARCHAR)),
+    ('api_integration', CAST(NULL AS VARCHAR)),
+    ('development_tools', CAST(NULL AS VARCHAR)),
+    ('data_processing', CAST(NULL AS VARCHAR)),
+    ('cloud_services', CAST(NULL AS VARCHAR)),
+    ('communication', CAST(NULL AS VARCHAR)),
+    ('authentication', 'api_integration'),
+    ('monitoring', 'cloud_services'),
+    ('search', 'file_system'),
+    ('ai_ml', CAST(NULL AS VARCHAR)),
+    ('other', CAST(NULL AS VARCHAR))) AS d(id, parent_category_id)),
+mem AS (
+  SELECT category AS id, CAST(count(DISTINCT ecat.id) AS BIGINT)
+           AS n_servers
+  FROM ecat GROUP BY category),
+subs AS (
+  SELECT parent_category_id AS id, CAST(count(*) AS BIGINT)
+           AS n_subcategories
+  FROM dim WHERE parent_category_id IS NOT NULL GROUP BY 1)
+SELECT d.id, d.parent_category_id,
+       CAST(coalesce(m.n_servers, 0) AS BIGINT) AS n_servers,
+       CAST(coalesce(s.n_subcategories, 0) AS BIGINT) AS n_subcategories
+FROM dim d
+LEFT JOIN mem m ON d.id = m.id
+LEFT JOIN subs s ON d.id = s.id
 """,
         # W3 per-server similarity top-10: the rendered corpus has
         # operations=['read'] for every entity (no tools in the page

@@ -13,7 +13,7 @@ Reference semantics reproduced:
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # --- enum value sets (models.py:8-38) ---------------------------------------
@@ -124,3 +124,105 @@ def classify_operations(tool_names: Column) -> Column:
         tool_names.isNull() | (F.size(F.array_compact(dedup)) == 0),
         F.array(F.lit("read")),
     ).otherwise(dedup)
+
+
+# --- S11 ontology-category dimension (static, broadcast-sized) ---------------
+
+# The reference predefines seven root categories with ontological
+# properties (main.py:20-93 create_ontology_categories) and ships a
+# parent mechanism — OntologyCategory.parent_category_id
+# (models.py:125-136) materialized as (parent)-[:HAS_SUBCATEGORY]->
+# (child) edges (neo4j_integration.py:294-338). The built-ins set no
+# parents; master_data.py:160 loads arbitrary parented categories. This
+# dimension completes the 12-value ServerCategory enum (models.py:8-20)
+# and instantiates the parent mechanism with a documented grounding
+# rule: a non-predefined enum value is attached to the predefined root
+# whose own operational/integration pattern lists contain that value's
+# defining keyword —
+#   authentication -> api_integration  ("oauth"/"jwt" are
+#       api_integration.integration_patterns entries)
+#   monitoring     -> cloud_services   ("monitor" is a
+#       cloud_services.operational_patterns entry)
+#   search         -> file_system      ("search" is a
+#       file_system.operational_patterns entry)
+# ai_ml and other have no grounding keyword in any root's lists and
+# stay roots. Fields of the seven predefined rows are verbatim
+# reference values (the semantic contract).
+ONTOLOGY_CATEGORIES: list[dict] = [
+    {"id": "database", "name": "Database Systems",
+     "parent_category_id": None,
+     "data_domains": ["sql", "nosql", "key-value", "document", "graph"],
+     "operational_patterns": ["query", "crud", "transaction", "migration"],
+     "integration_patterns": ["connection-pool", "orm", "raw-sql"]},
+    {"id": "file_system", "name": "File System Operations",
+     "parent_category_id": None,
+     "data_domains": ["text", "binary", "structured", "media"],
+     "operational_patterns": ["read", "write", "search", "watch", "sync"],
+     "integration_patterns": ["local-fs", "cloud-storage",
+                              "version-control"]},
+    {"id": "api_integration", "name": "API Integration",
+     "parent_category_id": None,
+     "data_domains": ["rest", "graphql", "soap", "webhooks"],
+     "operational_patterns": ["request", "response", "polling",
+                              "streaming"],
+     "integration_patterns": ["oauth", "api-key", "jwt", "rate-limiting"]},
+    {"id": "development_tools", "name": "Development Tools",
+     "parent_category_id": None,
+     "data_domains": ["code", "documentation", "builds", "deployments"],
+     "operational_patterns": ["analyze", "transform", "build", "test",
+                              "deploy"],
+     "integration_patterns": ["git", "ci-cd", "package-managers", "ide"]},
+    {"id": "data_processing", "name": "Data Processing",
+     "parent_category_id": None,
+     "data_domains": ["structured", "unstructured", "streams", "batches"],
+     "operational_patterns": ["extract", "transform", "load", "analyze",
+                              "aggregate"],
+     "integration_patterns": ["etl-pipelines", "streaming",
+                              "batch-processing"]},
+    {"id": "cloud_services", "name": "Cloud Services",
+     "parent_category_id": None,
+     "data_domains": ["infrastructure", "compute", "storage",
+                      "networking"],
+     "operational_patterns": ["provision", "scale", "monitor", "backup"],
+     "integration_patterns": ["aws", "azure", "gcp", "kubernetes"]},
+    {"id": "communication", "name": "Communication",
+     "parent_category_id": None,
+     "data_domains": ["messages", "notifications", "emails", "chats"],
+     "operational_patterns": ["send", "receive", "broadcast", "queue"],
+     "integration_patterns": ["slack", "discord", "email", "sms",
+                              "webhooks"]},
+    # enum completions (models.py:16-20); parents per the grounding rule
+    {"id": "authentication", "name": "Authentication",
+     "parent_category_id": "api_integration",
+     "data_domains": [], "operational_patterns": [],
+     "integration_patterns": []},
+    {"id": "monitoring", "name": "Monitoring",
+     "parent_category_id": "cloud_services",
+     "data_domains": [], "operational_patterns": [],
+     "integration_patterns": []},
+    {"id": "search", "name": "Search",
+     "parent_category_id": "file_system",
+     "data_domains": [], "operational_patterns": [],
+     "integration_patterns": []},
+    {"id": "ai_ml", "name": "AI / ML", "parent_category_id": None,
+     "data_domains": [], "operational_patterns": [],
+     "integration_patterns": []},
+    {"id": "other", "name": "Other", "parent_category_id": None,
+     "data_domains": [], "operational_patterns": [],
+     "integration_patterns": []},
+]
+
+_ONTOLOGY_SCHEMA = (
+    "id string, name string, parent_category_id string, "
+    "data_domains array<string>, operational_patterns array<string>, "
+    "integration_patterns array<string>")
+
+
+def ontology_categories(spark) -> DataFrame:
+    """The static category dimension as a DataFrame — 12 rows, always
+    broadcast-joined by consumers (a literal local relation; Catalyst
+    plans LocalTableScan, no shuffle can originate here)."""
+    rows = [(c["id"], c["name"], c["parent_category_id"],
+             c["data_domains"], c["operational_patterns"],
+             c["integration_patterns"]) for c in ONTOLOGY_CATEGORIES]
+    return spark.createDataFrame(rows, _ONTOLOGY_SCHEMA)

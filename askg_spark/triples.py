@@ -65,6 +65,24 @@ def attribute_triples(entities: DataFrame) -> DataFrame:
             .unionByName(authors))
 
 
+def category_hierarchy_triples(spark) -> DataFrame:
+    """S11 tail: (parent)-[:HAS_SUBCATEGORY]->(child) edges from the
+    static ontology dimension (neo4j_integration.py:294-338 emits one
+    MERGE per category with parent_category_id set; models.py:125-136).
+    Emitted unconditionally, like the reference's create_category_nodes
+    call over the full predefined list — a LocalTableScan of <=12 rows,
+    no scan/shuffle at any corpus scale."""
+    from askg_spark.ontology import ontology_categories
+    cats = ontology_categories(spark)
+    return cats.filter(F.col("parent_category_id").isNotNull()).select(
+        F.col("parent_category_id").alias("subj"),
+        F.lit("HAS_SUBCATEGORY").alias("pred"),
+        F.col("id").alias("obj"),
+        F.lit(1.0).alias("confidence"),
+        F.array(F.lit("static ontology hierarchy")).alias("evidence"),
+    )
+
+
 def relationship_triples(rel_edges: DataFrame) -> DataFrame:
     return rel_edges.select(
         F.col("src").alias("subj"),
@@ -101,9 +119,14 @@ def build_triples(entities: DataFrame, rel_edges: DataFrame) -> DataFrame:
     groupBy would re-shuffle the dominant row count for a no-op
     (measured: the straggler-tail stage of the 54M-triple build).
     ``dedup_triples`` remains the standalone J+ dedup surface for triple
-    sets without that guarantee."""
-    return dedup_triples(attribute_triples(entities)).unionByName(
-        relationship_triples(rel_edges))
+    sets without that guarantee.
+
+    The static HAS_SUBCATEGORY hierarchy rides along outside the dedup
+    groupBy: its keys (category ids) are disjoint from entity-id
+    subjects by construction."""
+    return (dedup_triples(attribute_triples(entities))
+            .unionByName(relationship_triples(rel_edges))
+            .unionByName(category_hierarchy_triples(entities.sparkSession)))
 
 
 def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:

@@ -356,6 +356,11 @@ def triples_of(entities, rel_edges):
             triples.add((e["id"], "HAS_PROMPT", p["name"]))
         if e["author"]:
             triples.add((e["id"], "AUTHORED_BY", e["author"]))
+    # static ontology hierarchy (ontology.ONTOLOGY_CATEGORIES parents,
+    # emitted unconditionally like the reference's create_category_nodes)
+    triples.add(("api_integration", "HAS_SUBCATEGORY", "authentication"))
+    triples.add(("cloud_services", "HAS_SUBCATEGORY", "monitoring"))
+    triples.add(("file_system", "HAS_SUBCATEGORY", "search"))
     return triples
 
 

@@ -62,3 +62,45 @@ def test_is_mcp_server_predicate(spark):
     got = df.select(is_mcp_server(F.col("t")).alias("g"), "want").collect()
     for r in got:
         assert r["g"] == r["want"]
+
+
+def test_ontology_dimension_covers_enum_with_grounded_parents(spark):
+    """The static dimension covers the 12-value ServerCategory enum
+    exactly; every parent is itself a predefined root, and each
+    non-root's grounding keyword appears in its parent's own pattern
+    lists (the documented attachment rule)."""
+    from askg_spark.ontology import (ONTOLOGY_CATEGORIES,
+                                     SERVER_CATEGORIES,
+                                     ontology_categories)
+    by_id = {c["id"]: c for c in ONTOLOGY_CATEGORIES}
+    assert sorted(by_id) == sorted(SERVER_CATEGORIES)
+    grounding = {"authentication": "oauth", "monitoring": "monitor",
+                 "search": "search"}
+    for c in ONTOLOGY_CATEGORIES:
+        p = c["parent_category_id"]
+        if p is None:
+            continue
+        parent = by_id[p]
+        assert parent["parent_category_id"] is None, "one-level hierarchy"
+        kw = grounding[c["id"]]
+        assert (kw in parent["operational_patterns"]
+                or kw in parent["integration_patterns"])
+    df = ontology_categories(spark)
+    assert df.count() == 12
+    # the dimension is a driver-local relation — no file scan, no
+    # shuffle can originate here (Spark plans createDataFrame of a
+    # local list as LocalTableScan or Scan ExistingRDD by codepath)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+    assert "Exchange" not in plan
+
+
+def test_category_hierarchy_triples_static(spark):
+    from askg_spark.triples import category_hierarchy_triples
+    got = {(r["subj"], r["pred"], r["obj"])
+           for r in category_hierarchy_triples(spark).collect()}
+    assert got == {
+        ("api_integration", "HAS_SUBCATEGORY", "authentication"),
+        ("cloud_services", "HAS_SUBCATEGORY", "monitoring"),
+        ("file_system", "HAS_SUBCATEGORY", "search"),
+    }
