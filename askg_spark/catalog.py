@@ -106,14 +106,22 @@ class Catalog:
         small files per partition, and scan tasks then quantize on
         file boundaries — compaction restores full-size scan splits.
         Iceberg analog: `rewrite_data_files`. Returns the new
-        snapshot id."""
+        snapshot id.
+
+        Single data pass: the row count comes from the existing
+        parquet FOOTERS (O(files) metadata reads, no row scan), so
+        the only pass over the data is the repartition+write itself —
+        compaction targets exactly the large fragmented tables where
+        a count() pre-scan would double the I/O."""
         import math
+        man = self.manifest(table)
+        snap = next(s for s in man["snapshots"] if s["id"] == man["current"])
+        n = _parquet_footer_rows(snap["path"])
         df = self.read(spark, table)
-        n = df.count()
         files = max(1, math.ceil(n / max(1, int(target_rows_per_file))))
         return self.write_snapshot(
             df.repartition(files), table,
-            properties={"compacted_from": self.manifest(table)["current"],
+            properties={"compacted_from": man["current"],
                         "rows": n, "files": files})
 
     # -- maintenance (master_data.py:200-218 keep-N semantics) ----------
@@ -127,6 +135,19 @@ class Catalog:
         man["snapshots"] = snaps[len(expired):]
         self._save_manifest(table, man)
         return len(expired)
+
+
+def _parquet_footer_rows(path: str) -> int:
+    """Sum num_rows from parquet footers under `path` (recursive, so
+    partitioned snapshots count too) — metadata-only, no row scan."""
+    import pyarrow.parquet as pq
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, f)) \
+                    .metadata.num_rows
+    return total
 
 
 def fingerprint(df: DataFrame, ts_col: str | None = "warc_ts") -> str:

@@ -527,7 +527,8 @@ def line_dedup(df: DataFrame, text_col: str = "text",
 
 
 def token_vocabulary(df: DataFrame, k: int = 100, text_col: str = "text",
-                     min_count: int = 1) -> DataFrame:
+                     min_count: int = 1,
+                     id_col: str = "doc_id") -> DataFrame:
     """Corpus-wide token vocabulary: top-``k`` whitespace tokens by
     total occurrence count (ties broken token-ascending for a total
     order). -> (token, n_occurrences, n_docs).
@@ -536,10 +537,17 @@ def token_vocabulary(df: DataFrame, k: int = 100, text_col: str = "text",
     explode + one keyed groupBy — partial aggregation combines counts
     map-side, so the shuffle carries one row per (partition, distinct
     token), not per occurrence; the final top-k is a TakeOrdered over
-    the aggregated frame (no global sort materialization)."""
+    the aggregated frame (no global sort materialization).
+
+    ``n_docs`` counts distinct ``id_col`` values (count(DISTINCT
+    doc_id), the oracle definition — stable under task retry and
+    duplicate doc rows); a frame without that column falls back to a
+    synthetic per-row id, which is retry-deterministic only for
+    deterministic single-stage inputs."""
     # n_docs needs a per-source-row id; project it before the explode
-    toks = df.select(F.col(text_col), F.monotonically_increasing_id()
-                     .alias("_rid")) \
+    rid = (F.col(id_col) if id_col in df.columns
+           else F.monotonically_increasing_id())
+    toks = df.select(F.col(text_col), rid.alias("_rid")) \
         .select(F.explode(tokens(F.col(text_col))).alias("token"), "_rid")
     return (toks.groupBy("token")
             .agg(F.count(F.lit(1)).alias("n_occurrences"),

@@ -47,6 +47,17 @@ def asof_join(left: DataFrame, right: DataFrame, key: str = "user_id",
     result deterministic on any partitioning."""
     rcols = [c for c in right.columns if c != key]
 
+    # scratch-column collision guard: a right frame already carrying
+    # one of these would be silently overwritten and dropped,
+    # corrupting the prior_* payload — fail loudly instead
+    reserved = {"_rn", "_ts", "_side", "_rpay", "_asof"} | {
+        f"_l_{c}" for c in left.columns}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join: input columns collide with reserved scratch "
+            f"names {sorted(clash)}; rename them before joining")
+
     # deterministic pre-dedup of right on (key, ts): greatest tiebreak
     w_dedup = Window.partitionBy(key, ts).orderBy(F.desc(tiebreak))
     r1 = (right.withColumn("_rn", F.row_number().over(w_dedup))

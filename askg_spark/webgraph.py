@@ -95,7 +95,15 @@ class _AqeOff:
     exchange AQE re-plans becomes its own driver-scheduled job — tiny
     per-iteration frames turn into dozens of ~1s scheduling rounds
     (the round-1 CC pathology). Restores the prior setting on exit,
-    exception or not."""
+    exception or not.
+
+    SESSION-GLOBAL side effect: `spark.conf` is per-session, so any
+    query running CONCURRENTLY on the same SparkSession while the
+    loop holds this context executes with AQE disabled too. The
+    engine's own drivers are single-query-at-a-time; callers that
+    interleave queries across threads should run pagerank()/cc loops
+    on a dedicated session (`spark.newSession()` shares the
+    SparkContext but isolates the conf)."""
 
     def __init__(self, spark):
         self._spark = spark

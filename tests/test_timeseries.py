@@ -185,3 +185,14 @@ def test_cohort_retention_first_week_defines_cohort(spark):
     assert out[(w0, w2)] == 1          # user 1 retained
     assert out[(w2, w2)] == 1          # user 2's own cohort
     assert len(out) == 3
+
+
+def test_asof_join_rejects_reserved_scratch_columns(spark):
+    import pytest as _pytest
+    from askg_spark.timeseries import asof_join
+    left = spark.createDataFrame(
+        [(1, 10, 1)], "user_id int, ts int, event_id int")
+    right_bad = spark.createDataFrame(
+        [(1, 5, 2, 7)], "user_id int, ts int, event_id int, _rn int")
+    with _pytest.raises(ValueError, match="_rn"):
+        asof_join(left, right_bad)

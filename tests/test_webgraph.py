@@ -29,11 +29,9 @@ def test_extract_outlinks_order_and_multiplicity(spark):
     ]
 
 
-def test_normalize_and_owner():
+def test_normalize_and_owner(spark):
     df_in = [("https://www.x.com/A/b/c/",), ("http://y.org",),
              ("https://github.com/own/repo",)]
-    import pyspark.sql.session as _s
-    spark = _s.SparkSession.getActiveSession()
     df = spark.createDataFrame(df_in, "href string")
     out = df.select(
         webgraph.normalize_target(F.col("href")).alias("t")).collect()
