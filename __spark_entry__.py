@@ -537,17 +537,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graph traversal: distinct 2-hop neighborhoods over the
         # relationship edges (same_author / similar_functionality),
         # anchored at the 5 lexicographically-first subjects for a
-        # bounded, deterministic result; two self-equi-joins, no
-        # iteration
+        # bounded, deterministic result. The anchor set (5) and every
+        # frontier (degree-capped by the relations top-M policy) are
+        # broadcast-sized, so the big edge frame is NEVER shuffled:
+        # both hops are BroadcastHashJoins over the raw filtered
+        # edges, and the only exchanges are distincts on the bounded
+        # frontier/result frames plus the narrow anchor-subject
+        # distinct (map-side partial agg collapses it to ~one row per
+        # distinct subject per partition). The former plan — pair-
+        # distinct the full edge set, then two sort-merge self-joins —
+        # shuffled the 1.5M-row frame three times for the same answer.
         tr = _kg_run(spark, sf).triples
-        rel = (tr.where(F.col("pred").isin(
+        rel_raw = (tr.where(F.col("pred").isin(
             "same_author", "similar_functionality"))
-            .select("subj", "obj").distinct())
-        anchors = (rel.select(F.col("subj").alias("a"))
+            .select("subj", "obj"))
+        anchors = (rel_raw.select(F.col("subj").alias("a"))
                    .distinct().orderBy("a").limit(5))
-        hop1 = (anchors.join(rel, anchors["a"] == rel["subj"])
+        hop1 = (rel_raw
+                .join(F.broadcast(anchors), F.col("subj") == F.col("a"))
                 .select("a", F.col("obj").alias("mid")).distinct())
-        hop2 = (hop1.join(rel, hop1["mid"] == rel["subj"])
+        hop2 = (rel_raw
+                .join(F.broadcast(hop1), F.col("subj") == F.col("mid"))
                 .select("a", F.col("obj").alias("dst"))
                 .where(F.col("dst") != F.col("a"))
                 .distinct())
