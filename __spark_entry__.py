@@ -599,9 +599,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return simsearch.label_centroids(_t(spark, sf, "embeddings"))
 
     def multimodal_decode_stats(spark, sf):
-        decoded = multimodal.decode_media(
-            multimodal.attach_payload(_t(spark, sf, "documents")))
-        return multimodal.media_feature_stats(decoded)
+        # REAL PNG decode end-to-end: per-doc synthetic PNGs (bit-valid
+        # files, closed-form geometry/pixels of doc_id) through the
+        # pure-python decoder; every output column is a scalar integer
+        # the SQL oracle recomputes cell-by-cell
+        media = multimodal.synth_png_corpus(
+            _t(spark, sf, "documents").select("doc_id"))
+        return multimodal.png_pixel_stats(media)
 
     def events_latest_per_user(spark, sf):
         from pyspark.sql import Window
@@ -1682,6 +1686,25 @@ FROM m GROUP BY doc_id
         # matrix sum; floor(v*1e6) in double is bit-identical on both
         # engines (no round-half ambiguity), integer sums are
         # order-independent; pos is 0-based to match the kernel
+        # real-PNG decode stats: the synthetic corpus is grayscale
+        # w = 16 + doc_id%32, h = 16 + (doc_id*7)%32, pixel(r,c) =
+        # (doc_id+r+c)%256 — the oracle regenerates every cell and
+        # sums, checking the decoder bit-for-bit per image
+        "multimodal_decode_stats": """
+WITH d AS (
+  SELECT doc_id,
+         16 + doc_id % 32 AS w,
+         16 + (doc_id * 7) % 32 AS h
+  FROM documents),
+r AS (SELECT doc_id, w, h, unnest(range(h)) AS rr FROM d),
+cells AS (SELECT doc_id, w, h, rr, unnest(range(w)) AS cc FROM r)
+SELECT doc_id,
+       CAST(any_value(w) AS INTEGER) AS width,
+       CAST(any_value(h) AS INTEGER) AS height,
+       CAST(count(*) AS BIGINT) AS n_pixels,
+       CAST(sum((doc_id + rr + cc) % 256) AS BIGINT) AS sum_pixels
+FROM cells GROUP BY doc_id
+""",
         "emb_label_centroids": """
 WITH e AS (
   SELECT label, unnest(embedding) AS v,

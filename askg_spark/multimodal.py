@@ -2,10 +2,12 @@
 
 Images/audio/video ride through the pipeline as `binary` columns with a
 metadata struct; decode / feature-extraction runs as Arrow-batched
-`mapInPandas` stages. The decode kernels themselves are STUBBED in this
-environment (no PIL/ffmpeg in the container) behind an import-try with
-a deterministic fallback — the Spark-side contract (schema, batch shape,
-partitioning, null handling) is real and tested.
+`mapInPandas` stages. PNG decode is REAL — a pure-python/numpy baseline
+decoder (stdlib zlib; `decode_png_array`) with a matching synthetic
+encoder so pixel-level stats carry an exact SQL oracle. Non-PNG codecs
+(JPEG/audio/video) would need libraries this container lacks and keep
+the deterministic md5 fallback — the Spark-side contract (schema, batch
+shape, partitioning, null handling) is identical either way.
 
 Scale notes: binary payloads dominate byte volume; stages that don't
 need the payload must never deserialize it (column pruning — see
@@ -17,6 +19,8 @@ memory (payloads x batch-size is the working set per worker).
 from __future__ import annotations
 
 from typing import Iterator
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (ArrayType, BinaryType, FloatType, IntegerType,
@@ -48,16 +52,142 @@ def attach_payload(df: DataFrame, payload_col: str = "text") -> DataFrame:
     )
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # colortype -> samples/px
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png_array(payload: bytes):
+    """Pure-python/numpy PNG decode (stdlib zlib only — no PIL):
+    -> (pixels uint8 ndarray of shape (h, w, channels), width, height).
+
+    Supports the baseline raster: 8-bit depth, colortypes 0/2/4/6
+    (gray / RGB / gray+alpha / RGBA), non-interlaced, all five row
+    filters (None/Sub/Up/Average/Paeth). Anything else raises
+    ValueError — callers surface it as decode_error (quarantine
+    discipline). Filters Up/None are fully vectorized; Sub is a
+    per-channel cumulative sum; Average/Paeth fall back to a per-pixel
+    loop (rare in practice: encoders emit them for photographic
+    content, and the synthetic corpus uses filter 0)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not payload.startswith(PNG_SIG):
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idat = len(PNG_SIG), None, []
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos:pos + 4]), \
+            payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("truncated PNG (missing IHDR/IDAT)")
+    w, h, depth, colortype, _comp, _filt, interlace = ihdr
+    if depth != 8 or colortype not in _PNG_CHANNELS or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth} colortype={colortype} "
+            f"interlace={interlace}); baseline 8-bit only")
+    ch = _PNG_CHANNELS[colortype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("corrupt PNG (bad decompressed length)")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters, rows = raw[:, 0], raw[:, 1:].astype(np.int64)
+    out = np.zeros((h, stride), dtype=np.int64)
+    prior = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        f, line = int(filters[r]), rows[r]
+        if f == 0:                                   # None
+            rec = line
+        elif f == 2:                                 # Up
+            rec = (line + prior) % 256
+        elif f == 1:                                 # Sub
+            rec = line.reshape(w, ch).cumsum(axis=0).reshape(stride) % 256
+        elif f == 3:                                 # Average
+            rec = np.empty(stride, dtype=np.int64)
+            for i in range(stride):
+                a = rec[i - ch] if i >= ch else 0
+                rec[i] = (line[i] + (a + prior[i]) // 2) % 256
+        elif f == 4:                                 # Paeth
+            rec = np.empty(stride, dtype=np.int64)
+            for i in range(stride):
+                a = rec[i - ch] if i >= ch else 0
+                c = prior[i - ch] if i >= ch else 0
+                rec[i] = (line[i] + _paeth(int(a), int(prior[i]),
+                                           int(c))) % 256
+        else:
+            raise ValueError(f"unsupported PNG row filter {f}")
+        out[r] = rec
+        prior = rec
+    return out.astype(np.uint8).reshape(h, w, ch), w, h
+
+
+def synth_png(doc_id: int) -> bytes:
+    """Deterministic synthetic PNG for the planted-payload oracle:
+    8-bit grayscale, width = 16 + doc_id % 32, height =
+    16 + (doc_id * 7) % 32, pixel(r, c) = (doc_id + r + c) % 256,
+    rows filter-0, one zlib IDAT — every stat downstream is a closed
+    form of doc_id that SQL can recompute."""
+    import struct
+    import zlib
+
+    w, h = 16 + doc_id % 32, 16 + (doc_id * 7) % 32
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data \
+            + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    scan = b"".join(
+        b"\x00" + bytes(((doc_id + r + c) % 256) for c in range(w))
+        for r in range(h))
+    return (PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scan))
+            + chunk(b"IEND", b""))
+
+
 def _decode_real(payload: bytes):
-    """Real decoder — requires an image library not present here."""
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "image decode requires PIL; this environment ships none — "
-            "the deterministic fallback below keeps the plumbing testable"
-        ) from exc
-    raise NotImplementedError("wire Image.open(io.BytesIO(payload)) here")
+    """Real decoder: the built-in pure-python PNG path for PNG
+    payloads; other formats would need codecs this container lacks."""
+    import numpy as np
+
+    if payload.startswith(PNG_SIG):
+        px, w, h = decode_png_array(payload)
+        flat = px.astype(np.float64)
+        features = [
+            float(flat.mean() / 255.0),
+            float(flat.std() / 255.0),
+            float(flat.min() / 255.0),
+            float(flat.max() / 255.0),
+            float(px.shape[2] / 4.0),
+            float((flat > 127).mean()),
+            float(flat[0].mean() / 255.0),
+            float(flat[:, 0].mean() / 255.0),
+        ]
+        return w, h, features
+    raise NotImplementedError(
+        "non-PNG decode requires PIL/ffmpeg; this environment ships "
+        "none — the deterministic fallback keeps the plumbing testable")
 
 
 def _decode_fallback(payload: bytes):
@@ -95,11 +225,16 @@ def decode_media(df: DataFrame) -> DataFrame:
                     base["decode_error"] = "empty_payload"
                 else:
                     try:
-                        w, h, feats = _decode_real(payload)
+                        w, h, feats = _decode_real(bytes(payload))
+                        base.update(width=w, height=h,
+                                    features=[float(x) for x in feats])
                     except NotImplementedError:
                         w, h, feats = _decode_fallback(bytes(payload))
-                    base.update(width=w, height=h,
-                                features=[float(x) for x in feats])
+                        base.update(width=w, height=h,
+                                    features=[float(x) for x in feats])
+                    except ValueError as exc:
+                        # malformed/unsupported image -> quarantine row
+                        base["decode_error"] = str(exc)
                 rows.append(base)
             yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA])
 
@@ -242,3 +377,69 @@ def media_feature_stats(decoded: DataFrame) -> DataFrame:
         F.min("height").cast("long").alias("min_height"),
         F.max("height").cast("long").alias("max_height"),
     )
+
+
+def synth_png_corpus(docs: DataFrame) -> DataFrame:
+    """Planted-payload media source: one real (bit-valid) synthetic PNG
+    per doc_id — the shape `attach_payload` fakes, but with payloads the
+    REAL decoder round-trips, so downstream stats carry an exact SQL
+    oracle. Arrow-batched pandas UDF; per-row python is inherent to
+    image encoding and this is a test-data synthesizer, not a hot-path
+    operator."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def mk(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_png(int(i)))
+
+    return docs.select(
+        "doc_id", mk("doc_id").alias("payload")
+    ).select(
+        "doc_id", "payload",
+        F.struct(
+            F.lit("image/png").alias("content_type"),
+            F.length("payload").cast("long").alias("n_bytes"),
+        ).alias("media_meta"),
+    )
+
+
+PIXEL_STATS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_pixels", LongType()),
+    StructField("sum_pixels", LongType()),
+])
+
+
+def png_pixel_stats(media: DataFrame) -> DataFrame:
+    """Exact per-image pixel stats through the REAL decode path:
+    (doc_id, payload, ...) -> (doc_id, width, height, n_pixels,
+    sum_pixels) — every column a scalar integer, so the result is
+    sort/hash-canonicalizable and, over `synth_png_corpus`, a pure
+    closed form of doc_id an SQL oracle recomputes cell-by-cell.
+    Undecodable payloads are dropped (quarantine split belongs to
+    decode_media; this is the measurement surface)."""
+    import pandas as pd
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "width", "height", "n_pixels", "sum_pixels")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    continue
+                try:
+                    px, w, h = decode_png_array(bytes(payload))
+                except ValueError:
+                    continue
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(int(px.shape[0] * px.shape[1]))
+                out["sum_pixels"].append(int(px.astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, schema=PIXEL_STATS_SCHEMA)

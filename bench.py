@@ -87,6 +87,8 @@ def main() -> int:
     run("kg_degree_topk", lambda df: len(df.collect()))
     run("kg_two_hop", lambda df: len(df.collect()))
     run("kg_semantic_search")
+    run("kg_category_hierarchy")
+    run("multimodal_decode_stats")
     run("registry_completeness")
     run("doc_token_stats")
     run("doc_lang_id")

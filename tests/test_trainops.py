@@ -612,3 +612,116 @@ def test_normalize_text_nfc_lineendings_controls(spark):
     assert out[2]["norm_md5"] == md5("a\nb\nc")
     assert out[3]["norm_md5"] == md5("keep\tok\n")
     assert out[4]["norm_md5"] == md5("")
+
+
+def test_png_decoder_all_filters_and_rgb():
+    """Hand-encode scanlines with every PNG row filter (None/Sub/Up/
+    Average/Paeth) and check the decoder reconstructs the reference
+    pixels; RGB and RGBA rasters included."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def encode(px, colortype, filters):
+        h, w, ch = px.shape
+        sig = multimodal.PNG_SIG
+
+        def chunk(t, d):
+            return (struct.pack(">I", len(d)) + t + d
+                    + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+        def paeth(a, b, c):
+            return multimodal._paeth(a, b, c)
+
+        flat = px.reshape(h, w * ch).astype(int)
+        scan = b""
+        prior = np.zeros(w * ch, dtype=int)
+        for r in range(h):
+            f = filters[r % len(filters)]
+            line = flat[r]
+            enc = np.zeros(w * ch, dtype=int)
+            for i in range(w * ch):
+                a = line[i - ch] if i >= ch else 0
+                b = prior[i]
+                c = prior[i - ch] if i >= ch else 0
+                if f == 0:
+                    enc[i] = line[i]
+                elif f == 1:
+                    enc[i] = (line[i] - a) % 256
+                elif f == 2:
+                    enc[i] = (line[i] - b) % 256
+                elif f == 3:
+                    enc[i] = (line[i] - (a + b) // 2) % 256
+                else:
+                    enc[i] = (line[i] - paeth(a, b, c)) % 256
+            scan += bytes([f]) + bytes(enc.tolist())
+            prior = line
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+        return (sig + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(scan))
+                + chunk(b"IEND", b""))
+
+    rng = np.random.default_rng(7)
+    for colortype, ch in ((0, 1), (2, 3), (6, 4)):
+        px = rng.integers(0, 256, size=(7, 5, ch), dtype=np.uint8)
+        payload = encode(px, colortype, filters=[0, 1, 2, 3, 4])
+        got, w, h = multimodal.decode_png_array(payload)
+        assert (w, h) == (5, 7)
+        assert (got == px).all(), f"colortype {colortype} mismatch"
+
+
+def test_png_decoder_quarantines_unsupported(spark):
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="signature"):
+        multimodal.decode_png_array(b"JFIF not a png")
+    # 16-bit depth -> unsupported, surfaces as decode_error in the frame
+    import struct
+    import zlib
+    sig = multimodal.PNG_SIG
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    bad16 = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0))
+             + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+             + chunk(b"IEND", b""))
+    df = spark.createDataFrame(
+        [(1, bytearray(bad16), ("image/png", len(bad16)))],
+        "doc_id long, payload binary, "
+        "media_meta struct<content_type:string, n_bytes:long>")
+    rows = multimodal.decode_media(df).collect()
+    assert rows[0]["decode_error"] and "unsupported" in rows[0]["decode_error"]
+    assert rows[0]["width"] is None
+
+
+def test_png_pixel_stats_closed_form(spark):
+    docs = spark.createDataFrame([(i,) for i in (0, 3, 40, 999)],
+                                 "doc_id long")
+    media = multimodal.synth_png_corpus(docs)
+    out = {r["doc_id"]: r for r in
+           multimodal.png_pixel_stats(media).collect()}
+    for d in (0, 3, 40, 999):
+        w, h = 16 + d % 32, 16 + (d * 7) % 32
+        want = sum((d + r + c) % 256 for r in range(h) for c in range(w))
+        assert out[d]["width"] == w and out[d]["height"] == h
+        assert out[d]["n_pixels"] == w * h
+        assert out[d]["sum_pixels"] == want
+
+
+def test_decode_media_real_path_for_png(spark):
+    """PNG payloads take the real decoder (exact dims), non-PNG keeps
+    the md5 fallback — both through the same Arrow surface."""
+    png = multimodal.synth_png(5)
+    df = spark.createDataFrame(
+        [(5, bytearray(png), ("image/png", len(png))),
+         (6, bytearray(b"plain text payload"), ("text/plain", 18))],
+        "doc_id long, payload binary, "
+        "media_meta struct<content_type:string, n_bytes:long>")
+    rows = {r["doc_id"]: r for r in multimodal.decode_media(df).collect()}
+    assert rows[5]["width"] == 16 + 5 % 32
+    assert rows[5]["height"] == 16 + 35 % 32
+    assert rows[5]["decode_error"] is None
+    # fallback geometry is md5-derived, still deterministic
+    assert rows[6]["width"] is not None and rows[6]["decode_error"] is None
