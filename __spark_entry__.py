@@ -156,6 +156,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.coalesce("n_subcategories", F.lit(0))
                         .cast("long").alias("n_subcategories")))
 
+    def kg_clean_cypher(spark, sf):
+        # P13 cypher markdown cleaner (text2cypher.py:131-148) over
+        # planted LLM-style outputs: doc_id % 4 selects the fence
+        # variant (```cypher fence / bare ``` fence / whitespace pad /
+        # clean), so recovery of the exact inner query is the oracle
+        from askg_spark.search import clean_cypher
+        d = _t(spark, sf, "documents").select("doc_id")
+        body = F.concat(F.lit("MATCH (s:Server {id: '"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("'}) RETURN s"))
+        m = F.col("doc_id") % 4
+        raw = (F.when(m == 0, F.concat(F.lit("```cypher\n"), body,
+                                       F.lit("\n```")))
+               .when(m == 1, F.concat(F.lit("```\n"), body,
+                                      F.lit("\n```")))
+               .when(m == 2, F.concat(F.lit("  \n"), body,
+                                      F.lit("  \n ")))
+               .otherwise(body))
+        return d.select("doc_id", clean_cypher(raw).alias("cypher"))
+
     def registry_completeness(spark, sf):
         # A5 per-registry metadata completeness
         # (analyze_deduplication.py:183-207)
@@ -753,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_similar_servers": kg_similar_servers,
         "kg_two_hop": kg_two_hop,
         "kg_category_hierarchy": kg_category_hierarchy,
+        "kg_clean_cypher": kg_clean_cypher,
         "multimodal_decode_stats": multimodal_decode_stats,
         # (c) r2-green re-verification, cheapest-risk-first
         "kg_category_counts": kg_category_counts,
@@ -1686,6 +1707,15 @@ FROM m GROUP BY doc_id
         # matrix sum; floor(v*1e6) in double is bit-identical on both
         # engines (no round-half ambiguity), integer sums are
         # order-independent; pos is 0-based to match the kernel
+        # P13: every fence variant must recover the exact inner query,
+        # which is a pure closed form of doc_id — the oracle states the
+        # expected output rather than re-deriving the cleaning steps
+        "kg_clean_cypher": """
+SELECT doc_id,
+       'MATCH (s:Server {id: ''' || CAST(doc_id AS VARCHAR)
+         || '''}) RETURN s' AS cypher
+FROM documents
+""",
         # real-PNG decode stats: the synthetic corpus is grayscale
         # w = 16 + doc_id%32, h = 16 + (doc_id*7)%32, pixel(r,c) =
         # (doc_id+r+c)%256 — the oracle regenerates every cell and

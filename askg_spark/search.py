@@ -24,7 +24,25 @@ single distributed job).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def clean_cypher(q: Column) -> Column:
+    """P13: strip markdown code fences + surrounding whitespace from a
+    generated Cypher query column (text2cypher.py:131-148 semantics,
+    branch for branch): a leading ```` ```cypher ```` (9 chars) or
+    ```` ``` ```` (3 chars) prefix is removed, a trailing ```` ``` ````
+    is removed, then whitespace is trimmed both ends (the reference's
+    strip() + strip('\\n') collapses to one whitespace trim). Pure
+    Column expression — codegen, no UDF."""
+    s1 = (F.when(q.startswith("```cypher"), q.substr(F.lit(10),
+                                                     F.length(q)))
+          .when(q.startswith("```"), q.substr(F.lit(4), F.length(q)))
+          .otherwise(q))
+    s2 = F.when(s1.endswith("```"),
+                s1.substr(F.lit(1), F.length(s1) - 3)).otherwise(s1)
+    return F.regexp_replace(F.regexp_replace(s2, r"^\s+", ""),
+                            r"\s+$", "")
 
 
 def search_entities(entities: DataFrame, term: str,

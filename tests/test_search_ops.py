@@ -180,3 +180,35 @@ def test_source_manifest_rows(spark):
     assert rows["a.json"]["repo"] == "tool-a"
     assert rows["b.json"]["org"] is None           # no repo URL -> null org
     assert rows["a.json"]["source_url"].endswith("a.json")
+
+
+def test_clean_cypher_matches_reference_branches(spark):
+    """Branch-for-branch parity with text2cypher.py:131-148."""
+    from askg_spark.search import clean_cypher
+
+    def ref_clean(q):  # the reference's logic as a python oracle
+        if q.startswith("```cypher"):
+            q = q[9:]
+        elif q.startswith("```"):
+            q = q[3:]
+        if q.endswith("```"):
+            q = q[:-3]
+        return q.strip().strip("\n")
+
+    cases = [
+        "```cypher\nMATCH (n) RETURN n\n```",
+        "```\nMATCH (n) RETURN n\n```",
+        "MATCH (n) RETURN n",
+        "  \n MATCH (n) RETURN n \n\t",
+        "```cypher",                      # degenerates to empty
+        "```",
+        "```cypherMATCH (x)```",
+        "no fences ``` in the middle ``` stay",
+        "",
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)],
+                               "i int, q string")
+    got = {r["i"]: r["c"] for r in
+           df.select("i", clean_cypher(df["q"]).alias("c")).collect()}
+    for i, c in enumerate(cases):
+        assert got[i] == ref_clean(c), (i, c, got[i], ref_clean(c))
