@@ -88,6 +88,7 @@ def main() -> int:
     run("kg_two_hop", lambda df: len(df.collect()))
     run("kg_semantic_search")
     run("kg_category_hierarchy")
+    run("kg_clean_cypher")
     run("multimodal_decode_stats")
     run("registry_completeness")
     run("doc_token_stats")
