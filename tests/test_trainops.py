@@ -725,3 +725,49 @@ def test_decode_media_real_path_for_png(spark):
     assert rows[5]["decode_error"] is None
     # fallback geometry is md5-derived, still deterministic
     assert rows[6]["width"] is not None and rows[6]["decode_error"] is None
+
+
+def test_png_roundtrip_property_random_filters():
+    """Property: any baseline 8-bit raster encoded with arbitrary
+    per-row filters decodes to the original pixels (pure-python
+    reference encoder inside the test)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def encode(px, colortype, filters):
+        h, w, ch = px.shape
+
+        def chunk(t, d):
+            return (struct.pack(">I", len(d)) + t + d
+                    + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+        flat = px.reshape(h, w * ch).astype(int)
+        scan, prior = b"", np.zeros(w * ch, dtype=int)
+        for r in range(h):
+            f, line = filters[r], flat[r]
+            enc = np.zeros(w * ch, dtype=int)
+            for i in range(w * ch):
+                a = line[i - ch] if i >= ch else 0
+                b = prior[i]
+                c = prior[i - ch] if i >= ch else 0
+                pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2,
+                        4: multimodal._paeth(a, b, c)}[f]
+                enc[i] = (line[i] - pred) % 256
+            scan += bytes([f]) + bytes(enc.tolist())
+            prior = line
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+        return (multimodal.PNG_SIG + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(scan))
+                + chunk(b"IEND", b""))
+
+    rng = np.random.default_rng(123)
+    for trial in range(25):
+        ct, ch = [(0, 1), (2, 3), (4, 2), (6, 4)][trial % 4]
+        h, w = int(rng.integers(1, 12)), int(rng.integers(1, 12))
+        px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        filters = rng.integers(0, 5, size=h).tolist()
+        got, gw, gh = multimodal.decode_png_array(encode(px, ct, filters))
+        assert (gw, gh) == (w, h)
+        assert (got == px).all(), (trial, ct, filters)
