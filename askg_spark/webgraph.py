@@ -119,6 +119,24 @@ class _AqeOff:
         return False
 
 
+class _ShufflePartitions:
+    """Loop-scoped spark.sql.shuffle.partitions override. Same
+    session-global caveat as _AqeOff (conf is per-session; concurrent
+    queries on the same session see the override while held)."""
+
+    def __init__(self, spark, n: int):
+        self._spark, self._n = spark, int(n)
+
+    def __enter__(self):
+        self._prev = self._spark.conf.get("spark.sql.shuffle.partitions")
+        self._spark.conf.set("spark.sql.shuffle.partitions", str(self._n))
+        return self
+
+    def __exit__(self, *exc):
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._prev)
+        return False
+
+
 def pagerank(edges: DataFrame, iterations: int = 10,
              damping: float = 0.85,
              checkpoint_every: int = 4) -> DataFrame:
@@ -163,10 +181,23 @@ def pagerank(edges: DataFrame, iterations: int = 10,
     fan = (edges.join(outdeg, "src")
            .persist(StorageLevel.MEMORY_AND_DISK))
 
+    # Data-proportional shuffle width for the loop body: with AQE off
+    # (below), every exchange inherits spark.sql.shuffle.partitions —
+    # on a small graph that is conf-many near-empty tasks per join/agg
+    # per iteration, pure scheduler latency (measured: the sf0.1
+    # driver graph, 520 nodes, spent ~10 s of a 10.3 s query there).
+    # Width scales with edge count and only ever SHRINKS from the
+    # session conf, so big graphs keep their configured parallelism.
+    m = edges.count()
+    spark = edges.sparkSession
+    cur_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    width = max(1, min(cur_width, -(-m // 100_000)))
+
     ranks = verts.select("node", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
     prev = None
-    with _AqeOff(edges.sparkSession):
+    with _AqeOff(edges.sparkSession), \
+            _ShufflePartitions(spark, width):
         for it in range(iterations):
             inflow = (
                 fan.join(ranks, fan["src"] == ranks["node"])
