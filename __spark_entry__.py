@@ -120,9 +120,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def kg_similar_servers(spark, sf):
         # W3: per-server entity-similarity top-k
-        # (neo4j_integration.py:468-488)
+        # (neo4j_integration.py:468-488). author_cap=1000 is THIS
+        # layer's stated skew policy (the library default is the
+        # reference's uncapped formula); the oracle mirrors the cap.
         from askg_spark.search import similar_servers
-        return similar_servers(_kg_run(spark, sf).entities, limit=10)
+        return similar_servers(_kg_run(spark, sf).entities, limit=10,
+                               author_cap=1000)
 
     def kg_semantic_search(spark, sf):
         # P14 term extraction + multi-term scoring (mcp/server.py:
@@ -613,8 +616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in Spark mirrors the oracle's TRY_CAST
         from askg_spark.triples import snapshot_diff
         tr = _kg_run(spark, sf).triples.select("subj", "pred", "obj")
-        # try_cast: digit-less subjects (the static HAS_SUBCATEGORY
-        # category ids) extract '' which ANSI cast would reject
+        # try_cast: any digit-less subject extracts '' which ANSI cast
+        # would reject; NULL-safe in both engines
         tail = F.regexp_extract(F.col("subj"), r"([0-9]+)$", 1) \
             .try_cast("bigint")
         old = tr.where(tail.isNotNull() & (tail % 2 == 0)) \
@@ -991,10 +994,6 @@ rel AS (
 )
 SELECT subj, pred, obj FROM attr
 UNION ALL SELECT subj, pred, obj FROM rel
-UNION ALL SELECT subj, pred, obj FROM (VALUES
-  ('api_integration', 'HAS_SUBCATEGORY', 'authentication'),
-  ('cloud_services', 'HAS_SUBCATEGORY', 'monitoring'),
-  ('file_system', 'HAS_SUBCATEGORY', 'search')) AS h(subj, pred, obj)
 """
     oracles = {
         # Relation pairs mirror the pipeline-default skew cap

@@ -86,27 +86,34 @@ def decode_png_array(payload: bytes):
 
     if not payload.startswith(PNG_SIG):
         raise ValueError("not a PNG (bad signature)")
-    pos, ihdr, idat = len(PNG_SIG), None, []
-    while pos + 8 <= len(payload):
-        (length,), ctype = struct.unpack(">I", payload[pos:pos + 4]), \
-            payload[pos + 4:pos + 8]
-        data = payload[pos + 8:pos + 8 + length]
-        pos += 12 + length  # length + type + data + crc
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
-        elif ctype == b"IDAT":
-            idat.append(data)
-        elif ctype == b"IEND":
-            break
-    if ihdr is None or not idat:
-        raise ValueError("truncated PNG (missing IHDR/IDAT)")
-    w, h, depth, colortype, _comp, _filt, interlace = ihdr
-    if depth != 8 or colortype not in _PNG_CHANNELS or interlace != 0:
-        raise ValueError(
-            f"unsupported PNG (depth={depth} colortype={colortype} "
-            f"interlace={interlace}); baseline 8-bit only")
-    ch = _PNG_CHANNELS[colortype]
-    raw = zlib.decompress(b"".join(idat))
+    # chunk parse + inflate raise struct.error / zlib.error on
+    # malformed real-world payloads — neither is a ValueError subclass,
+    # so re-raise here to keep the "anything malformed raises
+    # ValueError" contract the quarantine call sites rely on
+    try:
+        pos, ihdr, idat = len(PNG_SIG), None, []
+        while pos + 8 <= len(payload):
+            (length,), ctype = struct.unpack(">I", payload[pos:pos + 4]), \
+                payload[pos + 4:pos + 8]
+            data = payload[pos + 8:pos + 8 + length]
+            pos += 12 + length  # length + type + data + crc
+            if ctype == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", data)
+            elif ctype == b"IDAT":
+                idat.append(data)
+            elif ctype == b"IEND":
+                break
+        if ihdr is None or not idat:
+            raise ValueError("truncated PNG (missing IHDR/IDAT)")
+        w, h, depth, colortype, _comp, _filt, interlace = ihdr
+        if depth != 8 or colortype not in _PNG_CHANNELS or interlace != 0:
+            raise ValueError(
+                f"unsupported PNG (depth={depth} colortype={colortype} "
+                f"interlace={interlace}); baseline 8-bit only")
+        ch = _PNG_CHANNELS[colortype]
+        raw = zlib.decompress(b"".join(idat))
+    except (struct.error, zlib.error) as exc:
+        raise ValueError(f"corrupt PNG ({exc})") from exc
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError("corrupt PNG (bad decompressed length)")

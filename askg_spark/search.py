@@ -156,7 +156,7 @@ def similar_servers(entities: DataFrame, limit: int = 10,
                     n_salt: int = 32,
                     max_entities_per_key: int | None = None,
                     max_classes: int = 4096,
-                    author_cap: int | None = 1000) -> DataFrame:
+                    author_cap: int | None = None) -> DataFrame:
     """Top-`limit` similar servers for EVERY server:
     score = 2*|∩categories| + |∩operations| + same_author + same_lang,
     kept when > 0, ranked (score DESC, similar_id ASC).
@@ -175,16 +175,18 @@ def similar_servers(entities: DataFrame, limit: int = 10,
         is O(n * limit), never O(n²)
       * author bump: the +1 same-author term can promote any
         same-author pair into the top-k, so same-author pairs join
-        the pool — but only among each author's top-``author_cap``
-        entities (popularity DESC NULLS LAST, id ASC —
-        relations.py's documented top-M truncation semantics,
-        default M=1000, ON in the driver path). Without the cap the
+        the pool. ``author_cap`` (a SKEW POLICY — default OFF, so the
+        library default is the reference's exact uncapped formula; the
+        driver query layer opts in with M=1000 as its stated policy)
+        restricts that pool to each author's top-``author_cap``
+        entities (popularity DESC NULLS LAST, id ASC — relations.py's
+        documented top-M truncation semantics). Without a cap the
         bump pool is O(sum of author-group²): one hot registry author
         ("anthropic" in the reference corpus) regenerates the
-        quadratic blowup at 100x. Entities outside their author's
-        top-M neither pool nor score the bump (matching the all-pairs
-        plan under ``max_entities_per_key``); pass
-        ``author_cap=None`` for the uncapped reference formula.
+        quadratic blowup at 100x, so 100 TB callers should pass one.
+        Entities outside their author's top-M neither pool nor score
+        the bump (matching the all-pairs plan under
+        ``max_entities_per_key``).
       * exact rescore of the pooled pairs (class-pair score + capped
         author bump), then the per-server top-k window
 
@@ -214,7 +216,7 @@ def similar_servers(entities: DataFrame, limit: int = 10,
 
 
 def _similar_servers_classes(entities: DataFrame, limit: int,
-                             author_cap: int | None = 1000) -> DataFrame:
+                             author_cap: int | None = None) -> DataFrame:
     """Exact class-decomposition plan (see similar_servers docstring).
 
     Correctness: in the base (no-author) ranking per query server,
@@ -227,8 +229,14 @@ def _similar_servers_classes(entities: DataFrame, limit: int,
     window reproduce the all-pairs ranking (parity-tested against
     it, capped and uncapped)."""
     k = limit
+    # popularity only orders the author-cap truncation; frames without
+    # the column (and every uncapped call) must not fail analysis —
+    # a missing column degrades to NULL (cap order falls back to id)
+    pop = (F.col("popularity_score")
+           if "popularity_score" in entities.columns
+           else F.lit(None).cast("double"))
     ent = entities.select(
-        "id", "author", "popularity_score",
+        "id", "author", pop.alias("popularity_score"),
         F.array_sort(F.coalesce("categories",
                                 F.array().cast("array<string>")))
         .alias("cats"),
@@ -341,8 +349,12 @@ def _similar_servers_allpairs(entities: DataFrame, limit: int = 10,
     documented ``max_entities_per_key`` truncation semantics."""
     from askg_spark.relations import _capped, _salted_pairs
 
+    pop = (F.col("popularity_score")
+           if "popularity_score" in entities.columns
+           else F.lit(None).cast("double"))
     ent = entities.select(
-        "id", "author", "categories", "operations", "popularity_score",
+        "id", "author", "categories", "operations",
+        pop.alias("popularity_score"),
         F.col("implementation_language").alias("lang"),
     ).withColumn("idx", F.xxhash64("id"))
 

@@ -67,11 +67,14 @@ def attribute_triples(entities: DataFrame) -> DataFrame:
 
 def category_hierarchy_triples(spark) -> DataFrame:
     """S11 tail: (parent)-[:HAS_SUBCATEGORY]->(child) edges from the
-    static ontology dimension (neo4j_integration.py:294-338 emits one
-    MERGE per category with parent_category_id set; models.py:125-136).
-    Emitted unconditionally, like the reference's create_category_nodes
-    call over the full predefined list — a LocalTableScan of <=12 rows,
-    no scan/shuffle at any corpus scale."""
+    static ontology dimension (the schema slot neo4j_integration.py:
+    294-338 MERGEs when parent_category_id is set; models.py:125-136).
+    NOTE the reference's predefined list (main.py
+    create_ontology_categories) sets NO parent ids, so its default
+    build emits zero such edges — build_triples therefore includes
+    this frame only behind an opt-in flag; the S11 driver query calls
+    it directly. A LocalTableScan of <=12 rows, no scan/shuffle at any
+    corpus scale."""
     from askg_spark.ontology import ontology_categories
     cats = ontology_categories(spark)
     return cats.filter(F.col("parent_category_id").isNotNull()).select(
@@ -105,7 +108,8 @@ def dedup_triples(triples: DataFrame) -> DataFrame:
     )
 
 
-def build_triples(entities: DataFrame, rel_edges: DataFrame) -> DataFrame:
+def build_triples(entities: DataFrame, rel_edges: DataFrame,
+                  include_hierarchy: bool = False) -> DataFrame:
     """Union of attribute + relationship triples, distinct on
     (subj, pred, obj).
 
@@ -121,12 +125,17 @@ def build_triples(entities: DataFrame, rel_edges: DataFrame) -> DataFrame:
     ``dedup_triples`` remains the standalone J+ dedup surface for triple
     sets without that guarantee.
 
-    The static HAS_SUBCATEGORY hierarchy rides along outside the dedup
-    groupBy: its keys (category ids) are disjoint from entity-id
-    subjects by construction."""
-    return (dedup_triples(attribute_triples(entities))
-            .unionByName(relationship_triples(rel_edges))
-            .unionByName(category_hierarchy_triples(entities.sparkSession)))
+    ``include_hierarchy`` (default OFF — parity with the reference,
+    whose predefined categories carry no parent ids and therefore emit
+    zero HAS_SUBCATEGORY edges) appends the static ontology hierarchy
+    outside the dedup groupBy: its keys (category ids) are disjoint
+    from entity-id subjects by construction."""
+    out = (dedup_triples(attribute_triples(entities))
+           .unionByName(relationship_triples(rel_edges)))
+    if include_hierarchy:
+        out = out.unionByName(
+            category_hierarchy_triples(entities.sparkSession))
+    return out
 
 
 def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:

@@ -356,11 +356,10 @@ def triples_of(entities, rel_edges):
             triples.add((e["id"], "HAS_PROMPT", p["name"]))
         if e["author"]:
             triples.add((e["id"], "AUTHORED_BY", e["author"]))
-    # static ontology hierarchy (ontology.ONTOLOGY_CATEGORIES parents,
-    # emitted unconditionally like the reference's create_category_nodes)
-    triples.add(("api_integration", "HAS_SUBCATEGORY", "authentication"))
-    triples.add(("cloud_services", "HAS_SUBCATEGORY", "monitoring"))
-    triples.add(("file_system", "HAS_SUBCATEGORY", "search"))
+    # NO HAS_SUBCATEGORY rows: the reference's predefined categories
+    # set no parent_category_id (main.py create_ontology_categories),
+    # so its default build emits zero hierarchy edges — build_triples
+    # mirrors that default (hierarchy is opt-in).
     return triples
 
 

@@ -89,7 +89,7 @@ def test_similar_servers_class_plan_matches_allpairs(spark):
 
 
 def test_similar_servers_author_cap_matches_allpairs_cap(spark):
-    """Default author_cap=1000 truncation in the class plan must equal
+    """The opt-in author_cap truncation in the class plan must equal
     the all-pairs plan under max_entities_per_key on a fixture where
     ONLY the author key is hot (unique categories, no ops, unique
     langs), and a binding cap must actually drop bump-only pairs."""
@@ -118,6 +118,30 @@ def test_similar_servers_author_cap_matches_allpairs_cap(spark):
     assert ("e00", "e07") not in capped      # partner outside top-3
     # z/solo still pairs with e00 via the shared category (score 2)
     assert ("z/solo", "e00") in capped
+
+
+def test_similar_servers_without_popularity_column(spark):
+    """Frames lacking popularity_score must not fail analysis
+    (advisory): uncapped needs no popularity at all; a binding cap
+    degrades its truncation order to id ASC (NULL popularity)."""
+    ents = spark.createDataFrame(
+        [(e[0], e[1], e[2], e[3], e[4], e[5], e[6]) for e in ENTS],
+        "id string, name string, description string, author string, "
+        "categories array<string>, operations array<string>, "
+        "implementation_language string")
+    want = {(r["server_id"], r["similar_id"], r["score"], r["rank"])
+            for r in similar_servers(
+                spark.createDataFrame(ENTS, ENT_SCHEMA), limit=10)
+            .collect()}
+    got = {(r["server_id"], r["similar_id"], r["score"], r["rank"])
+           for r in similar_servers(ents, limit=10).collect()}
+    assert got == want and got
+    # capped call on the popularity-less frame still runs (id-order
+    # truncation); cap=2 keeps both alice entities -> same result here
+    got2 = {(r["server_id"], r["similar_id"], r["score"], r["rank"])
+            for r in similar_servers(ents, limit=10,
+                                     author_cap=2).collect()}
+    assert got2 == want
 
 
 def test_extract_search_terms_maps_and_stopwords():

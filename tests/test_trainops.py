@@ -696,6 +696,45 @@ def test_png_decoder_quarantines_unsupported(spark):
     assert rows[0]["width"] is None
 
 
+def test_png_decoder_quarantines_corrupt_not_crash(spark):
+    """Malformed payloads that raise zlib.error (corrupt IDAT) or
+    struct.error (truncated IHDR) inside parsing must surface as
+    ValueError -> decode_error quarantine rows, not Spark task death
+    (advisory: neither is a ValueError subclass)."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+    sig = multimodal.PNG_SIG
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    # valid IHDR, garbage (non-zlib) IDAT bytes -> zlib.error inside
+    corrupt_idat = (sig
+                    + chunk(b"IHDR",
+                            struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+                    + chunk(b"IDAT", b"\xff\x00garbage-not-zlib")
+                    + chunk(b"IEND", b""))
+    # IHDR chunk with a short body -> struct.error inside
+    short_ihdr = sig + chunk(b"IHDR", b"\x00\x01\x02")
+    for payload in (corrupt_idat, short_ihdr):
+        with _pytest.raises(ValueError, match="corrupt PNG"):
+            multimodal.decode_png_array(payload)
+    df = spark.createDataFrame(
+        [(1, bytearray(corrupt_idat), ("image/png", len(corrupt_idat))),
+         (2, bytearray(short_ihdr), ("image/png", len(short_ihdr)))],
+        "doc_id long, payload binary, "
+        "media_meta struct<content_type:string, n_bytes:long>")
+    rows = {r["doc_id"]: r for r in multimodal.decode_media(df).collect()}
+    for i in (1, 2):
+        assert rows[i]["decode_error"] and "corrupt" in rows[i]["decode_error"]
+        assert rows[i]["width"] is None
+    # png_pixel_stats drops (not crashes on) the same payloads
+    assert multimodal.png_pixel_stats(df).count() == 0
+
+
 def test_png_pixel_stats_closed_form(spark):
     docs = spark.createDataFrame([(i,) for i in (0, 3, 40, 999)],
                                  "doc_id long")
