@@ -640,6 +640,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents").select("doc_id"))
         return multimodal.png_pixel_stats(media)
 
+    def multimodal_resize_stats(spark, sf):
+        # REAL resize end-to-end: synthetic PNGs -> decode -> exact
+        # integer box-filter downsample (max_side=16) -> re-encode ->
+        # decode AGAIN for stats; every output pixel is floor(bin
+        # mean) of a closed-form image, so the SQL oracle recomputes
+        # the resized sums bin-by-bin
+        media = multimodal.synth_png_corpus(
+            _t(spark, sf, "documents").select("doc_id"))
+        resized = multimodal.resize_media(media, max_side=16)
+        return multimodal.png_pixel_stats(
+            resized.filter(F.col("resize_error").isNull()))
+
+    def multimodal_frame_stats(spark, sf):
+        # REAL frame sampling: synthetic raster-video containers ->
+        # index-seek extraction of 4 evenly-spaced frames (integer
+        # round-half-up spacing) -> per-frame PNG decode stats; the
+        # oracle recomputes the sampled index set and each frame's
+        # closed-form pixel sum
+        media = multimodal.synth_video_corpus(
+            _t(spark, sf, "documents").select("doc_id"))
+        return multimodal.frame_pixel_stats(
+            multimodal.sample_frames(media, n_frames=4))
+
     def events_latest_per_user(spark, sf):
         from pyspark.sql import Window
         w = Window.partitionBy("user_id").orderBy(
@@ -788,6 +811,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_category_hierarchy": kg_category_hierarchy,
         "kg_clean_cypher": kg_clean_cypher,
         "multimodal_decode_stats": multimodal_decode_stats,
+        "multimodal_resize_stats": multimodal_resize_stats,
+        "multimodal_frame_stats": multimodal_frame_stats,
         # (c) r2-green re-verification, cheapest-risk-first
         "kg_category_counts": kg_category_counts,
         "kg_search": kg_search,
@@ -1743,6 +1768,80 @@ SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_pixels,
        CAST(sum((doc_id + rr + cc) % 256) AS BIGINT) AS sum_pixels
 FROM cells GROUP BY doc_id
+""",
+        # resize: target dims by integer bounded-box shrink; input
+        # pixel (r, c) belongs to output bin ((r*oh)//h, (c*ow)//w);
+        # each output pixel is the integer mean of its bin — exactly
+        # multimodal.box_downsample's arithmetic
+        "multimodal_resize_stats": """
+WITH geom AS (
+  SELECT doc_id,
+         16 + doc_id % 32 AS w,
+         16 + (doc_id * 7) % 32 AS h
+  FROM documents),
+tgt AS (
+  SELECT doc_id, w, h,
+         CASE WHEN greatest(w, h) <= 16 THEN w
+              ELSE greatest(1, (w * 16) // greatest(w, h)) END AS ow,
+         CASE WHEN greatest(w, h) <= 16 THEN h
+              ELSE greatest(1, (h * 16) // greatest(w, h)) END AS oh
+  FROM geom),
+rr AS (SELECT doc_id, w, h, ow, oh, unnest(range(h)) AS r FROM tgt),
+px AS (
+  SELECT doc_id, w, h, ow, oh, r, unnest(range(w)) AS c
+  FROM rr),
+pxv AS (
+  SELECT doc_id, ow, oh,
+         (r * oh) // h AS oi, (c * ow) // w AS oj,
+         (doc_id + r + c) % 256 AS v
+  FROM px),
+bins AS (
+  SELECT doc_id, any_value(ow) AS ow, any_value(oh) AS oh, oi, oj,
+         sum(v) // count(*) AS bv
+  FROM pxv GROUP BY doc_id, oi, oj)
+SELECT doc_id,
+       CAST(any_value(ow) AS INTEGER) AS width,
+       CAST(any_value(oh) AS INTEGER) AS height,
+       CAST(count(*) AS BIGINT) AS n_pixels,
+       CAST(sum(bv) AS BIGINT) AS sum_pixels
+FROM bins GROUP BY doc_id
+""",
+        # frame sampling: clip i has 2 + doc_id%7 frames; n_frames=4
+        # keeps all when total<=4 else distinct round-half-up indices
+        # (2*i*(total-1)+3)//6; frame fi is synth_png(doc_id+131*fi)
+        "multimodal_frame_stats": """
+WITH clips AS (SELECT doc_id, 2 + doc_id % 7 AS total FROM documents),
+idx AS (
+  SELECT doc_id, CAST(unnest(range(total)) AS INTEGER) AS frame_idx
+  FROM clips WHERE total <= 4
+  UNION ALL
+  SELECT DISTINCT doc_id, frame_idx FROM (
+    SELECT doc_id,
+           CAST((2 * unnest(range(4)) * (total - 1) + 3) // 6
+                AS INTEGER) AS frame_idx
+    FROM clips WHERE total > 4)),
+f AS (
+  SELECT doc_id, frame_idx,
+         CAST(frame_idx * 1000 // 24 AS BIGINT) AS ts_ms,
+         doc_id + 131 * frame_idx AS fid
+  FROM idx),
+g AS (
+  SELECT doc_id, frame_idx, ts_ms, fid,
+         16 + fid % 32 AS w, 16 + (fid * 7) % 32 AS h
+  FROM f),
+gr AS (
+  SELECT doc_id, frame_idx, ts_ms, fid, w, h, unnest(range(h)) AS r
+  FROM g),
+px AS (
+  SELECT doc_id, frame_idx, ts_ms, w, h,
+         (fid + r + unnest(range(w))) % 256 AS v
+  FROM gr)
+SELECT doc_id, frame_idx, ts_ms,
+       CAST(any_value(w) AS INTEGER) AS width,
+       CAST(any_value(h) AS INTEGER) AS height,
+       CAST(count(*) AS BIGINT) AS n_pixels,
+       CAST(sum(v) AS BIGINT) AS sum_pixels
+FROM px GROUP BY doc_id, frame_idx, ts_ms
 """,
         "emb_label_centroids": """
 WITH e AS (

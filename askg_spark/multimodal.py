@@ -173,6 +173,77 @@ def synth_png(doc_id: int) -> bytes:
             + chunk(b"IEND", b""))
 
 
+_PNG_COLORTYPE = {1: 0, 2: 4, 3: 2, 4: 6}  # channels -> colortype
+
+
+def encode_png(px) -> bytes:
+    """Encode a (h, w, ch) uint8 array as a valid baseline PNG
+    (8-bit, colortype from channel count, filter-0 rows, one zlib
+    IDAT) — the write half of `decode_png_array`, shared by the
+    synthetic corpus and the real resize kernel."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    if ch not in _PNG_COLORTYPE:
+        raise ValueError(f"unsupported channel count {ch}")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data \
+            + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _PNG_COLORTYPE[ch], 0, 0, 0)
+    flat = px.reshape(h, w * ch)
+    scan = b"".join(b"\x00" + flat[r].tobytes() for r in range(h))
+    return (PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scan))
+            + chunk(b"IEND", b""))
+
+
+def resize_target(w: int, h: int, max_side: int) -> tuple[int, int]:
+    """Bounded-box target dims: aspect-preserving shrink so
+    max(ow, oh) <= max_side, never upscaling. Pure INTEGER math
+    ((side * max_side) // longest) so an SQL oracle reproduces the
+    geometry bit-for-bit — no float truncation boundary cases."""
+    mx = max(w, h)
+    if mx <= max_side:
+        return w, h
+    return max(1, (w * max_side) // mx), max(1, (h * max_side) // mx)
+
+
+def box_downsample(px, ow: int, oh: int):
+    """Exact integer area-average (box-filter) downsample of a
+    (h, w, ch) uint8 array to (oh, ow, ch), no PIL: input row r maps
+    to output row (r * oh) // h (same for columns), each output pixel
+    is the INTEGER mean (floor) of its bin — every output value a
+    closed form of the inputs, so stats over resized synthetic images
+    carry an exact SQL oracle. Vectorized as two `np.add.reduceat`
+    passes (rows then columns; integer sums commute) — no per-pixel
+    python."""
+    import numpy as np
+
+    h, w, ch = px.shape
+    if not (0 < ow <= w and 0 < oh <= h):
+        raise ValueError(f"box_downsample only shrinks: {(w, h)} -> "
+                         f"{(ow, oh)}")
+    ri = (np.arange(h, dtype=np.int64) * oh) // h
+    ci = (np.arange(w, dtype=np.int64) * ow) // w
+    rstarts = np.searchsorted(ri, np.arange(oh))
+    cstarts = np.searchsorted(ci, np.arange(ow))
+    acc = np.add.reduceat(px.astype(np.int64), rstarts, axis=0)
+    acc = np.add.reduceat(acc, cstarts, axis=1)
+    rcnt = np.diff(np.append(rstarts, h))
+    ccnt = np.diff(np.append(cstarts, w))
+    cnt = (rcnt[:, None] * ccnt[None, :])[:, :, None]
+    return (acc // cnt).astype(np.uint8)
+
+
 def _decode_real(payload: bytes):
     """Real decoder: the built-in pure-python PNG path for PNG
     payloads; other formats would need codecs this container lacks."""
@@ -259,14 +330,20 @@ RESIZED_SCHEMA = StructType([
 
 
 def _resize_real(payload: bytes, max_side: int):
-    """Real resize — requires an image library not present here."""
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "image resize requires PIL; deterministic fallback keeps the "
-            "plumbing testable") from exc
-    raise NotImplementedError("wire Image.thumbnail((max_side, max_side))")
+    """REAL resize for PNG payloads, no PIL: decode via the built-in
+    codec, exact integer box-filter downsample, re-encode via
+    `encode_png` — a full decode->kernel->encode round trip whose
+    output pixels are a closed form of the input. Non-PNG formats
+    (JPEG/video stills) still need codecs this container lacks and
+    fall through to the deterministic fallback."""
+    if payload.startswith(PNG_SIG):
+        px, w, h = decode_png_array(payload)
+        ow, oh = resize_target(w, h, max_side)
+        out = px if (ow, oh) == (w, h) else box_downsample(px, ow, oh)
+        return ow, oh, encode_png(out)
+    raise NotImplementedError(
+        "non-PNG resize requires PIL/ffmpeg; this environment ships "
+        "none — the deterministic fallback keeps the plumbing testable")
 
 
 def _resize_fallback(payload: bytes, max_side: int):
@@ -287,10 +364,11 @@ def _resize_fallback(payload: bytes, max_side: int):
 
 def resize_media(df: DataFrame, max_side: int = 256) -> DataFrame:
     """(doc_id, payload, media_meta) -> RESIZED_SCHEMA rows: bounded-box
-    downscale keeping aspect ratio (never upscales). Kernel stubbed like
-    `decode_media` (no PIL here); the Spark contract — binary-in /
-    binary-out Arrow batches, quarantine rows for empty payloads, a
-    schema any downstream encoder can consume — is real.
+    downscale keeping aspect ratio (never upscales). PNG payloads run
+    the REAL kernel (decode -> integer box-filter -> re-encode, all
+    numpy); only non-PNG codecs fall back to the deterministic fake
+    (no PIL/ffmpeg in this container). Malformed PNGs quarantine as
+    resize_error rows, same discipline as decode_media.
 
     Scale note: output bytes <= input bytes by construction, so this
     stage only ever shrinks the shuffle footprint; run it BEFORE any
@@ -310,6 +388,11 @@ def resize_media(df: DataFrame, max_side: int = 256) -> DataFrame:
                     w, h, out = _resize_real(bytes(payload), max_side)
                 except NotImplementedError:
                     w, h, out = _resize_fallback(bytes(payload), max_side)
+                except ValueError as exc:
+                    rows.append({"doc_id": doc_id, "width": None,
+                                 "height": None, "payload": None,
+                                 "resize_error": str(exc)})
+                    continue
                 rows.append({"doc_id": doc_id, "width": w, "height": h,
                              "payload": out, "resize_error": None})
             yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA])
@@ -326,22 +409,77 @@ FRAME_SCHEMA = StructType([
     StructField("sample_error", StringType()),
 ])
 
+# Minimal raster-video container for the real frame-sample path:
+# magic + uint32 frame count + per-frame uint32 lengths, then the
+# concatenated frame payloads (each a standalone PNG). Real-world
+# codecs (mp4/h264) need ffmpeg, which this container lacks — the
+# seek+extract kernel below is the real logic either way: parse the
+# index, slice only the sampled frames (never materialize the rest).
+VID_MAGIC = b"ASKGVID1"
+
+
+def encode_video(frames: list[bytes]) -> bytes:
+    import struct
+    head = VID_MAGIC + struct.pack(">I", len(frames)) \
+        + b"".join(struct.pack(">I", len(f)) for f in frames)
+    return head + b"".join(frames)
+
+
+def parse_video_index(payload: bytes):
+    """-> (n_frames, [(offset, length), ...]) without touching frame
+    bytes; raises ValueError on malformed containers (quarantine)."""
+    import struct
+    if not payload.startswith(VID_MAGIC):
+        raise ValueError("not an ASKGVID1 container")
+    try:
+        (n,) = struct.unpack(">I", payload[8:12])
+        lens = struct.unpack(f">{n}I", payload[12:12 + 4 * n])
+    except struct.error as exc:
+        raise ValueError(f"corrupt video index ({exc})") from exc
+    off, spans = 12 + 4 * n, []
+    for ln in lens:
+        spans.append((off, ln))
+        off += ln
+    if off > len(payload):
+        raise ValueError("truncated video payload")
+    return n, spans
+
+
+def sample_indices(total: int, n_frames: int) -> list[int]:
+    """Evenly-spaced sample indices over `total` frames, first and last
+    always included when n_frames >= 2. INTEGER round-half-up
+    ((2*i*(total-1) + (n-1)) // (2*(n-1))) so an SQL oracle reproduces
+    the index set exactly — no float `round` banker's-rounding."""
+    if total <= 0:
+        return []
+    if n_frames >= total:
+        return list(range(total))
+    if n_frames == 1:
+        return [0]
+    d = n_frames - 1
+    return sorted({(2 * i * (total - 1) + d) // (2 * d)
+                   for i in range(n_frames)})
+
 
 def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
     """Uniform temporal frame sampling for video payloads:
     (doc_id, payload, media_meta) -> one FRAME_SCHEMA row per sampled
     frame, indices evenly spaced over the clip (first and last always
-    included when n_frames >= 2).
+    included when n_frames >= 2), ts at a fixed 24 fps.
 
-    The ffmpeg seek+decode kernel is stubbed (none in this container);
-    the fake derives a deterministic per-clip frame count and duration
-    from md5(payload) and emits md5(payload || frame_idx)-keyed frame
-    bytes — stable across executors, so tests can assert the exact
-    emission set. Fan-out is n_frames rows per clip: bound Arrow batch
-    memory with spark.sql.execution.arrow.maxRecordsPerBatch, and size
-    n_frames so frame_bytes x n_frames stays under the per-worker
-    budget (the same working-set rule as decode_media)."""
+    ASKGVID1 containers run the REAL kernel: parse the frame index,
+    slice exactly the sampled frames out of the payload (an index
+    seek — untouched frames are never materialized, the same
+    byte-skipping discipline a real demuxer has). Other payloads
+    (real-world codecs need ffmpeg, absent here) keep the
+    deterministic md5 fake so the plumbing stays testable on any
+    bytes. Fan-out is n_frames rows per clip: bound Arrow batch
+    memory with spark.sql.execution.arrow.maxRecordsPerBatch, and
+    size n_frames so frame_bytes x n_frames stays under the
+    per-worker budget (the same working-set rule as decode_media)."""
     import pandas as pd
+
+    fps = 24
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -353,18 +491,28 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
                                  "ts_ms": None, "frame": None,
                                  "sample_error": "empty_payload"})
                     continue
-                d = hashlib.md5(bytes(payload)).digest()
+                payload = bytes(payload)
+                if payload.startswith(VID_MAGIC):
+                    try:
+                        total, spans = parse_video_index(payload)
+                    except ValueError as exc:
+                        rows.append({"doc_id": doc_id, "frame_idx": None,
+                                     "ts_ms": None, "frame": None,
+                                     "sample_error": str(exc)})
+                        continue
+                    for fi in sample_indices(total, n_frames):
+                        off, ln = spans[fi]
+                        rows.append({"doc_id": doc_id, "frame_idx": fi,
+                                     "ts_ms": fi * 1000 // fps,
+                                     "frame": payload[off:off + ln],
+                                     "sample_error": None})
+                    continue
+                d = hashlib.md5(payload).digest()
                 total = 8 + d[2] % 120          # fake clip frame count
-                fps = 24
-                if n_frames >= total:
-                    idxs = list(range(total))
-                else:
-                    step = (total - 1) / max(1, n_frames - 1)
-                    idxs = sorted({round(i * step) for i in range(n_frames)})
-                for fi in idxs:
-                    fd = hashlib.md5(bytes(payload) + fi.to_bytes(4, "big"))
+                for fi in sample_indices(total, n_frames):
+                    fd = hashlib.md5(payload + fi.to_bytes(4, "big"))
                     rows.append({"doc_id": doc_id, "frame_idx": fi,
-                                 "ts_ms": int(fi * 1000 / fps),
+                                 "ts_ms": fi * 1000 // fps,
                                  "frame": fd.digest(),
                                  "sample_error": None})
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA])
@@ -410,6 +558,36 @@ def synth_png_corpus(docs: DataFrame) -> DataFrame:
     )
 
 
+def synth_video(doc_id: int) -> bytes:
+    """Deterministic synthetic clip: 2 + doc_id % 7 frames, frame i a
+    `synth_png(doc_id + 131*i)` — every sampled frame's geometry and
+    pixel sum stays a closed form of (doc_id, frame_idx) that SQL can
+    recompute. 131 is coprime to the 32/256 moduli in synth_png, so
+    consecutive frames differ in both dims and content."""
+    n = 2 + doc_id % 7
+    return encode_video([synth_png(doc_id + 131 * i) for i in range(n)])
+
+
+def synth_video_corpus(docs: DataFrame) -> DataFrame:
+    """Planted-clip media source, one ASKGVID1 container per doc_id —
+    the video analog of `synth_png_corpus`."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def mk(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_video(int(i)))
+
+    return docs.select(
+        "doc_id", mk("doc_id").alias("payload")
+    ).select(
+        "doc_id", "payload",
+        F.struct(
+            F.lit("video/x-askg-raster").alias("content_type"),
+            F.length("payload").cast("long").alias("n_bytes"),
+        ).alias("media_meta"),
+    )
+
+
 PIXEL_STATS_SCHEMA = StructType([
     StructField("doc_id", LongType()),
     StructField("width", IntegerType()),
@@ -450,3 +628,48 @@ def png_pixel_stats(media: DataFrame) -> DataFrame:
 
     return media.select("doc_id", "payload").mapInPandas(
         run, schema=PIXEL_STATS_SCHEMA)
+
+
+FRAME_STATS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("ts_ms", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_pixels", LongType()),
+    StructField("sum_pixels", LongType()),
+])
+
+
+def frame_pixel_stats(frames: DataFrame) -> DataFrame:
+    """Exact per-sampled-frame pixel stats through the REAL PNG decode:
+    FRAME_SCHEMA rows -> (doc_id, frame_idx, ts_ms, width, height,
+    n_pixels, sum_pixels), integers only. Undecodable frames are
+    dropped (the quarantine split lives on sample_frames)."""
+    import pandas as pd
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+        cols = [f.name for f in FRAME_STATS_SCHEMA]
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for doc_id, fi, ts, frame in zip(
+                    pdf["doc_id"], pdf["frame_idx"], pdf["ts_ms"],
+                    pdf["frame"]):
+                if frame is None or len(frame) == 0:
+                    continue
+                try:
+                    px, w, h = decode_png_array(bytes(frame))
+                except ValueError:
+                    continue
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(fi)
+                out["ts_ms"].append(ts)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(int(px.shape[0] * px.shape[1]))
+                out["sum_pixels"].append(int(px.astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return frames.select("doc_id", "frame_idx", "ts_ms", "frame") \
+        .mapInPandas(run, schema=FRAME_STATS_SCHEMA)

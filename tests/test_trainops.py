@@ -464,6 +464,106 @@ def test_multimodal_frame_sampling(spark):
                    bytes(r["frame"] or b"")) for r in again)
 
 
+def test_box_downsample_matches_naive_reference():
+    """Vectorized reduceat box filter == per-pixel reference loop on
+    random images across channel counts and awkward scale ratios."""
+    import numpy as np
+    rng = np.random.RandomState(7)
+    for ch in (1, 2, 3, 4):
+        for (w, h, ow, oh) in [(16, 16, 16, 16), (17, 23, 5, 7),
+                               (31, 16, 16, 8), (9, 40, 1, 13)]:
+            px = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+            got = multimodal.box_downsample(px, ow, oh)
+            assert got.shape == (oh, ow, ch)
+            ref = np.zeros((oh, ow, ch), dtype=np.int64)
+            cnt = np.zeros((oh, ow, 1), dtype=np.int64)
+            for r in range(h):
+                for c in range(w):
+                    ref[(r * oh) // h, (c * ow) // w] += px[r, c]
+                    cnt[(r * oh) // h, (c * ow) // w] += 1
+            assert (got == (ref // cnt).astype(np.uint8)).all(), \
+                (ch, w, h, ow, oh)
+
+
+def test_encode_png_roundtrip_all_channel_counts():
+    import numpy as np
+    rng = np.random.RandomState(11)
+    for ch in (1, 2, 3, 4):
+        px = rng.randint(0, 256, size=(13, 21, ch), dtype=np.uint8)
+        back, w, h = multimodal.decode_png_array(multimodal.encode_png(px))
+        assert (w, h) == (21, 13) and (back == px).all()
+
+
+def test_resize_media_real_png_path(spark):
+    """resize_media on real PNGs: output payload is a valid PNG whose
+    pixels equal box_downsample of the source, dims from the integer
+    bounded-box rule, never upscaled."""
+    import numpy as np
+    ids = [0, 3, 40, 999]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = {r["doc_id"]: r for r in multimodal.resize_media(
+        multimodal.synth_png_corpus(docs), max_side=16).collect()}
+    for i in ids:
+        src, sw, sh = multimodal.decode_png_array(multimodal.synth_png(i))
+        ow, oh = multimodal.resize_target(sw, sh, 16)
+        row = out[i]
+        assert row["resize_error"] is None
+        assert (row["width"], row["height"]) == (ow, oh)
+        assert max(ow, oh) <= 16
+        px, w, h = multimodal.decode_png_array(bytes(row["payload"]))
+        assert (w, h) == (ow, oh)
+        want = src if (ow, oh) == (sw, sh) else \
+            multimodal.box_downsample(src, ow, oh)
+        assert (px == want).all()
+    assert np.array_equal(
+        multimodal.resize_target(16, 16, 16), (16, 16))  # no upscale
+
+
+def test_sample_indices_integer_rounding():
+    si = multimodal.sample_indices
+    assert si(3, 4) == [0, 1, 2]            # total <= n: all frames
+    assert si(5, 4) == [0, 1, 3, 4]         # round-half-up spacing
+    assert si(8, 4) == [0, 2, 5, 7]
+    assert si(10, 1) == [0]
+    assert si(0, 4) == []
+    for total in range(1, 40):
+        for n in range(1, 8):
+            got = si(total, n)
+            assert got == sorted(set(got))
+            assert got[0] == 0
+            if n >= 2 and total >= 2:
+                assert got[-1] == total - 1  # last always included
+
+
+def test_sample_frames_real_container(spark):
+    """ASKGVID1 clips: sampled rows carry the EXACT frame bytes sliced
+    from the container (index seek), 24fps integer timestamps, and a
+    corrupt index quarantines instead of crashing."""
+    ids = [0, 5, 13]                        # totals 2, 7, 8
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    rows = multimodal.sample_frames(
+        multimodal.synth_video_corpus(docs), n_frames=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i in ids:
+        total = 2 + i % 7
+        want_idx = multimodal.sample_indices(total, 4)
+        got = sorted(by_doc[i], key=lambda r: r["frame_idx"])
+        assert [r["frame_idx"] for r in got] == want_idx
+        for r in got:
+            assert bytes(r["frame"]) == multimodal.synth_png(
+                i + 131 * r["frame_idx"])
+            assert r["ts_ms"] == r["frame_idx"] * 1000 // 24
+    bad = multimodal.VID_MAGIC + b"\x00\x00\x00\x05short"
+    df = spark.createDataFrame(
+        [(99, bytearray(bad), ("video/x-askg-raster", len(bad)))],
+        "doc_id long, payload binary, "
+        "media_meta struct<content_type:string, n_bytes:long>")
+    qrows = multimodal.sample_frames(df).collect()
+    assert len(qrows) == 1 and qrows[0]["sample_error"]
+
+
 def test_line_dedup_c4_semantics(spark):
     import hashlib
 
