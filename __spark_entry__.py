@@ -507,16 +507,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return simsearch.brute_force_topk(emb, q, k=5)
 
     def ann_lsh_topk(spark, sf):
-        # approximate by construction -> rows-only; recall vs the exact
-        # path is asserted in tests and reported by bench.py
+        # HARD oracle (r4): the md5-derived hyperplanes make the whole
+        # banded-LSH + multiprobe + rescore pipeline SQL-expressible,
+        # so the DuckDB oracle re-runs the identical algorithm; recall
+        # vs exact is additionally pinned by ann_recall_report
         emb = _t(spark, sf, "embeddings")
         q = emb.filter(F.col("vec_id") < 8).select(
             F.col("vec_id").alias("query_id"), "embedding")
         return simsearch.lsh_topk(emb, q, k=5)
 
     def ann_ivf_topk(spark, sf):
-        # approximate by construction -> rows-only; recall vs the exact
-        # path asserted in tests and reported by bench.py. nprobe=14/16
+        # HARD oracle (r4): md5-seeded exact-break k-means makes the
+        # trained index SQL-reproducible (5 unrolled Lloyd rounds in
+        # the oracle); recall pinned by ann_recall_report. nprobe=14/16
         # is the measured >=0.95-recall point on THIS corpus: the
         # synthetic embeddings are near-isotropic (top-1 cosine ~0.41,
         # label column uncorrelated with cosine neighborhoods), so any
@@ -527,6 +530,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q = emb.filter(F.col("vec_id") < 8).select(
             F.col("vec_id").alias("query_id"), "embedding")
         return simsearch.ivf_topk(emb, q, k=5, n_cells=16, nprobe=14)
+
+    def ann_recall_report(spark, sf):
+        # in-engine recall certification: per (method, query) count of
+        # exact-top-5 neighbors the approximate path recovered —
+        # integers, hard-oracled by the same SQL mirrors
+        emb = _t(spark, sf, "embeddings")
+        q = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        exact = simsearch.brute_force_topk(emb, q, k=5) \
+            .select("query_id", "neighbor_id")
+
+        def hits(approx, method):
+            return (exact.join(
+                        approx.select("query_id", "neighbor_id",
+                                      F.col("rank").alias("_ar")),
+                        ["query_id", "neighbor_id"], "left")
+                    .groupBy("query_id")
+                    .agg(F.count("_ar").alias("n_hits"))
+                    .select(F.lit(method).alias("method"), "query_id",
+                            "n_hits"))
+
+        return hits(simsearch.lsh_topk(emb, q, k=5), "lsh").unionByName(
+            hits(simsearch.ivf_topk(emb, q, k=5, n_cells=16, nprobe=14),
+                 "ivf"))
 
     def _web_pages(spark, sf):
         # rendered mcpmarket page family, memoized + persisted per sf:
@@ -565,6 +592,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (webgraph.pagerank(edges, iterations=8,
                                   checkpoint_every=2)
                 .orderBy(F.desc("rank"), F.asc("node")).limit(10))
+
+    def web_pagerank_quantized(spark, sf):
+        # HARD-oracle pagerank: same fixed-8-iteration power method,
+        # ranks emitted as floor(rank * 1e9) BIGINTs. The update rule
+        # matches NumPy to ~1e-12 relative (pytest), so nano-
+        # quantization has ~1e3 margin against cross-engine float
+        # summation-order drift; ordering is on the QUANTIZED rank
+        # (+ node tie-break) so both engines rank identically. The
+        # oracle re-runs the identical unrolled iteration in SQL.
+        from askg_spark import webgraph
+        edges = webgraph.page_owner_edges(_web_pages(spark, sf))
+        ranks = webgraph.pagerank(edges, iterations=8,
+                                  checkpoint_every=2)
+        return (ranks.select(
+                    "node",
+                    F.floor(F.col("rank") * F.lit(1e9))
+                     .cast("long").alias("rank_nano"))
+                .orderBy(F.desc("rank_nano"), F.asc("node")).limit(10))
 
     def kg_two_hop(spark, sf):
         # graph traversal: distinct 2-hop neighborhoods over the
@@ -839,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_embedding_pairs": dedup_embedding_pairs,
         "ann_topk": ann_topk,
+        "ann_recall_report": ann_recall_report,
         "web_owner_indegree": web_owner_indegree,
         "kg_triples_diff": kg_triples_diff,
         # rows-only by design (approximate/iterative) — last of the
@@ -846,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "web_pagerank_topk": web_pagerank_topk,
+        "web_pagerank_quantized": web_pagerank_quantized,
         # ---- past-50 tail: r2-green stable, prior rows stand ----
         "kg_id_stats": kg_id_stats,
         "kg_repo_domains": kg_repo_domains,
@@ -930,6 +977,212 @@ _TOKS_SAFE = (f"CASE WHEN text IS NULL OR length(trim(text)) = 0 "
 
 
 def oracle_sql() -> dict[str, str]:
+    # Unrolled 8-iteration power-method PageRank over the mcpmarket
+    # page->owner link graph — the GENERIC operator re-expressed in
+    # SQL (edges/outdeg/inflow/dangling-mass per webgraph.pagerank),
+    # not a corpus closed form; only the edge list derivation knows
+    # the corpus. Ranks compare as floor(rank*1e9) BIGINTs.
+    pr_iters = []
+    for k in range(1, 9):
+        p = f"r{k - 1}"
+        # AS MATERIALIZED: DuckDB inlines plain CTEs, and each rank
+        # frame is referenced twice by the next round — inlined, the
+        # plan doubles per iteration (2^8 copies of the whole chain,
+        # which hangs); materialized, each round is evaluated once —
+        # the same reason the Spark loop localCheckpoints
+        pr_iters.append(f"""
+i{k} AS MATERIALIZED (
+  SELECT f.dst AS node, sum(r.rank * f.w) AS inflow
+  FROM fan f JOIN {p} r ON f.src = r.node GROUP BY f.dst),
+l{k} AS MATERIALIZED (
+  SELECT coalesce(sum(inflow), 0.0) AS m FROM i{k}),
+r{k} AS MATERIALIZED (
+  SELECT v.node,
+         0.15 / (SELECT n FROM nn)
+         + 0.85 * (coalesce(i.inflow, 0.0)
+                   + (1.0 - (SELECT m FROM l{k}))
+                     / (SELECT n FROM nn)) AS rank
+  FROM verts v LEFT JOIN i{k} i ON v.node = i.node)""")
+    pagerank_sql = f"""
+WITH pages AS (
+  SELECT 'https://mcpmarket.com/servers/'
+           || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) || '-'
+           || CAST(doc_id AS VARCHAR) AS src,
+         'github.com/' || source AS dst
+  FROM documents),
+edges AS (SELECT DISTINCT src, dst FROM pages),
+verts AS (SELECT src AS node FROM edges
+          UNION SELECT dst FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+outdeg AS (SELECT src, count(*) AS c FROM edges GROUP BY src),
+fan AS (SELECT e.src, e.dst, 1.0 / o.c AS w
+        FROM edges e JOIN outdeg o ON e.src = o.src),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM verts),
+{",".join(pr_iters)}
+SELECT node, CAST(floor(rank * 1e9) AS BIGINT) AS rank_nano
+FROM r8 ORDER BY rank_nano DESC, node ASC LIMIT 10
+"""
+    # --- ANN SQL mirrors -------------------------------------------
+    # The LSH hyperplanes are a pure md5 closed form
+    # (simsearch._hyperplanes: uint64(md5("42:p:d")[:8]) / 2^63 - 1),
+    # so the WHOLE approximate algorithm — signatures, 2-bit banding,
+    # query-side multiprobe, candidate equi-join, exact rescore — is
+    # SQL-expressible; sign bits are float-threshold decisions, safe
+    # unless a dot product lands within summation-order noise (~1e-16)
+    # of 0. k-means likewise: md5-ordered seeds, 5 unrolled Lloyd
+    # iterations (argmax ties -> lowest cell, numpy semantics),
+    # empty-cell fallback. Every iteration CTE is MATERIALIZED (each
+    # is referenced by the next round twice; inlined the plan doubles
+    # per round).
+    _ann_prefix = """
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+vx AS (
+  SELECT vec_id, generate_subscripts(v, 1) - 1 AS d, unnest(v) AS x
+  FROM e)"""
+    _lsh_core = """
+planes AS MATERIALIZED (
+  SELECT p.p, d.d,
+         CAST(CAST('0x' || substr(md5('42:' || CAST(p.p AS VARCHAR)
+                || ':' || CAST(d.d AS VARCHAR)), 1, 16) AS UBIGINT)
+              AS DOUBLE) / 9223372036854775808.0 - 1.0 AS w
+  FROM (SELECT unnest(range(24)) AS p) p,
+       (SELECT unnest(range(64)) AS d) d),
+bits AS MATERIALIZED (
+  SELECT vec_id, p,
+         CASE WHEN sum(x * w) >= 0 THEN 1 ELSE 0 END AS b
+  FROM vx JOIN planes ON vx.d = planes.d
+  GROUP BY vec_id, p),
+bands AS MATERIALIZED (
+  SELECT vec_id, p // 2 AS bi, sum(b * (1 + (p % 2))) AS bv
+  FROM bits GROUP BY vec_id, p // 2),
+corpus_bands AS (
+  SELECT vec_id AS neighbor_id,
+         CAST(bi AS VARCHAR) || ':' || CAST(bv AS VARCHAR) AS band
+  FROM bands),
+query_bands AS (
+  SELECT DISTINCT vec_id AS query_id,
+         CAST(bi AS VARCHAR) || ':' || CAST(xor(bv, f.f) AS VARCHAR)
+           AS band
+  FROM bands, (VALUES (0), (1), (2)) f(f)
+  WHERE vec_id < 8),
+lsh_cands AS (
+  SELECT DISTINCT q.query_id, c.neighbor_id
+  FROM query_bands q JOIN corpus_bands c ON q.band = c.band
+  WHERE c.neighbor_id <> q.query_id),
+lsh_ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM (SELECT ca.query_id, ca.neighbor_id,
+               list_cosine_similarity(qe.v, ne.v) AS cosine
+        FROM lsh_cands ca
+        JOIN e qe ON qe.vec_id = ca.query_id
+        JOIN e ne ON ne.vec_id = ca.neighbor_id)),
+lsh_topk AS (SELECT query_id, neighbor_id, rank
+             FROM lsh_ranked WHERE rank <= 5)"""
+    ann_lsh_sql = "WITH " + _ann_prefix + "," + _lsh_core + """
+SELECT query_id, neighbor_id, rank FROM lsh_topk
+"""
+    # IVF: vn = unit-normalized corpus (long format); c0 = 16
+    # md5-ordered seeds; 5 Lloyd rounds of
+    # assign(argmax cos, ties->lowest cell) + renormalized mean with
+    # empty-cell/zero-norm fallback to the previous centroid.
+    ivf_rounds = []
+    for t in range(1, 6):
+        p = f"c{t - 1}"
+        ivf_rounds.append(f"""
+a{t} AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT vn.vec_id, c.cell,
+           row_number() OVER (PARTITION BY vn.vec_id
+                              ORDER BY sum(vn.x * c.w) DESC,
+                                       c.cell ASC) AS rn
+    FROM vn JOIN {p} c ON vn.d = c.d
+    GROUP BY vn.vec_id, c.cell) WHERE rn = 1),
+s{t} AS MATERIALIZED (
+  SELECT a.cell, vn.d, sum(vn.x) AS sx
+  FROM a{t} a JOIN vn ON vn.vec_id = a.vec_id
+  GROUP BY a.cell, vn.d),
+n{t} AS MATERIALIZED (
+  SELECT cell, sqrt(sum(sx * sx)) AS nrm FROM s{t} GROUP BY cell),
+c{t} AS MATERIALIZED (
+  SELECT prev.cell, prev.d,
+         CASE WHEN n.nrm IS NOT NULL AND n.nrm > 0
+              THEN s.sx / n.nrm ELSE prev.w END AS w
+  FROM {p} prev
+  LEFT JOIN s{t} s ON s.cell = prev.cell AND s.d = prev.d
+  LEFT JOIN n{t} n ON n.cell = prev.cell)""")
+    _ivf_core = """
+vnorm AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM vx
+          GROUP BY vec_id),
+vn AS MATERIALIZED (
+  SELECT vx.vec_id, vx.d, vx.x / vnorm.nrm AS x
+  FROM vx JOIN vnorm ON vx.vec_id = vnorm.vec_id),
+seeds AS (
+  SELECT vec_id,
+         row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+c0 AS MATERIALIZED (
+  SELECT s.cell, vn.d, vn.x AS w
+  FROM seeds s JOIN vn ON vn.vec_id = s.vec_id),""" + \
+        ",".join(ivf_rounds) + """,
+corpus_cells AS MATERIALIZED (
+  SELECT vec_id AS neighbor_id, cell FROM a5),
+query_cells AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vn.vec_id, c.cell,
+           row_number() OVER (PARTITION BY vn.vec_id
+                              ORDER BY sum(vn.x * c.w) DESC,
+                                       c.cell ASC) AS rn
+    FROM vn JOIN c5 c ON vn.d = c.d
+    WHERE vn.vec_id < 8
+    GROUP BY vn.vec_id, c.cell) WHERE rn <= 14),
+ivf_cands AS (
+  SELECT DISTINCT q.query_id, c.neighbor_id
+  FROM query_cells q JOIN corpus_cells c ON q.cell = c.cell
+  WHERE c.neighbor_id <> q.query_id),
+ivf_ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM (SELECT ca.query_id, ca.neighbor_id,
+               list_cosine_similarity(qe.v, ne.v) AS cosine
+        FROM ivf_cands ca
+        JOIN e qe ON qe.vec_id = ca.query_id
+        JOIN e ne ON ne.vec_id = ca.neighbor_id)),
+ivf_topk AS (SELECT query_id, neighbor_id, rank
+             FROM ivf_ranked WHERE rank <= 5)"""
+    ann_ivf_sql = "WITH " + _ann_prefix + "," + _ivf_core + """
+SELECT query_id, neighbor_id, rank FROM ivf_topk
+"""
+    # recall report: count, per query and method, how many of the
+    # exact top-5 the approximate path recovered — integers only
+    _exact_core = """
+exact_topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.v, e.v) DESC,
+                      e.vec_id) AS rank
+    FROM e q JOIN e ON e.vec_id <> q.vec_id
+    WHERE q.vec_id < 8) WHERE rank <= 5)"""
+    ann_recall_sql = ("WITH " + _ann_prefix + "," + _lsh_core + ","
+                      + _ivf_core + "," + _exact_core + """
+SELECT * FROM (
+  SELECT 'lsh' AS method, ex.query_id,
+         CAST(count(l.neighbor_id) AS BIGINT) AS n_hits
+  FROM exact_topk ex LEFT JOIN lsh_topk l
+    ON ex.query_id = l.query_id AND ex.neighbor_id = l.neighbor_id
+  GROUP BY ex.query_id
+  UNION ALL
+  SELECT 'ivf' AS method, ex.query_id,
+         CAST(count(i.neighbor_id) AS BIGINT) AS n_hits
+  FROM exact_topk ex LEFT JOIN ivf_topk i
+    ON ex.query_id = i.query_id AND ex.neighbor_id = i.neighbor_id
+  GROUP BY ex.query_id)
+""")
     ngram_ctes = f"""t AS (SELECT doc_id, {_TOKS_SAFE} AS toks FROM documents),
 g AS (SELECT doc_id,
              CASE WHEN len(toks) >= 3 THEN list_distinct(
@@ -1863,6 +2116,7 @@ FROM s JOIN n ON s.label = n.label
         # doc_id%5==0 pages repeat card 1's name, so they contribute 1
         # distinct target instead of 2 — pure closed forms of
         # (doc_id, source), no HTML parsing needed oracle-side
+        "web_pagerank_quantized": pagerank_sql,
         "web_owner_indegree": """
 SELECT 'github.com/' || source AS owner,
        CAST(2 * count(*) AS BIGINT) AS n_links,
@@ -2040,6 +2294,9 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.4
 """,
+        "ann_lsh_topk": ann_lsh_sql,
+        "ann_ivf_topk": ann_ivf_sql,
+        "ann_recall_report": ann_recall_sql,
         "ann_topk": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS vq FROM e WHERE vec_id < 8),

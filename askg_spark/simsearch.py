@@ -114,7 +114,9 @@ def kmeans_centroids(emb: DataFrame, n_cells: int = 16, n_iter: int = 5,
     n_cells x dim) trained distributed:
 
       init      the `n_cells` corpus vectors with the smallest
-                xxhash64(id) — deterministic, seed-free, one TakeOrdered
+                md5(id-as-string) — deterministic, seed-free, one
+                TakeOrdered; md5 (not xxhash64) so a SQL oracle can
+                reproduce the seed choice engine-independently
       iterate   broadcast centroids -> one mapInPandas pass emits
                 per-Arrow-batch PARTIAL sums (cell, n, sum-vector);
                 partials (~ n_cells x n_batches rows, tiny at any corpus
@@ -132,7 +134,7 @@ def kmeans_centroids(emb: DataFrame, n_cells: int = 16, n_iter: int = 5,
                                    LongType, StructField, StructType)
 
     seeds = (emb.select(id_col, "embedding")
-             .orderBy(F.xxhash64(id_col), F.col(id_col))
+             .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
              .limit(n_cells).collect())
     cent = np.array([list(r["embedding"]) for r in seeds], dtype=np.float64)
     cent /= np.linalg.norm(cent, axis=1, keepdims=True)
@@ -176,7 +178,10 @@ def kmeans_centroids(emb: DataFrame, n_cells: int = 16, n_iter: int = 5,
                 if nrm > 0:
                     nxt[ci] = vsum / nrm
         bc.unpersist()
-        if np.allclose(nxt, cent):
+        # exact-equality stop (not allclose): breaking only at a true
+        # fixed point means running fewer-or-more iterations is a
+        # no-op, so a fixed-unroll SQL oracle reproduces the result
+        if np.array_equal(nxt, cent):
             break
         cent = nxt
     return cent
