@@ -97,13 +97,11 @@ class _AqeOff:
     (the round-1 CC pathology). Restores the prior setting on exit,
     exception or not.
 
-    SESSION-GLOBAL side effect: `spark.conf` is per-session, so any
-    query running CONCURRENTLY on the same SparkSession while the
-    loop holds this context executes with AQE disabled too. The
-    engine's own drivers are single-query-at-a-time; callers that
-    interleave queries across threads should run pagerank()/cc loops
-    on a dedicated session (`spark.newSession()` shares the
-    SparkContext but isolates the conf)."""
+    Conf is per-SESSION: apply this to a dedicated child session
+    (`spark.newSession()` — shared SparkContext and cache, isolated
+    conf) when other queries may run concurrently. pagerank() does
+    exactly that: its loop body runs on a child session, so the
+    override can never leak into a caller's concurrent queries."""
 
     def __init__(self, spark):
         self._spark = spark
@@ -161,7 +159,11 @@ def pagerank(edges: DataFrame, iterations: int = 10,
     with it on, every exchange materializes as its own driver job, so
     a checkpoint of k rounds costs ~4k scheduling rounds on tiny
     frames instead of one job (measured 43s -> ~5s for the sf0.001
-    driver graph). The only collect is the initial vertex count."""
+    driver graph). The AQE-off + width overrides apply to a CHILD
+    session (same SparkContext, cache and executors; isolated conf)
+    bridged via global temp views, so a caller's concurrent queries
+    on the parent session never see them. The only collect is the
+    initial vertex count."""
     # edges is referenced 3x (verts union, outdeg, fan) — persist, or
     # an expensive upstream (page render + regex extract) re-executes
     # per reference (measured 39s -> 12s for the sf0.001 driver query)
@@ -193,11 +195,42 @@ def pagerank(edges: DataFrame, iterations: int = 10,
     cur_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     width = max(1, min(cur_width, -(-m // 100_000)))
 
-    ranks = verts.select("node", F.lit(1.0 / n).alias("rank"))
+    # loop body runs on a child session: same SparkContext, executors
+    # and (shared-SharedState) cache, but ISOLATED conf — the AQE-off
+    # and shuffle-width overrides below cannot affect queries a caller
+    # runs concurrently on the parent session. The persisted fan/verts
+    # frames cross the session boundary as global temp views; the
+    # child's scans resolve to the same analyzed plans, so the shared
+    # CacheManager serves them from the parent's persisted data.
+    import uuid
+
+    child = spark.newSession()
+    tag = f"askg_pr_{uuid.uuid4().hex}"
+    fan.createOrReplaceGlobalTempView(f"{tag}_fan")
+    verts.createOrReplaceGlobalTempView(f"{tag}_verts")
+    fan_c = child.table(f"global_temp.{tag}_fan")
+    verts_c = child.table(f"global_temp.{tag}_verts")
+
+    ranks = verts_c.select("node", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
+    try:
+        ranks = _pagerank_loop(
+            child, fan_c, verts_c, ranks, iterations, damping, base, n,
+            width, checkpoint_every)
+    finally:
+        spark.catalog.dropGlobalTempView(f"{tag}_fan")
+        spark.catalog.dropGlobalTempView(f"{tag}_verts")
+    # the final ranks frame is an eager checkpoint — self-contained —
+    # so the loop-invariant caches can be dropped before returning
+    for df in (fan, verts, edges):
+        df.unpersist()
+    return ranks
+
+
+def _pagerank_loop(spark, fan, verts, ranks, iterations, damping, base,
+                   n, width, checkpoint_every):
     prev = None
-    with _AqeOff(edges.sparkSession), \
-            _ShufflePartitions(spark, width):
+    with _AqeOff(spark), _ShufflePartitions(spark, width):
         for it in range(iterations):
             inflow = (
                 fan.join(ranks, fan["src"] == ranks["node"])
@@ -229,8 +262,4 @@ def pagerank(edges: DataFrame, iterations: int = 10,
                 if prev is not None:
                     prev.unpersist()
                 prev = ranks
-    # the final ranks frame is an eager checkpoint — self-contained —
-    # so the loop-invariant caches can be dropped before returning
-    for df in (fan, verts, edges):
-        df.unpersist()
     return ranks

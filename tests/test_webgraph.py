@@ -99,3 +99,44 @@ def test_pagerank_matches_numpy_reference(spark, iters):
 def test_pagerank_empty_graph(spark):
     df = spark.createDataFrame([], "src string, dst string")
     assert webgraph.pagerank(df, iterations=2).count() == 0
+
+
+def test_conf_contexts_isolated_to_child_session(spark):
+    """The AQE-off / shuffle-width context managers applied to a child
+    session must leave the parent session's conf untouched WHILE held
+    (the leak the advisory flagged), and restore the child on exit."""
+    parent_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    parent_w = spark.conf.get("spark.sql.shuffle.partitions")
+    child = spark.newSession()
+    with webgraph._AqeOff(child), webgraph._ShufflePartitions(child, 1):
+        assert spark.conf.get("spark.sql.adaptive.enabled",
+                              "true") == parent_aqe
+        assert spark.conf.get("spark.sql.shuffle.partitions") == parent_w
+        assert child.conf.get("spark.sql.adaptive.enabled") == "false"
+        assert child.conf.get("spark.sql.shuffle.partitions") == "1"
+    assert child.conf.get("spark.sql.adaptive.enabled") == parent_aqe
+    assert child.conf.get("spark.sql.shuffle.partitions") == parent_w
+
+
+def test_pagerank_runs_on_child_session_and_cleans_views(spark):
+    """pagerank's loop frames live on a child session (isolated conf);
+    the parent's conf is unchanged afterwards and the bridging global
+    temp views are dropped."""
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")],
+        "src string, dst string")
+    before = (spark.conf.get("spark.sql.adaptive.enabled", "true"),
+              spark.conf.get("spark.sql.shuffle.partitions"))
+    ranks = webgraph.pagerank(df, iterations=3)
+    assert ranks.sparkSession is not spark
+    got = {r["node"]: r["rank"] for r in ranks.collect()}
+    want = _numpy_pagerank([("a", "b"), ("b", "c"), ("c", "a"),
+                            ("a", "c")], 3, 0.85)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    after = (spark.conf.get("spark.sql.adaptive.enabled", "true"),
+             spark.conf.get("spark.sql.shuffle.partitions"))
+    assert after == before
+    leftover = [t.name for t in spark.catalog.listTables("global_temp")
+                if t.name.startswith("askg_pr_")]
+    assert leftover == []
