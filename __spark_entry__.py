@@ -53,10 +53,22 @@ def _kg_run(spark: SparkSession, sf_dir: str):
         # kg_relations_capped and mentions feed registry_completeness;
         # without the persists each consumer re-executes the whole
         # extract->link->cc->canonicalize chain (measured 73.9s for
-        # kg_similar_servers at sf0.1, ~50s of it recompute)
-        res.triples = res.triples.persist(StorageLevel.MEMORY_AND_DISK)
-        res.entities = res.entities.persist(StorageLevel.MEMORY_AND_DISK)
-        res.mentions = res.mentions.persist(StorageLevel.MEMORY_AND_DISK)
+        # kg_similar_servers at sf0.1, ~50s of it recompute).
+        # coalesce to the core count first: the raw union plan leaves
+        # 384 partitions, and every downstream scan of the cache then
+        # schedules 384 near-empty tasks — pure scheduler latency
+        # (measured: anchors-distinct over cached triples 3.2 s at
+        # 384 parts vs 1.8 s at 32, × three scans in kg_two_hop
+        # alone). coalesce merges map-side (no shuffle) and 32 tasks
+        # still saturate local[32]; at cluster scale the same rule is
+        # "cache width ~ total cores", not "whatever the plan left".
+        width = spark.sparkContext.defaultParallelism
+        res.triples = res.triples.coalesce(width) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        res.entities = res.entities.coalesce(width) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        res.mentions = res.mentions.coalesce(width) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
         _KG_CACHE[key] = res
     return _KG_CACHE[key]
 
@@ -619,12 +631,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # frontier (degree-capped by the relations top-M policy) are
         # broadcast-sized, so the big edge frame is NEVER shuffled:
         # both hops are BroadcastHashJoins over the raw filtered
-        # edges, and the only exchanges are distincts on the bounded
-        # frontier/result frames plus the narrow anchor-subject
-        # distinct (map-side partial agg collapses it to ~one row per
-        # distinct subject per partition). The former plan — pair-
-        # distinct the full edge set, then two sort-merge self-joins —
-        # shuffled the 1.5M-row frame three times for the same answer.
+        # edges. The only full exchanges are the narrow anchor-subject
+        # distinct and ONE final two-phase countDistinct((a, dst)) —
+        # the intermediate frontier/result distincts of the r3 plan
+        # are gone: a duplicated mid (a pair under both predicates)
+        # only multiplies hop rows, never the distinct-dst count, and
+        # countDistinct's map-side partial dedups them before the
+        # shuffle. The original plan — pair-distinct the full edge
+        # set, then two sort-merge self-joins — shuffled the 1.5M-row
+        # frame three times for the same answer.
         tr = _kg_run(spark, sf).triples
         rel_raw = (tr.where(F.col("pred").isin(
             "same_author", "similar_functionality"))
@@ -633,14 +648,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    .distinct().orderBy("a").limit(5))
         hop1 = (rel_raw
                 .join(F.broadcast(anchors), F.col("subj") == F.col("a"))
-                .select("a", F.col("obj").alias("mid")).distinct())
+                .select("a", F.col("obj").alias("mid")))
         hop2 = (rel_raw
                 .join(F.broadcast(hop1), F.col("subj") == F.col("mid"))
                 .select("a", F.col("obj").alias("dst"))
-                .where(F.col("dst") != F.col("a"))
-                .distinct())
+                .where(F.col("dst") != F.col("a")))
         return (hop2.groupBy("a")
-                .agg(F.count(F.lit(1)).alias("n_two_hop"))
+                .agg(F.countDistinct("dst").alias("n_two_hop"))
                 .orderBy("a"))
 
     def kg_degree_topk(spark, sf):
