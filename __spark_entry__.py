@@ -835,79 +835,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.countDistinct("source").alias("n_sources"),
                      F.count(F.lit(1)).alias("n_docs")))
 
-    # Entry ORDER is part of the driver contract: the r2 driver
-    # verified exactly the first 50 dict entries, so the dict leads
-    # with (a) queries that have never received a driver CORRECTNESS
-    # row (the r2 positions 51-65: the timeseries family, events/TPC
-    # basics, part_name_normalized, docs_per_lang), (b) queries whose
-    # code or output contract changed this round
-    # (emb_label_centroids exploded shape, kg_similar_servers author
-    # cap, kg_two_hop, multimodal, the new r3 queries), then (c)
-    # re-verification of r2-green queries. The tail past position 50
-    # holds only r2-green stable queries whose prior row stands.
+    # Entry ORDER is part of the driver contract: the driver verifies
+    # exactly the first 50 dict entries each round. Round-4 rotation
+    # (VERDICT r3 next-round #1): the dict leads with (a) queries
+    # whose code or output changed this round (the hierarchy-gated
+    # triples family, capped kg_similar_servers, single-agg
+    # kg_two_hop, md5-seeded IVF) plus the new r4 oracle-bearing
+    # queries (quantized pagerank, LSH/IVF hard oracles, recall
+    # report, multimodal resize/frame), then (b) the 17 queries whose
+    # only driver rows predate the r3 binary (r2 positions 51-67),
+    # then (c) one-per-family re-verification of r3 greens. The tail
+    # past position 50 holds only r3-green stable queries whose
+    # current-round row stands, plus the one remaining rows-only
+    # query (web_pagerank_topk, superseded by _quantized).
     return {
+        # (a) changed or new in r4
         "kg_triples": kg_triples,
-        # (a) never driver-checked before r3
-        "events_asof_join": events_asof_join,
-        "events_sessions": events_sessions,
-        "events_funnel": events_funnel,
-        "events_type_pivot": events_type_pivot,
-        "events_rolling_weekly": events_rolling_weekly,
-        "events_cohort_retention": events_cohort_retention,
-        "events_latest_per_user": events_latest_per_user,
-        "events_counts_by_type": events_counts_by_type,
-        "events_hourly_counts": events_hourly_counts,
-        "events_json_extract": events_json_extract,
-        "top_customers_by_revenue": top_customers_by_revenue,
-        "lineitem_pricing_summary": lineitem_pricing_summary,
-        "nation_lineitem_volume": nation_lineitem_volume,
-        "part_name_normalized": part_name_normalized,
-        "docs_per_lang": docs_per_lang,
-        # (b) changed / new in r3
-        "emb_label_centroids": emb_label_centroids,
-        "kg_similar_servers": kg_similar_servers,
+        "kg_triples_diff": kg_triples_diff,
         "kg_two_hop": kg_two_hop,
+        "kg_similar_servers": kg_similar_servers,
+        "kg_degree_topk": kg_degree_topk,
+        "kg_category_counts": kg_category_counts,
         "kg_category_hierarchy": kg_category_hierarchy,
-        "kg_clean_cypher": kg_clean_cypher,
+        "kg_canonical_groups": kg_canonical_groups,
+        "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        "ann_recall_report": ann_recall_report,
+        "ann_topk": ann_topk,
+        "web_pagerank_quantized": web_pagerank_quantized,
         "multimodal_decode_stats": multimodal_decode_stats,
         "multimodal_resize_stats": multimodal_resize_stats,
         "multimodal_frame_stats": multimodal_frame_stats,
-        # (c) r2-green re-verification, cheapest-risk-first
-        "kg_category_counts": kg_category_counts,
-        "kg_search": kg_search,
-        "kg_semantic_search": kg_semantic_search,
-        "registry_completeness": registry_completeness,
-        "kg_canonical_groups": kg_canonical_groups,
-        "kg_degree_topk": kg_degree_topk,
-        "doc_token_stats": doc_token_stats,
-        "doc_lang_id": doc_lang_id,
-        "doc_quality_report": doc_quality_report,
-        "doc_repetition_stats": doc_repetition_stats,
-        "doc_pii_scan": doc_pii_scan,
-        "doc_line_dedup": doc_line_dedup,
-        "corpus_token_vocab": corpus_token_vocab,
-        "doc_normalize_text": doc_normalize_text,
-        "doc_oov_rate": doc_oov_rate,
-        "doc_pack_assignments": doc_pack_assignments,
-        "doc_length_quantiles": doc_length_quantiles,
-        "doc_sample_mixture": doc_sample_mixture,
-        "doc_contamination": doc_contamination,
-        "dedup_exact_groups": dedup_exact_groups,
-        "dedup_ngram_pairs": dedup_ngram_pairs,
-        "dedup_minhash_pairs": dedup_minhash_pairs,
-        "dedup_simhash_pairs": dedup_simhash_pairs,
-        "dedup_embedding_pairs": dedup_embedding_pairs,
-        "ann_topk": ann_topk,
-        "ann_recall_report": ann_recall_report,
-        "web_owner_indegree": web_owner_indegree,
-        "kg_triples_diff": kg_triples_diff,
-        # rows-only by design (approximate/iterative) — last of the
-        # checked block so new oracle-bearing queries displace these
-        "ann_lsh_topk": ann_lsh_topk,
-        "ann_ivf_topk": ann_ivf_topk,
-        "web_pagerank_topk": web_pagerank_topk,
-        "web_pagerank_quantized": web_pagerank_quantized,
-        # ---- past-50 tail: r2-green stable, prior rows stand ----
+        # (b) r2-binary-only rows — re-verify under the r4 binary
         "kg_id_stats": kg_id_stats,
         "kg_repo_domains": kg_repo_domains,
         "kg_dedup_report": kg_dedup_report,
@@ -923,6 +882,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": doc_fingerprints,
         "doc_category_counts": doc_category_counts,
         "dedup_near_clusters": dedup_near_clusters,
+        # (c) r3-green re-verification, one per family
+        "kg_search": kg_search,
+        "kg_semantic_search": kg_semantic_search,
+        "kg_clean_cypher": kg_clean_cypher,
+        "registry_completeness": registry_completeness,
+        "emb_label_centroids": emb_label_centroids,
+        "docs_per_lang": docs_per_lang,
+        "part_name_normalized": part_name_normalized,
+        "doc_token_stats": doc_token_stats,
+        "doc_lang_id": doc_lang_id,
+        "corpus_token_vocab": corpus_token_vocab,
+        "dedup_exact_groups": dedup_exact_groups,
+        "dedup_minhash_pairs": dedup_minhash_pairs,
+        "web_owner_indegree": web_owner_indegree,
+        "events_asof_join": events_asof_join,
+        "events_latest_per_user": events_latest_per_user,
+        "events_sessions": events_sessions,
+        "top_customers_by_revenue": top_customers_by_revenue,
+        "lineitem_pricing_summary": lineitem_pricing_summary,
+        # ---- past-50 tail: r3-green stable, current rows stand ----
+        "events_funnel": events_funnel,
+        "events_type_pivot": events_type_pivot,
+        "events_rolling_weekly": events_rolling_weekly,
+        "events_cohort_retention": events_cohort_retention,
+        "events_counts_by_type": events_counts_by_type,
+        "events_hourly_counts": events_hourly_counts,
+        "events_json_extract": events_json_extract,
+        "nation_lineitem_volume": nation_lineitem_volume,
+        "doc_quality_report": doc_quality_report,
+        "doc_repetition_stats": doc_repetition_stats,
+        "doc_pii_scan": doc_pii_scan,
+        "doc_line_dedup": doc_line_dedup,
+        "doc_normalize_text": doc_normalize_text,
+        "doc_oov_rate": doc_oov_rate,
+        "doc_pack_assignments": doc_pack_assignments,
+        "doc_length_quantiles": doc_length_quantiles,
+        "doc_sample_mixture": doc_sample_mixture,
+        "doc_contamination": doc_contamination,
+        "dedup_ngram_pairs": dedup_ngram_pairs,
+        "dedup_simhash_pairs": dedup_simhash_pairs,
+        "dedup_embedding_pairs": dedup_embedding_pairs,
+        # rows-only by design; superseded by web_pagerank_quantized
+        "web_pagerank_topk": web_pagerank_topk,
     }
 
 
