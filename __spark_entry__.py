@@ -512,21 +512,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_embedding_pairs(spark, sf):
         return dedup.embedding_dup_pairs(_t(spark, sf, "embeddings"))
 
+    def _ann_frames(spark, sf):
+        # the three ANN result frames (exact / LSH / IVF, 40 rows
+        # each) are consumed by four queries — memoized + persisted so
+        # the index build and rescore run once per sf, not per query
+        key = (id(spark), sf, "ann")
+        if key not in _KG_CACHE:
+            emb = _t(spark, sf, "embeddings")
+            q = emb.filter(F.col("vec_id") < 8).select(
+                F.col("vec_id").alias("query_id"), "embedding")
+            _KG_CACHE[key] = {
+                "exact": simsearch.brute_force_topk(emb, q, k=5)
+                .persist(),
+                "lsh": simsearch.lsh_topk(emb, q, k=5).persist(),
+                "ivf": simsearch.ivf_topk(emb, q, k=5, n_cells=16,
+                                          nprobe=14).persist(),
+            }
+        return _KG_CACHE[key]
+
     def ann_topk(spark, sf):
-        emb = _t(spark, sf, "embeddings")
-        q = emb.filter(F.col("vec_id") < 8).select(
-            F.col("vec_id").alias("query_id"), "embedding")
-        return simsearch.brute_force_topk(emb, q, k=5)
+        return _ann_frames(spark, sf)["exact"]
 
     def ann_lsh_topk(spark, sf):
         # HARD oracle (r4): the md5-derived hyperplanes make the whole
         # banded-LSH + multiprobe + rescore pipeline SQL-expressible,
         # so the DuckDB oracle re-runs the identical algorithm; recall
         # vs exact is additionally pinned by ann_recall_report
-        emb = _t(spark, sf, "embeddings")
-        q = emb.filter(F.col("vec_id") < 8).select(
-            F.col("vec_id").alias("query_id"), "embedding")
-        return simsearch.lsh_topk(emb, q, k=5)
+        return _ann_frames(spark, sf)["lsh"]
 
     def ann_ivf_topk(spark, sf):
         # HARD oracle (r4): md5-seeded exact-break k-means makes the
@@ -538,20 +550,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cell-pruning index must probe most cells; clustered real-world
         # embedding corpora sit at small nprobe/n_cells (see
         # simsearch.ivf_topk docstring).
-        emb = _t(spark, sf, "embeddings")
-        q = emb.filter(F.col("vec_id") < 8).select(
-            F.col("vec_id").alias("query_id"), "embedding")
-        return simsearch.ivf_topk(emb, q, k=5, n_cells=16, nprobe=14)
+        return _ann_frames(spark, sf)["ivf"]
 
     def ann_recall_report(spark, sf):
         # in-engine recall certification: per (method, query) count of
         # exact-top-5 neighbors the approximate path recovered —
-        # integers, hard-oracled by the same SQL mirrors
-        emb = _t(spark, sf, "embeddings")
-        q = emb.filter(F.col("vec_id") < 8).select(
-            F.col("vec_id").alias("query_id"), "embedding")
-        exact = simsearch.brute_force_topk(emb, q, k=5) \
-            .select("query_id", "neighbor_id")
+        # integers, hard-oracled by the same SQL mirrors; reads the
+        # shared persisted ANN frames (no recompute)
+        frames = _ann_frames(spark, sf)
+        exact = frames["exact"].select("query_id", "neighbor_id")
 
         def hits(approx, method):
             return (exact.join(
@@ -563,9 +570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     .select(F.lit(method).alias("method"), "query_id",
                             "n_hits"))
 
-        return hits(simsearch.lsh_topk(emb, q, k=5), "lsh").unionByName(
-            hits(simsearch.ivf_topk(emb, q, k=5, n_cells=16, nprobe=14),
-                 "ivf"))
+        return hits(frames["lsh"], "lsh").unionByName(
+            hits(frames["ivf"], "ivf"))
 
     def _web_pages(spark, sf):
         # rendered mcpmarket page family, memoized + persisted per sf:
@@ -588,21 +594,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from askg_spark import webgraph
         return webgraph.owner_indegree(_web_pages(spark, sf))
 
+    def _web_ranks(spark, sf):
+        # the 8-iteration rank frame is an eager localCheckpoint —
+        # self-contained and tiny (one row per node) — memoized so the
+        # topk and quantized queries share one loop run per sf
+        key = (id(spark), sf, "pagerank")
+        if key not in _KG_CACHE:
+            from askg_spark import webgraph
+            edges = webgraph.page_owner_edges(_web_pages(spark, sf))
+            # checkpoint_every=2: at this graph size the cost is
+            # Catalyst analyzing the 2^k-subtree logical plan, not
+            # materialization (measured 24.2s @ ck=4 vs 11.9s @ ck=2
+            # for 8 iterations at sf0.1); a 10^9-node graph inverts
+            # the trade — there ranks materialization dominates and
+            # ck rises to 4-8
+            _KG_CACHE[key] = webgraph.pagerank(edges, iterations=8,
+                                               checkpoint_every=2)
+        return _KG_CACHE[key]
+
     def web_pagerank_topk(spark, sf):
         # fixed-iteration distributed PageRank over the page->owner
         # link graph: iterative algorithm -> rows-only (float ranks
         # from distributed sums are not bit-stable across engines);
         # the update rule is verified against a NumPy power-iteration
         # reference to 1e-12 in tests/test_webgraph.py
-        from askg_spark import webgraph
-        edges = webgraph.page_owner_edges(_web_pages(spark, sf))
-        # checkpoint_every=2: at this graph size the cost is Catalyst
-        # analyzing the 2^k-subtree logical plan, not materialization
-        # (measured 24.2s @ ck=4 vs 11.9s @ ck=2 for 8 iterations at
-        # sf0.1); a 10^9-node graph inverts the trade — there ranks
-        # materialization dominates and ck rises to 4-8
-        return (webgraph.pagerank(edges, iterations=8,
-                                  checkpoint_every=2)
+        return (_web_ranks(spark, sf)
                 .orderBy(F.desc("rank"), F.asc("node")).limit(10))
 
     def web_pagerank_quantized(spark, sf):
@@ -613,11 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # summation-order drift; ordering is on the QUANTIZED rank
         # (+ node tie-break) so both engines rank identically. The
         # oracle re-runs the identical unrolled iteration in SQL.
-        from askg_spark import webgraph
-        edges = webgraph.page_owner_edges(_web_pages(spark, sf))
-        ranks = webgraph.pagerank(edges, iterations=8,
-                                  checkpoint_every=2)
-        return (ranks.select(
+        return (_web_ranks(spark, sf).select(
                     "node",
                     F.floor(F.col("rank") * F.lit(1e9))
                      .cast("long").alias("rank_nano"))

@@ -86,10 +86,13 @@ def main() -> int:
     run("kg_triples_diff")
     run("kg_degree_topk", lambda df: len(df.collect()))
     run("kg_two_hop", lambda df: len(df.collect()))
+    run("ann_recall_report", lambda df: len(df.collect()))
     run("kg_semantic_search")
     run("kg_category_hierarchy")
     run("kg_clean_cypher")
     run("multimodal_decode_stats")
+    run("multimodal_resize_stats")
+    run("multimodal_frame_stats")
     run("registry_completeness")
     run("doc_token_stats")
     run("doc_lang_id")
@@ -107,6 +110,7 @@ def main() -> int:
     run("emb_label_centroids")
     run("web_owner_indegree")
     run("web_pagerank_topk", lambda df: len(df.collect()))
+    run("web_pagerank_quantized", lambda df: len(df.collect()))
     run("events_latest_per_user")
     run("events_asof_join")
     run("events_sessions")
