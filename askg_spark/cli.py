@@ -34,6 +34,10 @@ def main(argv: list[str] | None = None) -> int:
                        help="relation skew cap (top-M entities per hot "
                             "key); 0 = uncapped all-pairs; default = "
                             "PipelineConfig default (1000)")
+        p.add_argument("--include-hierarchy", action="store_true",
+                       help="append the static HAS_SUBCATEGORY ontology "
+                            "edges to the triple set (default off — "
+                            "reference parity)")
     args = ap.parse_args(argv)
 
     from askg_spark.fixtures import count_pages, generate_pages
@@ -51,6 +55,7 @@ def main(argv: list[str] | None = None) -> int:
         cfg = PipelineConfig()  # config default cap
     else:
         cfg = PipelineConfig(max_entities_per_key=args.max_per_key or None)
+    cfg.include_hierarchy = args.include_hierarchy
 
     # input-corpus metadata, not pipeline work: count before the timer
     # (for synthetic corpora via profile arithmetic — counting the

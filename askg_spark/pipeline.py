@@ -55,6 +55,11 @@ class PipelineConfig:
     # either way because the cap only binds past M entities per key).
     max_entities_per_key: int | None = 1000
     cc_max_iter: int = 25
+    # append the static HAS_SUBCATEGORY ontology edges to the triple
+    # set (default OFF — reference parity: its predefined categories
+    # set no parent ids, so its default build emits none; see
+    # triples.build_triples)
+    include_hierarchy: bool = False
 
 
 @dataclass
@@ -172,7 +177,8 @@ def run_pipeline(
 
     rel_edges = timer.time("relations", lambda: infer_relationship_edges(
         entities, cfg.max_entities_per_key))
-    triples = timer.time("triples", lambda: build_triples(entities, rel_edges))
+    triples = timer.time("triples", lambda: build_triples(
+        entities, rel_edges, include_hierarchy=cfg.include_hierarchy))
     return PipelineResult(
         mentions=enriched, rejects=rejects, entities=entities,
         rel_edges=rel_edges, triples=triples, timer=timer)

@@ -90,6 +90,25 @@ def test_triples_unique_on_spo(result):
     assert n == d
 
 
+def test_include_hierarchy_optin(spark, result):
+    """Default build emits zero HAS_SUBCATEGORY edges (reference
+    parity); PipelineConfig(include_hierarchy=True) appends exactly
+    the 3 static ontology edges."""
+    _, triples, _ = result
+    assert not any(p == "HAS_SUBCATEGORY" for _, p, _ in triples)
+    pages = generate_pages(spark, n_servers=6, seed=SEED)
+    res = run_pipeline(spark, pages,
+                       PipelineConfig(include_hierarchy=True))
+    got = {(r["subj"], r["pred"], r["obj"])
+           for r in res.triples.filter("pred = 'HAS_SUBCATEGORY'")
+           .collect()}
+    assert got == {
+        ("api_integration", "HAS_SUBCATEGORY", "authentication"),
+        ("cloud_services", "HAS_SUBCATEGORY", "monitoring"),
+        ("file_system", "HAS_SUBCATEGORY", "search"),
+    }
+
+
 def test_count_pages_matches_rendered_count(spark):
     """count_pages (profile arithmetic, no HTML render) must equal the
     rendered frame's count — it feeds the bench throughput
