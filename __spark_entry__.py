@@ -734,6 +734,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return multimodal.frame_pixel_stats(
             multimodal.sample_frames(media, n_frames=4))
 
+    def multimodal_bmp_stats(spark, sf):
+        # REAL second image codec end-to-end: per-doc synthetic 24-bit
+        # BMPs (padded scanlines, bottom-up BGR) through the
+        # signature-dispatched decoder; sum_pixels covers all three
+        # channels and the oracle recomputes every cell
+        media = multimodal.synth_bmp_corpus(
+            _t(spark, sf, "documents").select("doc_id"))
+        return multimodal.image_pixel_stats(media)
+
+    def multimodal_audio_stats(spark, sf):
+        # REAL audio decode end-to-end: per-doc synthetic 16-bit PCM
+        # WAVs (RIFF chunk walk) through the pure-python decoder;
+        # every stat (rate, count, floor-ms duration, |sample| sum and
+        # peak) is a closed form of doc_id the SQL oracle recomputes
+        media = multimodal.synth_wav_corpus(
+            _t(spark, sf, "documents").select("doc_id"))
+        return multimodal.wav_sample_stats(media)
+
     def events_latest_per_user(spark, sf):
         from pyspark.sql import Window
         w = Window.partitionBy("user_id").orderBy(
@@ -878,6 +896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_stats": multimodal_decode_stats,
         "multimodal_resize_stats": multimodal_resize_stats,
         "multimodal_frame_stats": multimodal_frame_stats,
+        "multimodal_bmp_stats": multimodal_bmp_stats,
+        "multimodal_audio_stats": multimodal_audio_stats,
         # (b) r2-binary-only rows — re-verify under the r4 binary
         "kg_id_stats": kg_id_stats,
         "kg_repo_domains": kg_repo_domains,
@@ -2123,6 +2143,53 @@ SELECT doc_id, frame_idx, ts_ms,
        CAST(count(*) AS BIGINT) AS n_pixels,
        CAST(sum(v) AS BIGINT) AS sum_pixels
 FROM px GROUP BY doc_id, frame_idx, ts_ms
+""",
+        # real-BMP decode stats: the synthetic corpus is 24-bit RGB
+        # w = 12 + doc_id%24, h = 12 + (doc_id*5)%24, channels
+        # R=(d+r+c)%256 G=(d+2r+c)%256 B=(d+r+2c)%256; sum_pixels
+        # covers all channels — checks the BMP decoder (padding,
+        # bottom-up order, BGR swap) bit-for-bit per image
+        "multimodal_bmp_stats": """
+WITH d AS (
+  SELECT doc_id,
+         12 + doc_id % 24 AS w,
+         12 + (doc_id * 5) % 24 AS h
+  FROM documents),
+r AS (SELECT doc_id, w, h, unnest(range(h)) AS rr FROM d),
+cells AS (SELECT doc_id, w, h, rr, unnest(range(w)) AS cc FROM r)
+SELECT doc_id,
+       CAST(any_value(w) AS INTEGER) AS width,
+       CAST(any_value(h) AS INTEGER) AS height,
+       CAST(count(*) AS BIGINT) AS n_pixels,
+       CAST(sum((doc_id + rr + cc) % 256
+                + (doc_id + 2 * rr + cc) % 256
+                + (doc_id + rr + 2 * cc) % 256) AS BIGINT) AS sum_pixels
+FROM cells GROUP BY doc_id
+""",
+        # real-WAV decode stats: mono 16-bit PCM,
+        # rate = 8000*(1+doc_id%3), n = 256 + (doc_id*11)%512,
+        # sample(i) = ((doc_id*7 + i*13) % 4096) - 2048; the oracle
+        # regenerates every sample and checks rate/count/floor-ms
+        # duration/|s| sum and peak against the RIFF decoder
+        "multimodal_audio_stats": """
+WITH d AS (
+  SELECT doc_id,
+         8000 * (1 + doc_id % 3) AS rate,
+         256 + (doc_id * 11) % 512 AS n
+  FROM documents),
+s AS (
+  SELECT doc_id, rate, n,
+         abs(((doc_id * 7 + unnest(range(n)) * 13) % 4096) - 2048) AS a
+  FROM d)
+SELECT doc_id,
+       CAST(any_value(rate) AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(any_value(n) AS BIGINT) AS n_samples,
+       CAST(any_value(n) * 1000 // any_value(rate) AS BIGINT)
+         AS duration_ms,
+       CAST(sum(a) AS BIGINT) AS sum_abs,
+       CAST(max(a) AS BIGINT) AS peak_abs
+FROM s GROUP BY doc_id
 """,
         "emb_label_centroids": """
 WITH e AS (

@@ -244,13 +244,111 @@ def box_downsample(px, ow: int, oh: int):
     return (acc // cnt).astype(np.uint8)
 
 
-def _decode_real(payload: bytes):
-    """Real decoder: the built-in pure-python PNG path for PNG
-    payloads; other formats would need codecs this container lacks."""
+BMP_SIG = b"BM"
+
+
+def decode_bmp_array(payload: bytes):
+    """Pure-python/numpy BMP decode (no PIL):
+    -> (pixels uint8 ndarray of shape (h, w, 3) in RGB order, w, h).
+
+    Supports the dominant uncompressed raster: BITMAPINFOHEADER
+    (40-byte), 24-bit BI_RGB, bottom-up (positive height) or top-down
+    (negative height) rows with 4-byte scanline padding. Anything else
+    (palette/16/32-bit, RLE, V4/V5 headers with compression) raises
+    ValueError — same quarantine contract as `decode_png_array`."""
+    import struct
+
     import numpy as np
 
+    if not payload.startswith(BMP_SIG):
+        raise ValueError("not a BMP (bad signature)")
+    try:
+        (data_off,) = struct.unpack("<I", payload[10:14])
+        (hdr_size, w, h_raw) = struct.unpack("<Iii", payload[14:26])
+        planes, bpp = struct.unpack("<HH", payload[26:30])
+        (compression,) = struct.unpack("<I", payload[30:34])
+    except struct.error as exc:
+        raise ValueError(f"truncated BMP header ({exc})") from exc
+    if hdr_size < 40 or planes != 1:
+        raise ValueError(f"unsupported BMP (hdr_size={hdr_size})")
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP (bpp={bpp} compression={compression}); "
+            "24-bit BI_RGB only")
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    if w <= 0 or h <= 0:
+        raise ValueError(f"corrupt BMP (dims {w}x{h_raw})")
+    stride = ((w * 3 + 3) // 4) * 4
+    body = payload[data_off:data_off + stride * h]
+    if len(body) != stride * h:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(body, dtype=np.uint8).reshape(h, stride)
+    px = rows[:, :w * 3].reshape(h, w, 3)
+    if not top_down:
+        px = px[::-1]
+    return px[:, :, ::-1].copy(), w, h  # BGR file order -> RGB
+
+
+def synth_bmp(doc_id: int) -> bytes:
+    """Deterministic synthetic BMP for the planted-payload oracle:
+    24-bit BI_RGB bottom-up, w = 12 + doc_id % 24,
+    h = 12 + (doc_id * 5) % 24, channels R = (doc_id + r + c) % 256,
+    G = (doc_id + 2r + c) % 256, B = (doc_id + r + 2c) % 256 — every
+    downstream stat a closed form of doc_id that SQL recomputes."""
+    import numpy as np
+
+    w, h = 12 + doc_id % 24, 12 + (doc_id * 5) % 24
+    r = np.arange(h, dtype=np.int64)[:, None]
+    c = np.arange(w, dtype=np.int64)[None, :]
+    px = np.stack([(doc_id + r + c) % 256,
+                   (doc_id + 2 * r + c) % 256,
+                   (doc_id + r + 2 * c) % 256],
+                  axis=2).astype(np.uint8)
+    return encode_bmp(px)
+
+
+def encode_bmp(px) -> bytes:
+    """Encode a (h, w, 3) uint8 RGB array as a 24-bit BI_RGB
+    bottom-up BMP — the write half of `decode_bmp_array`."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    h, w, ch = px.shape
+    if ch != 3:
+        raise ValueError(f"encode_bmp needs RGB, got {ch} channels")
+    stride = ((w * 3 + 3) // 4) * 4
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, :w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = body.tobytes()
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                       2835, 2835, 0, 0)
+    head = struct.pack("<2sIHHI", BMP_SIG, 14 + 40 + len(data), 0, 0,
+                       14 + 40)
+    return head + info + data
+
+
+def decode_image_array(payload: bytes):
+    """Signature-dispatched raster decode: PNG or BMP ->
+    (pixels uint8 (h, w, ch), w, h). Unknown signatures raise
+    ValueError (quarantine) — the single entry point stats surfaces
+    use so new codecs plug in here once."""
     if payload.startswith(PNG_SIG):
-        px, w, h = decode_png_array(payload)
+        return decode_png_array(payload)
+    if payload.startswith(BMP_SIG):
+        return decode_bmp_array(payload)
+    raise ValueError("unknown image signature")
+
+
+def _decode_real(payload: bytes):
+    """Real decoder: the built-in pure-python PNG/BMP paths; other
+    formats would need codecs this container lacks."""
+    import numpy as np
+
+    if payload.startswith(PNG_SIG) or payload.startswith(BMP_SIG):
+        px, w, h = decode_image_array(payload)
         flat = px.astype(np.float64)
         features = [
             float(flat.mean() / 255.0),
@@ -336,14 +434,16 @@ def _resize_real(payload: bytes, max_side: int):
     output pixels are a closed form of the input. Non-PNG formats
     (JPEG/video stills) still need codecs this container lacks and
     fall through to the deterministic fallback."""
-    if payload.startswith(PNG_SIG):
-        px, w, h = decode_png_array(payload)
+    if payload.startswith(PNG_SIG) or payload.startswith(BMP_SIG):
+        px, w, h = decode_image_array(payload)
         ow, oh = resize_target(w, h, max_side)
         out = px if (ow, oh) == (w, h) else box_downsample(px, ow, oh)
-        return ow, oh, encode_png(out)
+        enc = encode_bmp if payload.startswith(BMP_SIG) else encode_png
+        return ow, oh, enc(out)
     raise NotImplementedError(
-        "non-PNG resize requires PIL/ffmpeg; this environment ships "
-        "none — the deterministic fallback keeps the plumbing testable")
+        "non-PNG/BMP resize requires PIL/ffmpeg; this environment "
+        "ships none — the deterministic fallback keeps the plumbing "
+        "testable")
 
 
 def _resize_fallback(payload: bytes, max_side: int):
@@ -598,11 +698,13 @@ PIXEL_STATS_SCHEMA = StructType([
 
 
 def png_pixel_stats(media: DataFrame) -> DataFrame:
-    """Exact per-image pixel stats through the REAL decode path:
+    """Exact per-image pixel stats through the REAL decode path
+    (PNG or BMP, dispatched by signature):
     (doc_id, payload, ...) -> (doc_id, width, height, n_pixels,
     sum_pixels) — every column a scalar integer, so the result is
-    sort/hash-canonicalizable and, over `synth_png_corpus`, a pure
-    closed form of doc_id an SQL oracle recomputes cell-by-cell.
+    sort/hash-canonicalizable and, over `synth_png_corpus` /
+    `synth_bmp_corpus`, a pure closed form of doc_id an SQL oracle
+    recomputes cell-by-cell. `sum_pixels` sums ALL channels.
     Undecodable payloads are dropped (quarantine split belongs to
     decode_media; this is the measurement surface)."""
     import pandas as pd
@@ -616,7 +718,7 @@ def png_pixel_stats(media: DataFrame) -> DataFrame:
                 if payload is None or len(payload) == 0:
                     continue
                 try:
-                    px, w, h = decode_png_array(bytes(payload))
+                    px, w, h = decode_image_array(bytes(payload))
                 except ValueError:
                     continue
                 out["doc_id"].append(doc_id)
@@ -673,3 +775,187 @@ def frame_pixel_stats(frames: DataFrame) -> DataFrame:
 
     return frames.select("doc_id", "frame_idx", "ts_ms", "frame") \
         .mapInPandas(run, schema=FRAME_STATS_SCHEMA)
+
+
+# png_pixel_stats dispatches on signature (PNG or BMP); the generic
+# name is the forward-facing one.
+image_pixel_stats = png_pixel_stats
+
+
+def synth_bmp_corpus(docs: DataFrame) -> DataFrame:
+    """Planted-payload media source: one bit-valid 24-bit BMP per
+    doc_id (see `synth_bmp` for the closed-form raster) — exercises
+    the second real image codec end-to-end."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def mk(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_bmp(int(i)))
+
+    return docs.select(
+        "doc_id", mk("doc_id").alias("payload")
+    ).select(
+        "doc_id", "payload",
+        F.struct(
+            F.lit("image/bmp").alias("content_type"),
+            F.length("payload").cast("long").alias("n_bytes"),
+        ).alias("media_meta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio: real WAV/PCM decode (RIFF container, stdlib struct + numpy).
+# ---------------------------------------------------------------------------
+
+WAV_SIG = b"RIFF"
+
+
+def decode_wav(payload: bytes):
+    """Pure-python/numpy WAV decode (no audio libs):
+    -> (samples int32 ndarray of shape (n, channels), sample_rate,
+    bits_per_sample).
+
+    Supports the canonical uncompressed forms: RIFF/WAVE container,
+    `fmt ` chunk with PCM (format tag 1), 8-bit unsigned or 16-bit
+    signed little-endian samples, any channel count. 8-bit samples are
+    re-centered to signed (-128..127) so downstream stats are
+    format-independent. Anything else (float/ADPCM/mu-law, truncated
+    chunks) raises ValueError — same quarantine contract as the image
+    decoders."""
+    import struct
+
+    import numpy as np
+
+    if not (payload.startswith(WAV_SIG) and payload[8:12] == b"WAVE"):
+        raise ValueError("not a WAV (bad RIFF/WAVE signature)")
+    try:
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(payload):
+            ctype = payload[pos:pos + 4]
+            (length,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+            body = payload[pos + 8:pos + 8 + length]
+            pos += 8 + length + (length & 1)  # chunks are word-aligned
+            if ctype == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", body[:16])
+            elif ctype == b"data":
+                data = body
+        if fmt is None or data is None:
+            raise ValueError("truncated WAV (missing fmt/data chunk)")
+    except struct.error as exc:
+        raise ValueError(f"corrupt WAV ({exc})") from exc
+    audio_format, channels, rate, _brate, _balign, bits = fmt
+    if audio_format != 1 or bits not in (8, 16) or channels < 1:
+        raise ValueError(
+            f"unsupported WAV (format={audio_format} bits={bits} "
+            f"channels={channels}); PCM 8/16-bit only")
+    if bits == 16:
+        n = len(data) // (2 * channels)
+        raw = np.frombuffer(data[:n * 2 * channels], dtype="<i2")
+    else:
+        n = len(data) // channels
+        raw = np.frombuffer(data[:n * channels],
+                            dtype=np.uint8).astype(np.int16) - 128
+    if n == 0:
+        raise ValueError("empty WAV data chunk")
+    return raw.astype(np.int32).reshape(n, channels), rate, bits
+
+
+def encode_wav(samples, sample_rate: int) -> bytes:
+    """Encode an (n, channels) int array as 16-bit PCM WAV — the
+    write half of `decode_wav`, used by the synthetic corpus."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    data = s.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate,
+                      sample_rate * ch * 2, ch * 2, 16)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def synth_wav(doc_id: int) -> bytes:
+    """Deterministic synthetic clip for the planted-payload oracle:
+    16-bit PCM mono, sample_rate = 8000 * (1 + doc_id % 3),
+    n = 256 + (doc_id * 11) % 512,
+    sample(i) = ((doc_id * 7 + i * 13) % 4096) - 2048 — every audio
+    stat downstream is a closed form of doc_id SQL can recompute."""
+    import numpy as np
+
+    rate = 8000 * (1 + doc_id % 3)
+    n = 256 + (doc_id * 11) % 512
+    i = np.arange(n, dtype=np.int64)
+    return encode_wav(((doc_id * 7 + i * 13) % 4096) - 2048, rate)
+
+
+def synth_wav_corpus(docs: DataFrame) -> DataFrame:
+    """Planted-clip audio source, one PCM WAV per doc_id — the audio
+    analog of `synth_png_corpus`."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def mk(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_wav(int(i)))
+
+    return docs.select(
+        "doc_id", mk("doc_id").alias("payload")
+    ).select(
+        "doc_id", "payload",
+        F.struct(
+            F.lit("audio/wav").alias("content_type"),
+            F.length("payload").cast("long").alias("n_bytes"),
+        ).alias("media_meta"),
+    )
+
+
+AUDIO_STATS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("n_channels", IntegerType()),
+    StructField("n_samples", LongType()),
+    StructField("duration_ms", LongType()),
+    StructField("sum_abs", LongType()),
+    StructField("peak_abs", LongType()),
+])
+
+
+def wav_sample_stats(media: DataFrame) -> DataFrame:
+    """Exact per-clip sample stats through the REAL WAV decode:
+    (doc_id, payload, ...) -> (doc_id, sample_rate, n_channels,
+    n_samples, duration_ms, sum_abs, peak_abs) — integers only
+    (duration_ms floors, sum/peak over |sample| across all channels),
+    so the result is hash-canonicalizable and, over
+    `synth_wav_corpus`, a closed form of doc_id. Undecodable payloads
+    are dropped (quarantine belongs to a decode_media-style split;
+    this is the measurement surface)."""
+    import pandas as pd
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+        cols = [f.name for f in AUDIO_STATS_SCHEMA]
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    continue
+                try:
+                    s, rate, _bits = decode_wav(bytes(payload))
+                except ValueError:
+                    continue
+                a = np.abs(s.astype(np.int64))
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(int(s.shape[1]))
+                out["n_samples"].append(int(s.shape[0]))
+                out["duration_ms"].append(int(s.shape[0]) * 1000 // rate)
+                out["sum_abs"].append(int(a.sum()))
+                out["peak_abs"].append(int(a.max()))
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, schema=AUDIO_STATS_SCHEMA)

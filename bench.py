@@ -93,6 +93,8 @@ def main() -> int:
     run("multimodal_decode_stats")
     run("multimodal_resize_stats")
     run("multimodal_frame_stats")
+    run("multimodal_bmp_stats")
+    run("multimodal_audio_stats")
     run("registry_completeness")
     run("doc_token_stats")
     run("doc_lang_id")

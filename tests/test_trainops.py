@@ -910,3 +910,131 @@ def test_png_roundtrip_property_random_filters():
         got, gw, gh = multimodal.decode_png_array(encode(px, ct, filters))
         assert (gw, gh) == (w, h)
         assert (got == px).all(), (trial, ct, filters)
+
+
+def test_bmp_roundtrip_and_closed_form():
+    """encode_bmp/decode_bmp_array round-trip arbitrary rasters
+    (incl. widths whose scanlines need 4-byte padding), and the
+    synthetic corpus raster matches its closed form."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        h, w = int(rng.integers(1, 15)), int(rng.integers(1, 15))
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        got, gw, gh = multimodal.decode_bmp_array(multimodal.encode_bmp(px))
+        assert (gw, gh) == (w, h) and (got == px).all()
+    for d in (0, 5, 77, 1234):
+        px, w, h = multimodal.decode_bmp_array(multimodal.synth_bmp(d))
+        assert (w, h) == (12 + d % 24, 12 + (d * 5) % 24)
+        r = np.arange(h)[:, None]
+        c = np.arange(w)[None, :]
+        assert (px[:, :, 0] == (d + r + c) % 256).all()
+        assert (px[:, :, 1] == (d + 2 * r + c) % 256).all()
+        assert (px[:, :, 2] == (d + r + 2 * c) % 256).all()
+
+
+def test_bmp_decode_quarantines_malformed():
+    import pytest as _pytest
+
+    for bad in (b"BMxx", b"NOTABMP",
+                multimodal.synth_bmp(3)[:30],          # truncated header
+                multimodal.synth_bmp(3)[:80]):         # truncated pixels
+        with _pytest.raises(ValueError):
+            multimodal.decode_bmp_array(bad)
+    # 32-bit / compressed headers quarantine, not crash
+    import struct
+    good = bytearray(multimodal.synth_bmp(3))
+    good[28:30] = struct.pack("<H", 32)
+    with _pytest.raises(ValueError):
+        multimodal.decode_bmp_array(bytes(good))
+
+
+def test_image_stats_dispatch_png_and_bmp(spark):
+    """image_pixel_stats handles a mixed PNG+BMP corpus through the
+    signature dispatcher; sums cover all channels."""
+    png, bmp = multimodal.synth_png(9), multimodal.synth_bmp(9)
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(bmp))],
+        "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in
+           multimodal.image_pixel_stats(df).collect()}
+    d = 9
+    w, h = 16 + d % 32, 16 + (d * 7) % 32
+    assert out[1]["n_pixels"] == w * h
+    bw, bh = 12 + d % 24, 12 + (d * 5) % 24
+    want = sum(((d + r + c) % 256) + ((d + 2 * r + c) % 256)
+               + ((d + r + 2 * c) % 256)
+               for r in range(bh) for c in range(bw))
+    assert out[2]["width"] == bw and out[2]["height"] == bh
+    assert out[2]["sum_pixels"] == want
+
+
+def test_resize_media_real_bmp_path(spark):
+    """BMP payloads run the REAL resize kernel and re-encode as BMP
+    (format-preserving), pixels matching box_downsample exactly."""
+    import numpy as np
+
+    d = 40  # 28x24 source, > max_side
+    bmp = multimodal.synth_bmp(d)
+    df = spark.createDataFrame(
+        [(d, bytearray(bmp), ("image/bmp", len(bmp)))],
+        "doc_id long, payload binary, "
+        "media_meta struct<content_type:string, n_bytes:long>")
+    row = multimodal.resize_media(df, max_side=10).collect()[0]
+    src, w, h = multimodal.decode_bmp_array(bmp)
+    ow, oh = multimodal.resize_target(w, h, 10)
+    assert (row["width"], row["height"]) == (ow, oh)
+    got, gw, gh = multimodal.decode_bmp_array(bytes(row["payload"]))
+    assert (got == multimodal.box_downsample(src, ow, oh)).all()
+
+
+def test_wav_roundtrip_mono_stereo_and_8bit():
+    """encode_wav/decode_wav round-trip; 8-bit unsigned payloads
+    decode re-centered; non-PCM formats quarantine."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    rng = np.random.default_rng(11)
+    for ch in (1, 2, 4):
+        s = rng.integers(-32768, 32767, size=(50, ch), dtype=np.int64)
+        got, rate, bits = multimodal.decode_wav(
+            multimodal.encode_wav(s, 44100))
+        assert rate == 44100 and bits == 16 and (got == s).all()
+    # hand-built 8-bit unsigned mono: values 0..255 -> -128..127
+    data = bytes(range(256))
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    wav8 = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    got, rate, bits = multimodal.decode_wav(wav8)
+    assert bits == 8 and got[0, 0] == -128 and got[255, 0] == 127
+    # float PCM (format 3) quarantines
+    fmt3 = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    body3 = (b"fmt " + struct.pack("<I", len(fmt3)) + fmt3
+             + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    with _pytest.raises(ValueError):
+        multimodal.decode_wav(
+            b"RIFF" + struct.pack("<I", 4 + len(body3)) + b"WAVE" + body3)
+    with _pytest.raises(ValueError):
+        multimodal.decode_wav(b"RIFX1234WAVE")
+
+
+def test_wav_sample_stats_closed_form(spark):
+    docs = spark.createDataFrame([(i,) for i in (0, 2, 51, 400)],
+                                 "doc_id long")
+    media = multimodal.synth_wav_corpus(docs)
+    out = {r["doc_id"]: r for r in
+           multimodal.wav_sample_stats(media).collect()}
+    for d in (0, 2, 51, 400):
+        rate = 8000 * (1 + d % 3)
+        n = 256 + (d * 11) % 512
+        vals = [((d * 7 + i * 13) % 4096) - 2048 for i in range(n)]
+        r = out[d]
+        assert r["sample_rate"] == rate and r["n_channels"] == 1
+        assert r["n_samples"] == n
+        assert r["duration_ms"] == n * 1000 // rate
+        assert r["sum_abs"] == sum(abs(v) for v in vals)
+        assert r["peak_abs"] == max(abs(v) for v in vals)
