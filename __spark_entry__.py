@@ -752,6 +752,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents").select("doc_id"))
         return multimodal.wav_sample_stats(media)
 
+    def doc_dsir_scores(spark, sf):
+        # DSIR-style data selection: importance of each doc under a
+        # target distribution (here: the English slice) vs the raw
+        # corpus, over unigram+bigram features with multiplicity;
+        # integer-exact scaled count-ratio weights (see
+        # textops.dsir_weights for the documented log->ratio
+        # deviation), so the oracle recomputes every weight and sum
+        docs = _t(spark, sf, "documents")
+        return textops.dsir_scores(docs, docs.filter(F.col("lang") == "en"))
+
     def events_latest_per_user(spark, sf):
         from pyspark.sql import Window
         w = Window.partitionBy("user_id").orderBy(
@@ -898,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_stats": multimodal_frame_stats,
         "multimodal_bmp_stats": multimodal_bmp_stats,
         "multimodal_audio_stats": multimodal_audio_stats,
+        "doc_dsir_scores": doc_dsir_scores,
         # (b) r2-binary-only rows — re-verify under the r4 binary
         "kg_id_stats": kg_id_stats,
         "kg_repo_domains": kg_repo_domains,
@@ -2190,6 +2201,39 @@ SELECT doc_id,
        CAST(sum(a) AS BIGINT) AS sum_abs,
        CAST(max(a) AS BIGINT) AS peak_abs
 FROM s GROUP BY doc_id
+""",
+        # DSIR importance scores: unigram+bigram bag features, weight
+        # = add-1-smoothed scaled count ratio target/raw as an exact
+        # floor quotient (the documented integer deviation from the
+        # paper's log-ratio), per-doc multiplicity-weighted sum
+        "doc_dsir_scores": """
+WITH t AS (
+  SELECT doc_id, lang,
+         CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+  FROM documents),
+f AS (
+  SELECT doc_id, lang, unnest(list_concat(
+           toks,
+           CASE WHEN len(toks) >= 2 THEN
+             [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+           ELSE [] END)) AS feat
+  FROM t),
+cr AS (SELECT feat, count(*) AS c_raw FROM f GROUP BY feat),
+ct AS (SELECT feat, count(*) AS c_target FROM f
+       WHERE lang = 'en' GROUP BY feat),
+w AS (
+  SELECT cr.feat,
+         ((coalesce(c_target, 0) + 1) * 1000000) // (c_raw + 1)
+           AS w_scaled
+  FROM cr LEFT JOIN ct ON cr.feat = ct.feat),
+s AS (
+  SELECT doc_id, count(*) AS n_feats, sum(w_scaled) AS score_scaled
+  FROM f JOIN w USING (feat) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+       CAST(coalesce(s.score_scaled, 0) AS BIGINT) AS score_scaled
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
 """,
         "emb_label_centroids": """
 WITH e AS (

@@ -676,3 +676,100 @@ def normalize_text(df: DataFrame, text_col: str = "text",
     return df.select(id_col, text_col).mapInPandas(
         run, f"{id_col} long, n_chars_before long, n_chars_after long, "
              "norm_md5 string")
+
+
+def _dsir_features(df: DataFrame, text_col: str,
+                   id_col: str) -> DataFrame:
+    """Per-doc hashed-n-gram feature stream for DSIR scoring: unigrams
+    + bigrams WITH multiplicity (the paper's bag-of-ngrams model) ->
+    (id_col, feat). One projection, no UDF."""
+    toks = tokens(F.col(text_col))
+    t = df.select(F.col(id_col), toks.alias("_toks"))
+    feats = F.concat(
+        F.col("_toks"),
+        ngrams_from_tokens(F.col("_toks"), n=2, distinct=False))
+    return (t.select(F.col(id_col), F.explode(feats).alias("feat")))
+
+
+def dsir_weights(raw: DataFrame, target: DataFrame,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 scale: int = 1_000_000,
+                 n_buckets: int | None = None) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): estimate a raw
+    and a target distribution over unigram+bigram features and weight
+    each feature by how much more the target uses it.
+
+    -> (feat, w_scaled) with
+       w_scaled = ((c_target + 1) * scale) // (c_raw + 1)
+
+    Deviation from the paper, by design: the paper weights log-ratios
+    of hashed-bucket probabilities; logs are transcendental and two
+    engines' libm disagree in the last ulp, so this uses the
+    add-1-smoothed count RATIO as an exact scaled integer — the same
+    ordering for resampling top-k (monotone in the ratio), but every
+    value reproducible bit-for-bit by a SQL oracle. `n_buckets` (the
+    paper's 10^4-bucket hashing trick, xxhash64 here) bounds the
+    weight table for the 10^12-doc regime where the exact feature
+    vocabulary would itself be huge — with it the table is
+    broadcast-sized regardless of corpus size; without it features
+    stay raw strings (the oracle-checkable test-scale path).
+
+    Scale shape: two explode->groupBy counts (one shuffle each, both
+    map-side combined) + one join on the feature key. `target` is
+    normally a small filtered slice of `raw` (quality sample, wiki
+    slice), so its count pass is cheap."""
+    rf = _dsir_features(raw, text_col, id_col)
+    tf = _dsir_features(target, text_col, id_col)
+    if n_buckets is not None:
+        key = lambda d: d.select(  # noqa: E731
+            F.pmod(F.xxhash64("feat"), F.lit(int(n_buckets))).alias("feat"))
+        rf, tf = key(rf), key(tf)
+    rc = rf.groupBy("feat").agg(F.count(F.lit(1)).alias("c_raw"))
+    tc = tf.groupBy("feat").agg(F.count(F.lit(1)).alias("c_target"))
+    # target features the raw corpus lacks only matter when target is
+    # NOT a subset of raw; full outer keeps the estimator symmetric
+    # `div`, not `/`: float division loses exactness past 2^53 —
+    # integral `div` keeps the scaled weight a true floor quotient at
+    # any corpus size (and bit-equal to the oracle's `//`)
+    return (rc.join(tc, "feat", "full_outer")
+              .select(
+                  "feat",
+                  F.expr(f"CAST(((coalesce(c_target, 0) + 1)"
+                         f" * {int(scale)}L)"
+                         f" div (coalesce(c_raw, 0) + 1) AS BIGINT)")
+                  .alias("w_scaled")))
+
+
+def dsir_scores(raw: DataFrame, target: DataFrame,
+                text_col: str = "text", id_col: str = "doc_id",
+                scale: int = 1_000_000,
+                n_buckets: int | None = None) -> DataFrame:
+    """Per-document DSIR importance score over `raw`:
+    -> (doc_id, n_feats, score_scaled) where score_scaled sums the
+    doc's feature weights (multiplicity counted) and n_feats is the
+    doc's feature count — rank by score_scaled / n_feats (or gumbel
+    top-k on it) to select target-like training data. Docs with zero
+    features (empty text) emit n_feats = 0, score_scaled = 0.
+
+    The weight frame is broadcast when `n_buckets` bounds it;
+    unbucketed it joins on the feature key (one shuffle each side,
+    skew-safe: feature frequency skew lands in the groupBy partial
+    aggregation, not the join)."""
+    w = dsir_weights(raw, target, text_col, id_col, scale, n_buckets)
+    if n_buckets is not None:
+        w = F.broadcast(w)
+    rf = _dsir_features(raw, text_col, id_col)
+    if n_buckets is not None:
+        rf = rf.select(
+            id_col,
+            F.pmod(F.xxhash64("feat"), F.lit(int(n_buckets))).alias("feat"))
+    per_doc = (rf.join(w, "feat")
+                 .groupBy(id_col)
+                 .agg(F.count(F.lit(1)).alias("n_feats"),
+                      F.sum("w_scaled").alias("score_scaled")))
+    return (raw.select(id_col).join(per_doc, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+                    F.coalesce("score_scaled", F.lit(0))
+                     .alias("score_scaled")))

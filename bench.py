@@ -95,6 +95,7 @@ def main() -> int:
     run("multimodal_frame_stats")
     run("multimodal_bmp_stats")
     run("multimodal_audio_stats")
+    run("doc_dsir_scores")
     run("registry_completeness")
     run("doc_token_stats")
     run("doc_lang_id")

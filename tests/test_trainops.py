@@ -1038,3 +1038,50 @@ def test_wav_sample_stats_closed_form(spark):
         assert r["duration_ms"] == n * 1000 // rate
         assert r["sum_abs"] == sum(abs(v) for v in vals)
         assert r["peak_abs"] == max(abs(v) for v in vals)
+
+
+def test_dsir_scores_brute_force(spark):
+    """DSIR weights/scores match an exact python recomputation on a
+    tiny corpus: unigram+bigram multiset features, add-1-smoothed
+    scaled count-ratio weights, multiplicity-weighted per-doc sums."""
+    from collections import Counter
+
+    rows = [(0, "the cat sat", "en"), (1, "the cat", "en"),
+            (2, "le chat noir", "fr"), (3, "", "fr"),
+            (4, "the the the", "de")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: r for r in
+           textops.dsir_scores(df, df.filter(F.col("lang") == "en"))
+           .collect()}
+
+    def feats(s):
+        ws = s.split()
+        return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    raw = Counter(f for _, t, _ in rows for f in feats(t))
+    tgt = Counter(f for _, t, lg in rows if lg == "en" for f in feats(t))
+    for doc_id, text, _ in rows:
+        fs = feats(text)
+        want = sum(((tgt[f] + 1) * 1_000_000) // (raw[f] + 1) for f in fs)
+        assert got[doc_id]["n_feats"] == len(fs)
+        assert got[doc_id]["score_scaled"] == want, (doc_id, text)
+    # English docs score above the out-of-distribution ones per feature
+    assert (got[0]["score_scaled"] / got[0]["n_feats"]
+            > got[2]["score_scaled"] / got[2]["n_feats"])
+
+
+def test_dsir_bucketed_path_matches_exact_when_no_collisions(spark):
+    """The n_buckets (xxhash64-bucketed) scale path produces the same
+    scores as the exact-feature path when buckets don't collide (large
+    n_buckets, tiny vocabulary) — the 10^12-regime approximation is
+    exactly the hash-collision error and nothing else."""
+    rows = [(0, "alpha beta", "en"), (1, "beta gamma", "fr"),
+            (2, "alpha beta", "fr")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    tgt = df.filter(F.col("lang") == "en")
+    exact = {r["doc_id"]: (r["n_feats"], r["score_scaled"])
+             for r in textops.dsir_scores(df, tgt).collect()}
+    bucketed = {r["doc_id"]: (r["n_feats"], r["score_scaled"])
+                for r in textops.dsir_scores(df, tgt, n_buckets=1 << 20)
+                .collect()}
+    assert exact == bucketed

@@ -56,6 +56,14 @@ def main() -> int:
     ap.add_argument("--pin", action="store_true",
                     help="taskset each sample's whole job tree to "
                          "exactly `cores` CPUs (see tools/scaling.py)")
+    ap.add_argument("--capacity-gate", type=float, default=None,
+                    help="additionally require tools/host_probe.py "
+                         "capacity (host's own 2->8 scaling on pinned "
+                         "numpy streams, ideal 4.0) to be at least "
+                         "this before starting a PAIR — a window where "
+                         "the host cannot express 4x capacity cannot "
+                         "produce a clean >=0.8 pair regardless of "
+                         "plan quality (BENCH.md section 1h)")
     ap.add_argument("--out", type=str, required=True)
     args = ap.parse_args()
 
@@ -72,6 +80,16 @@ def main() -> int:
                   file=sys.stderr, flush=True)
             time.sleep(45)
             continue
+        if args.capacity_gate is not None and i % len(levels) == 0:
+            from host_probe import run_level
+            cap = 4 * run_level(2) / run_level(8)
+            if cap < args.capacity_gate:
+                print(f"waiting: host capacity {cap:.2f} < "
+                      f"{args.capacity_gate}", file=sys.stderr, flush=True)
+                time.sleep(300)
+                continue
+            print(f"host capacity {cap:.2f} — firing pair",
+                  file=sys.stderr, flush=True)
         lv = levels[i % len(levels)]
         i += 1
         rec = _run(lv, args.servers, zip_path, None, args.timeout,
