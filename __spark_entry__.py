@@ -762,6 +762,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf, "documents")
         return textops.dsir_scores(docs, docs.filter(F.col("lang") == "en"))
 
+    def part_cooccur_triangles(spark, sf):
+        # exact triangle census of the part co-occurrence graph
+        # (parts sharing an order), degree-ordered orientation so the
+        # wedge joins stay O(sqrt(m))-bounded per node — the count is
+        # orientation-independent, so the oracle recomputes it with
+        # the simpler id-ordering
+        from askg_spark import graphops
+        li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+        edges = graphops.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+        return graphops.triangle_stats(edges)
+
     def events_latest_per_user(spark, sf):
         from pyspark.sql import Window
         w = Window.partitionBy("user_id").orderBy(
@@ -909,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_bmp_stats": multimodal_bmp_stats,
         "multimodal_audio_stats": multimodal_audio_stats,
         "doc_dsir_scores": doc_dsir_scores,
+        "part_cooccur_triangles": part_cooccur_triangles,
         # (b) r2-binary-only rows — re-verify under the r4 binary
         "kg_id_stats": kg_id_stats,
         "kg_repo_domains": kg_repo_domains,
@@ -2234,6 +2246,26 @@ SELECT d.doc_id,
        CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
        CAST(coalesce(s.score_scaled, 0) AS BIGINT) AS score_scaled
 FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+""",
+        # triangle census of the part co-occurrence graph; with the
+        # u < v canonical edge convention each triangle {a<b<c}
+        # appears exactly once as (a,b)+(b,c)+(a,c), so the oracle
+        # skips the engine's degree ordering (count is identical)
+        "part_cooccur_triangles": """
+WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem),
+e AS (SELECT DISTINCT a.p AS u, b.p AS v
+      FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p),
+n AS (SELECT count(DISTINCT x) AS n_nodes
+      FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e)),
+tri AS (SELECT count(*) AS n_triangles
+        FROM e e1
+        JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+SELECT CAST(n.n_nodes AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       CAST(tri.n_triangles AS BIGINT) AS n_triangles
+FROM n, tri
 """,
         "emb_label_centroids": """
 WITH e AS (

@@ -1,0 +1,100 @@
+"""Generic distributed graph operators beyond the KG-specific ones
+(webgraph.py: pagerank/in-degree; cc.py: connected components).
+
+Triangle counting uses the degree-ordered orientation (the classic
+MapReduce formulation — Suri & Vassilvitskii, "Counting Triangles and
+the Curse of the Last Reducer", WWW'11): orient every undirected edge
+from the (degree, id)-smaller endpoint to the larger, then count
+directed paths s->t->w that close with an s->w edge. The orientation
+bounds every node's OUT-degree by O(sqrt(m)) regardless of its raw
+degree, so the hot-node quadratic blowup (a celebrity node with 10^6
+neighbors would otherwise contribute 10^12 wedge candidates to one
+reducer) becomes at most m^(3/2) wedges spread evenly — the skew
+guard that makes the two equi-joins survive a web-scale graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def cooccurrence_edges(df: DataFrame, group_col: str,
+                       item_col: str) -> DataFrame:
+    """Distinct undirected co-occurrence edges between items sharing a
+    group: -> (u, v) with u < v, one row per unordered pair that
+    co-occurs in at least one group.
+
+    Scale shape: the pair join is an equi-join on the GROUP key, so
+    pair generation per group is bounded by that group's fan-out
+    squared (orders hold ~O(10) items; a crawl page holds ~O(10^2)
+    links) — bounded work per key, never corpus-quadratic. A genuinely
+    hot group (fan-out 10^4+) should be capped upstream the same way
+    relations.py caps hot entity keys. The final distinct is one
+    shuffle on the pair itself."""
+    pp = df.select(F.col(group_col).alias("g"),
+                   F.col(item_col).alias("i")).distinct()
+    b = pp.select(F.col("g"), F.col("i").alias("j"))
+    return (pp.join(b, "g")
+              .filter(F.col("i") < F.col("j"))
+              .select(F.col("i").alias("u"), F.col("j").alias("v"))
+              .distinct())
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Exact global triangle count over undirected (u, v) edges
+    (u <> v, each undirected edge present once in either direction):
+    -> one row (n_nodes, n_edges, n_triangles), all BIGINT.
+
+    Plan: degree -> orient each edge low-to-high by (degree, id) ->
+    wedge join (e1.t = e2.s) -> closing join ((s, w) edge exists).
+    Both joins are equi-joins on oriented endpoints whose fan-out the
+    orientation bounds by O(sqrt(m)); with AQE on, the wedge join's
+    residual skew is runtime-split. The two degree lookups broadcast
+    when the node dim is small and degrade to shuffled hash joins
+    otherwise — never a cross join."""
+    from pyspark import StorageLevel
+
+    spark = edges.sparkSession
+    e = (edges.select(F.col("u"), F.col("v"))
+         .filter(F.col("u") != F.col("v"))
+         .select(F.least("u", "v").alias("u"),
+                 F.greatest("u", "v").alias("v"))
+         .distinct())
+    deg = (e.select(F.col("u").alias("n"))
+           .unionAll(e.select(F.col("v").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+    da = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    db = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | \
+        ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    # the oriented frame feeds BOTH sides of the wedge join AND the
+    # closing join (3 scans) — persist it or the whole
+    # co-occurrence + distinct + degree pipeline above re-runs 3x
+    # (measured 25.4s -> 9.7s at the 1.2M-edge sf0.1 graph)
+    de = (e.join(da, "u").join(db, "v")
+          .select(F.when(u_first, F.col("u")).otherwise(F.col("v"))
+                  .alias("s"),
+                  F.when(u_first, F.col("v")).otherwise(F.col("u"))
+                  .alias("t"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    try:
+        n_edges = de.count()  # also materializes the persist
+        n_nodes = deg.count()
+        e1 = de.select(F.col("s").alias("a"), F.col("t").alias("b"))
+        e2 = de.select(F.col("s").alias("b"), F.col("t").alias("c"))
+        e3 = de.select(F.col("s").alias("a"), F.col("t").alias("c"))
+        # the wedge stream (sum of oriented-outdeg^2 rows — 60x the
+        # edge count on the dense sf0.1 co-occurrence graph) is the
+        # expensive frame: when the EDGE list itself is
+        # broadcast-sized, hash-build both join sides from it so the
+        # wedges are generated AND closed map-side, never shuffled;
+        # past that, fall back to shuffled equi-joins whose per-key
+        # fan-out the degree orientation bounds by O(sqrt(m))
+        if n_edges <= 8_000_000:
+            e2, e3 = F.broadcast(e2), F.broadcast(e3)
+        n_triangles = e1.join(e2, "b").join(e3, ["a", "c"]).count()
+    finally:
+        de.unpersist()
+    return spark.createDataFrame(
+        [(n_nodes, n_edges, n_triangles)],
+        "n_nodes long, n_edges long, n_triangles long")

@@ -96,6 +96,7 @@ def main() -> int:
     run("multimodal_bmp_stats")
     run("multimodal_audio_stats")
     run("doc_dsir_scores")
+    run("part_cooccur_triangles")
     run("registry_completeness")
     run("doc_token_stats")
     run("doc_lang_id")

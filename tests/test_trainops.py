@@ -1085,3 +1085,33 @@ def test_dsir_bucketed_path_matches_exact_when_no_collisions(spark):
                 for r in textops.dsir_scores(df, tgt, n_buckets=1 << 20)
                 .collect()}
     assert exact == bucketed
+
+
+def test_triangle_stats_known_graphs(spark):
+    from askg_spark import graphops
+
+    # K4 (4 triangles) + a disjoint path 10-11-12 (0 triangles), with
+    # duplicate/reversed/self edges the canonicalization must absorb
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = k4 + [(b, a) for a, b in k4] + [(2, 2), (10, 11), (11, 12),
+                                            (10, 11)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    row = graphops.triangle_stats(df).collect()[0]
+    assert row["n_nodes"] == 7          # 0..3 + 10..12
+    assert row["n_edges"] == 8          # 6 in K4 + 2 path
+    assert row["n_triangles"] == 4
+
+
+def test_cooccurrence_edges_and_triangles(spark):
+    from askg_spark import graphops
+
+    # groups: {1,2,3} and {2,3,4} -> edges 12 13 23 23 24 34 -> dedup 5
+    # triangle {1,2,3} and {2,3,4} -> 2 triangles
+    rows = [(100, 1), (100, 2), (100, 3), (200, 2), (200, 3), (200, 4),
+            (200, 4)]
+    df = spark.createDataFrame(rows, "g long, item long")
+    e = graphops.cooccurrence_edges(df, "g", "item")
+    assert sorted((r["u"], r["v"]) for r in e.collect()) == \
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+    row = graphops.triangle_stats(e).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (4, 5, 2)
