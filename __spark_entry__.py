@@ -752,6 +752,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents").select("doc_id"))
         return multimodal.wav_sample_stats(media)
 
+    def multimodal_gif_stats(spark, sf):
+        # REAL third image codec end-to-end: per-doc single-frame GIFs
+        # through the full variable-width LZW decoder + palette map;
+        # the oracle recomputes every palette-mapped cell
+        media = multimodal.synth_gif_corpus(
+            _t(spark, sf, "documents").select("doc_id"))
+        return multimodal.image_pixel_stats(media)
+
     def doc_dsir_scores(spark, sf):
         # DSIR-style data selection: importance of each doc under a
         # target distribution (here: the English slice) vs the raw
@@ -919,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_stats": multimodal_frame_stats,
         "multimodal_bmp_stats": multimodal_bmp_stats,
         "multimodal_audio_stats": multimodal_audio_stats,
+        "multimodal_gif_stats": multimodal_gif_stats,
         "doc_dsir_scores": doc_dsir_scores,
         "part_cooccur_triangles": part_cooccur_triangles,
         # (b) r2-binary-only rows — re-verify under the r4 binary
@@ -2213,6 +2222,30 @@ SELECT doc_id,
        CAST(sum(a) AS BIGINT) AS sum_abs,
        CAST(max(a) AS BIGINT) AS peak_abs
 FROM s GROUP BY doc_id
+""",
+        # real-GIF decode stats: palette pal[i] = (i, 2i%256, 3i%256),
+        # w = 10 + doc_id%20, h = 10 + (doc_id*3)%20, palette index
+        # (doc_id + 3r + 5c) % 256 — the oracle regenerates every
+        # palette-mapped cell, checking the LZW decoder bit-for-bit
+        "multimodal_gif_stats": """
+WITH d AS (
+  SELECT doc_id,
+         10 + doc_id % 20 AS w,
+         10 + (doc_id * 3) % 20 AS h
+  FROM documents),
+r AS (SELECT doc_id, w, h, unnest(range(h)) AS rr FROM d),
+cells AS (SELECT doc_id, w, h,
+                 (doc_id + 3 * rr + 5 * unnest(range(w))) % 256 AS idx
+          FROM r),
+SELECTED AS (
+  SELECT doc_id,
+         CAST(any_value(w) AS INTEGER) AS width,
+         CAST(any_value(h) AS INTEGER) AS height,
+         CAST(count(*) AS BIGINT) AS n_pixels,
+         CAST(sum(idx + (2 * idx) % 256 + (3 * idx) % 256) AS BIGINT)
+           AS sum_pixels
+  FROM cells GROUP BY doc_id)
+SELECT * FROM SELECTED
 """,
         # DSIR importance scores: unigram+bigram bag features, weight
         # = add-1-smoothed scaled count ratio target/raw as an exact

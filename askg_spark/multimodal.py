@@ -330,8 +330,193 @@ def encode_bmp(px) -> bytes:
     return head + info + data
 
 
+GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int):
+    """GIF-flavor LZW decode of a concatenated sub-block payload ->
+    list of palette indices (length exactly n_pixels). Implements the
+    full variable-width scheme: clear/end codes, dictionary growth to
+    4096 with width bumps at 2^w, and the KwKwK self-reference case.
+    Raises ValueError on malformed streams (quarantine contract)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out: list[int] = []
+    # bit reader over the whole byte stream, LSB-first per GIF spec
+    buf = 0
+    nbits = 0
+    pos = 0
+    width = min_code_size + 1
+    table: list[bytes] = []
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        prev = None
+
+    reset()
+    data_len = len(data)
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= data_len:
+                raise ValueError("truncated GIF LZW stream")
+            buf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = buf & ((1 << width) - 1)
+        buf >>= width
+        nbits -= width
+        if code == clear:
+            reset()
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("corrupt GIF (bad first LZW code)")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):            # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt GIF (LZW code out of range)")
+        out.extend(entry)
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if len(out) < n_pixels:
+        raise ValueError("GIF LZW stream ended early")
+    return out[:n_pixels]
+
+
+def decode_gif_array(payload: bytes):
+    """Pure-python GIF decode (no PIL):
+    -> (pixels uint8 ndarray (h, w, 3), w, h) — the FIRST image frame,
+    palette-mapped to RGB.
+
+    Supports GIF87a/89a, global or local color table, full
+    variable-width LZW (dictionary growth, clear/end codes, KwKwK),
+    extension-block skipping (graphic control, comments, app blocks).
+    Interlaced images and frames smaller than the logical screen
+    raise ValueError — quarantine, same contract as the PNG/BMP
+    decoders."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in GIF_SIGS:
+        raise ValueError("not a GIF (bad signature)")
+    try:
+        w, h, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+        pos = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 << (flags & 0x07)
+            gct = payload[pos:pos + 3 * n]
+            pos += 3 * n
+        while pos < len(payload):
+            block = payload[pos]
+            pos += 1
+            if block == 0x21:               # extension: skip sub-blocks
+                pos += 1                    # label
+                while payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+            elif block == 0x2C:             # image descriptor
+                ix, iy, iw, ih, iflags = struct.unpack(
+                    "<HHHHB", payload[pos:pos + 9])
+                pos += 9
+                if iflags & 0x40:
+                    raise ValueError("unsupported GIF (interlaced)")
+                ct = gct
+                if iflags & 0x80:
+                    n = 2 << (iflags & 0x07)
+                    ct = payload[pos:pos + 3 * n]
+                    pos += 3 * n
+                if ct is None:
+                    raise ValueError("corrupt GIF (no color table)")
+                if (ix, iy, iw, ih) != (0, 0, w, h):
+                    raise ValueError(
+                        "unsupported GIF (partial-frame image)")
+                min_code = payload[pos]
+                pos += 1
+                chunks = []
+                while payload[pos] != 0:
+                    ln = payload[pos]
+                    chunks.append(payload[pos + 1:pos + 1 + ln])
+                    pos += 1 + ln
+                idx = _lzw_decode(b"".join(chunks), min_code, w * h)
+                pal = np.frombuffer(ct, dtype=np.uint8).reshape(-1, 3)
+                arr = np.asarray(idx, dtype=np.int64)
+                if arr.max() >= pal.shape[0]:
+                    raise ValueError("corrupt GIF (index out of palette)")
+                return pal[arr].reshape(h, w, 3), w, h
+            elif block == 0x3B:             # trailer before any image
+                break
+            else:
+                raise ValueError(f"corrupt GIF (block 0x{block:02x})")
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"truncated GIF ({exc})") from exc
+    raise ValueError("truncated GIF (no image block)")
+
+
+def encode_gif(indices, palette) -> bytes:
+    """Encode a (h, w) uint8 palette-index array + (n, 3) palette as a
+    single-frame GIF87a. The LZW stream uses literal codes with a
+    clear code before every dictionary-size boundary — a valid
+    (uncompressed-style) stream every conforming decoder accepts,
+    which keeps the encoder exact and tiny; the DECODER above still
+    handles fully-compressed real-world streams."""
+    import struct
+
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    h, w = idx.shape
+    pal = np.asarray(palette, dtype=np.uint8)
+    n = pal.shape[0]
+    if n != 256:
+        raise ValueError("encode_gif expects a 256-entry palette")
+    min_code = 8
+    clear = 1 << min_code                   # 256
+    width = min_code + 1                    # 9 bits
+    # literal codes only: emit CLEAR every 254 pixels so the implied
+    # dictionary never reaches the 2^9 width bump — width stays 9
+    bits = []
+    flat = idx.reshape(-1)
+    for start in range(0, flat.size, 254):
+        bits.append(clear)
+        bits.extend(int(v) for v in flat[start:start + 254])
+    bits.append(clear + 1)                  # END
+    # pack LSB-first
+    buf = bytearray()
+    acc = 0
+    nbits = 0
+    for code in bits:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        buf.append(acc & 0xFF)
+    blocks = b"".join(
+        bytes([min(255, len(buf) - i)]) + bytes(buf[i:i + 255])
+        for i in range(0, len(buf), 255)) + b"\x00"
+    head = (b"GIF87a" + struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)
+            + pal.tobytes())
+    imgdesc = b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    return head + imgdesc + bytes([min_code]) + blocks + b"\x3B"
+
+
 def decode_image_array(payload: bytes):
-    """Signature-dispatched raster decode: PNG or BMP ->
+    """Signature-dispatched raster decode: PNG, BMP or GIF ->
     (pixels uint8 (h, w, ch), w, h). Unknown signatures raise
     ValueError (quarantine) — the single entry point stats surfaces
     use so new codecs plug in here once."""
@@ -339,15 +524,22 @@ def decode_image_array(payload: bytes):
         return decode_png_array(payload)
     if payload.startswith(BMP_SIG):
         return decode_bmp_array(payload)
+    if payload[:6] in GIF_SIGS:
+        return decode_gif_array(payload)
     raise ValueError("unknown image signature")
 
 
+def _is_raster(payload: bytes) -> bool:
+    return (payload.startswith(PNG_SIG) or payload.startswith(BMP_SIG)
+            or payload[:6] in GIF_SIGS)
+
+
 def _decode_real(payload: bytes):
-    """Real decoder: the built-in pure-python PNG/BMP paths; other
+    """Real decoder: the built-in pure-python PNG/BMP/GIF paths; other
     formats would need codecs this container lacks."""
     import numpy as np
 
-    if payload.startswith(PNG_SIG) or payload.startswith(BMP_SIG):
+    if _is_raster(payload):
         px, w, h = decode_image_array(payload)
         flat = px.astype(np.float64)
         features = [
@@ -362,8 +554,9 @@ def _decode_real(payload: bytes):
         ]
         return w, h, features
     raise NotImplementedError(
-        "non-PNG decode requires PIL/ffmpeg; this environment ships "
-        "none — the deterministic fallback keeps the plumbing testable")
+        "non-PNG/BMP/GIF decode requires PIL/ffmpeg; this environment "
+        "ships none — the deterministic fallback keeps the plumbing "
+        "testable")
 
 
 def _decode_fallback(payload: bytes):
@@ -434,14 +627,17 @@ def _resize_real(payload: bytes, max_side: int):
     output pixels are a closed form of the input. Non-PNG formats
     (JPEG/video stills) still need codecs this container lacks and
     fall through to the deterministic fallback."""
-    if payload.startswith(PNG_SIG) or payload.startswith(BMP_SIG):
+    if _is_raster(payload):
         px, w, h = decode_image_array(payload)
         ow, oh = resize_target(w, h, max_side)
         out = px if (ow, oh) == (w, h) else box_downsample(px, ow, oh)
+        # format-preserving for PNG/BMP; GIF re-encodes as PNG (the
+        # box filter produces true-color pixels — re-palettizing would
+        # need a quantizer, and lossless PNG is the honest container)
         enc = encode_bmp if payload.startswith(BMP_SIG) else encode_png
         return ow, oh, enc(out)
     raise NotImplementedError(
-        "non-PNG/BMP resize requires PIL/ffmpeg; this environment "
+        "non-PNG/BMP/GIF resize requires PIL/ffmpeg; this environment "
         "ships none — the deterministic fallback keeps the plumbing "
         "testable")
 
@@ -780,6 +976,44 @@ def frame_pixel_stats(frames: DataFrame) -> DataFrame:
 # png_pixel_stats dispatches on signature (PNG or BMP); the generic
 # name is the forward-facing one.
 image_pixel_stats = png_pixel_stats
+
+
+def synth_gif(doc_id: int) -> bytes:
+    """Deterministic synthetic GIF for the planted-payload oracle:
+    single frame, 256-entry global palette
+    pal[i] = (i, (2i) % 256, (3i) % 256),
+    w = 10 + doc_id % 20, h = 10 + (doc_id * 3) % 20,
+    index(r, c) = (doc_id + 3r + 5c) % 256 — every pixel-stat
+    downstream a closed form of doc_id SQL recomputes."""
+    import numpy as np
+
+    w, h = 10 + doc_id % 20, 10 + (doc_id * 3) % 20
+    r = np.arange(h, dtype=np.int64)[:, None]
+    c = np.arange(w, dtype=np.int64)[None, :]
+    idx = ((doc_id + 3 * r + 5 * c) % 256).astype(np.uint8)
+    i = np.arange(256, dtype=np.int64)
+    pal = np.stack([i, (2 * i) % 256, (3 * i) % 256], axis=1)
+    return encode_gif(idx, pal)
+
+
+def synth_gif_corpus(docs: DataFrame) -> DataFrame:
+    """Planted-payload media source: one bit-valid single-frame GIF
+    per doc_id — exercises the LZW decoder end-to-end."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def mk(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_gif(int(i)))
+
+    return docs.select(
+        "doc_id", mk("doc_id").alias("payload")
+    ).select(
+        "doc_id", "payload",
+        F.struct(
+            F.lit("image/gif").alias("content_type"),
+            F.length("payload").cast("long").alias("n_bytes"),
+        ).alias("media_meta"),
+    )
 
 
 def synth_bmp_corpus(docs: DataFrame) -> DataFrame:

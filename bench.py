@@ -95,6 +95,7 @@ def main() -> int:
     run("multimodal_frame_stats")
     run("multimodal_bmp_stats")
     run("multimodal_audio_stats")
+    run("multimodal_gif_stats")
     run("doc_dsir_scores")
     run("part_cooccur_triangles")
     run("registry_completeness")

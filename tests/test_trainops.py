@@ -1115,3 +1115,139 @@ def test_cooccurrence_edges_and_triangles(spark):
         [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
     row = graphops.triangle_stats(e).collect()[0]
     assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (4, 5, 2)
+
+
+def test_gif_synth_roundtrip_closed_form():
+    import numpy as np
+
+    for d in (0, 7, 123, 999):
+        px, w, h = multimodal.decode_gif_array(multimodal.synth_gif(d))
+        assert (w, h) == (10 + d % 20, 10 + (d * 3) % 20)
+        r = np.arange(h)[:, None]
+        c = np.arange(w)[None, :]
+        idx = (d + 3 * r + 5 * c) % 256
+        assert (px[:, :, 0] == idx).all()
+        assert (px[:, :, 1] == (2 * idx) % 256).all()
+        assert (px[:, :, 2] == (3 * idx) % 256).all()
+
+
+def test_gif_real_compressed_lzw_stream():
+    """The decoder handles genuinely COMPRESSED LZW (dictionary
+    growth, width bumps, KwKwK self-reference) — the synth encoder
+    only emits literal codes, so this builds a real compressor in the
+    test and round-trips repetitive data that forces long dict
+    entries."""
+    import struct
+
+    import numpy as np
+
+    def lzw_encode(data: bytes, min_code: int) -> bytes:
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        codes, width = [clear], min_code + 1
+        dct = {bytes([i]): i for i in range(clear)}
+        table_len = end + 1
+        wbuf = data[:1]
+        widths = [min_code + 1]
+
+        def emit(code):
+            codes.append(code)
+            widths.append(width)
+
+        widths = [width]  # width of the initial clear code
+        for ch in data[1:]:
+            wk = wbuf + bytes([ch])
+            if wk in dct:
+                wbuf = wk
+                continue
+            emit(dct[wbuf])
+            dct[wk] = table_len
+            table_len += 1
+            # decoder appends one entry per code AFTER the first, so
+            # its table runs one behind this counter: bump at +1
+            if table_len == (1 << width) + 1 and width < 12:
+                width += 1
+            wbuf = bytes([ch])
+        emit(dct[wbuf])
+        emit(end)
+        acc = nbits = 0
+        out = bytearray()
+        for code, cw in zip(codes, widths):
+            acc |= code << nbits
+            nbits += cw
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    rng = np.random.default_rng(5)
+    w, h = 40, 30
+    # repetitive rows -> real dictionary reuse incl. KwKwK patterns
+    base = rng.integers(0, 8, size=w, dtype=np.uint8)
+    idx = np.tile(base, (h, 1))
+    idx[::3] = (idx[::3] + 1) % 8
+    i = np.arange(256, dtype=np.int64)
+    pal = np.stack([i, i, i], axis=1).astype(np.uint8)
+    stream = lzw_encode(idx.reshape(-1).tobytes(), 8)
+    blocks = b"".join(
+        bytes([min(255, len(stream) - o)]) + stream[o:o + 255]
+        for o in range(0, len(stream), 255)) + b"\x00"
+    gif = (b"GIF89a" + struct.pack("<HHBBB", w, h, 0x87, 0, 0)
+           + pal.tobytes()
+           + b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+           + bytes([8]) + blocks + b"\x3B")
+    got, gw, gh = multimodal.decode_gif_array(gif)
+    assert (gw, gh) == (w, h)
+    assert (got[:, :, 0] == idx).all()
+
+
+def test_gif_quarantines_malformed():
+    import pytest as _pytest
+
+    good = multimodal.synth_gif(3)
+    for bad in (b"GIF00a" + good[6:], good[:20], good[:-10],
+                b"JUNKJUNKJUNK"):
+        with _pytest.raises(ValueError):
+            multimodal.decode_gif_array(bad)
+    # interlace flag set -> quarantine, not wrong pixels
+    ba = bytearray(good)
+    # image descriptor follows 13-byte header + 768-byte GCT
+    desc = 13 + 768
+    assert ba[desc] == 0x2C
+    ba[desc + 9] |= 0x40
+    with _pytest.raises(ValueError):
+        multimodal.decode_gif_array(bytes(ba))
+
+
+def test_image_dispatch_includes_gif(spark):
+    gif = multimodal.synth_gif(11)
+    df = spark.createDataFrame([(11, bytearray(gif))],
+                               "doc_id long, payload binary")
+    row = multimodal.image_pixel_stats(df).collect()[0]
+    d = 11
+    w, h = 10 + d % 20, 10 + (d * 3) % 20
+    want = sum((v % 256) + (2 * (v % 256)) % 256 + (3 * (v % 256)) % 256
+               for r in range(h) for c in range(w)
+               for v in [(d + 3 * r + 5 * c)])
+    assert (row["width"], row["height"]) == (w, h)
+    assert row["sum_pixels"] == want
+
+
+def test_resize_media_gif_reencodes_png(spark):
+    """GIF payloads run the real resize kernel; output container is
+    PNG (box filter yields true-color pixels — no palette quantizer),
+    pixels matching box_downsample of the palette-mapped source."""
+    d = 15  # 25x15 -> shrink at max_side 10
+    gif = multimodal.synth_gif(d)
+    df = spark.createDataFrame(
+        [(d, bytearray(gif), ("image/gif", len(gif)))],
+        "doc_id long, payload binary, "
+        "media_meta struct<content_type:string, n_bytes:long>")
+    row = multimodal.resize_media(df, max_side=10).collect()[0]
+    src, w, h = multimodal.decode_gif_array(gif)
+    ow, oh = multimodal.resize_target(w, h, 10)
+    assert (row["width"], row["height"]) == (ow, oh)
+    got, gw, gh = multimodal.decode_png_array(bytes(row["payload"]))
+    assert (got == multimodal.box_downsample(src, ow, oh)).all()
