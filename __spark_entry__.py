@@ -770,6 +770,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf, "documents")
         return textops.dsir_scores(docs, docs.filter(F.col("lang") == "en"))
 
+    def events_distinct_sketch(spark, sf):
+        # sketch certification, ann_recall_report-style: per event
+        # type, HLL++ approx-distinct users (rsd=0.05) checked
+        # IN-ENGINE against the exact distinct — the emitted row pins
+        # the exact count plus a bounds flag (|approx-exact| within
+        # 3*rsd), so the approximate operator gets a hard oracle
+        # without DuckDB having to reproduce Spark's HLL register
+        # layout; the sketch itself is deterministic for fixed data
+        ev = _t(spark, sf, "events")
+        rsd = 0.05
+        agg = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id", rsd).alias("_approx"))
+        return agg.select(
+            "event_type",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            (F.abs(F.col("_approx") - F.col("n_exact"))
+             <= 3 * rsd * F.col("n_exact"))
+            .cast("int").alias("sketch_ok"))
+
     def part_cooccur_triangles(spark, sf):
         # exact triangle census of the part co-occurrence graph
         # (parts sharing an order), degree-ordered orientation so the
@@ -930,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_gif_stats": multimodal_gif_stats,
         "doc_dsir_scores": doc_dsir_scores,
         "part_cooccur_triangles": part_cooccur_triangles,
+        "events_distinct_sketch": events_distinct_sketch,
         # (b) r2-binary-only rows — re-verify under the r4 binary
         "kg_id_stats": kg_id_stats,
         "kg_repo_domains": kg_repo_domains,
@@ -2299,6 +2320,15 @@ SELECT CAST(n.n_nodes AS BIGINT) AS n_nodes,
        CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
        CAST(tri.n_triangles AS BIGINT) AS n_triangles
 FROM n, tri
+""",
+        # sketch certification: the engine asserts its own HLL error
+        # bound in-engine; the oracle pins the exact counts and that
+        # the flag came out 1 for every group
+        "events_distinct_sketch": """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       CAST(1 AS INTEGER) AS sketch_ok
+FROM events GROUP BY event_type
 """,
         "emb_label_centroids": """
 WITH e AS (

@@ -98,6 +98,7 @@ def main() -> int:
     run("multimodal_gif_stats")
     run("doc_dsir_scores")
     run("part_cooccur_triangles")
+    run("events_distinct_sketch")
     run("registry_completeness")
     run("doc_token_stats")
     run("doc_lang_id")
