@@ -80,21 +80,30 @@ def main() -> int:
                   file=sys.stderr, flush=True)
             time.sleep(45)
             continue
-        if args.capacity_gate is not None and i % len(levels) == 0:
+        cap = None
+        if args.capacity_gate is not None:
+            # probe before EVERY half, not just the pair start: the
+            # host's 2->8 capacity drifts on ~10-min scales, and a
+            # pair whose big half ran at 4.6x but whose small half ran
+            # at 2.3x measures the drift, not the software — storing
+            # the per-half probe lets the analysis keep only pairs
+            # where BOTH halves saw a strong window
             from host_probe import run_level
             cap = 4 * run_level(2) / run_level(8)
             if cap < args.capacity_gate:
                 print(f"waiting: host capacity {cap:.2f} < "
                       f"{args.capacity_gate}", file=sys.stderr, flush=True)
-                time.sleep(300)
+                time.sleep(240)
                 continue
-            print(f"host capacity {cap:.2f} — firing pair",
+            print(f"host capacity {cap:.2f} — firing local[{levels[i % len(levels)]}]",
                   file=sys.stderr, flush=True)
         lv = levels[i % len(levels)]
         i += 1
         rec = _run(lv, args.servers, zip_path, None, args.timeout,
                    pages=args.pages, pin=args.pin)
         rec["gated"] = True
+        if cap is not None:
+            rec["capacity_probe"] = round(cap, 2)
         with open(args.out, "a") as fh:
             fh.write(json.dumps(rec) + "\n")
         taken += 1
