@@ -770,6 +770,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf, "documents")
         return textops.dsir_scores(docs, docs.filter(F.col("lang") == "en"))
 
+    def doc_eval_holdout(spark, sf):
+        # exact-k per-language eval holdout: deterministic md5 rank
+        # inside each stratum, k=20 — the exact-count companion to
+        # doc_sample_mixture's rate-based filter
+        return textops.stratified_topk(
+            _t(spark, sf, "documents").select("doc_id", "lang"),
+            k=20, strata_col="lang", key_col="doc_id")
+
     def events_distinct_sketch(spark, sf):
         # sketch certification, ann_recall_report-style: per event
         # type, HLL++ approx-distinct users (rsd=0.05) checked
@@ -951,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir_scores": doc_dsir_scores,
         "part_cooccur_triangles": part_cooccur_triangles,
         "events_distinct_sketch": events_distinct_sketch,
+        "doc_eval_holdout": doc_eval_holdout,
         # (b) r2-binary-only rows — re-verify under the r4 binary
         "kg_id_stats": kg_id_stats,
         "kg_repo_domains": kg_repo_domains,
@@ -2320,6 +2329,19 @@ SELECT CAST(n.n_nodes AS BIGINT) AS n_nodes,
        CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
        CAST(tri.n_triangles AS BIGINT) AS n_triangles
 FROM n, tri
+""",
+        # exact-k per-stratum holdout: same md5 rank order as the
+        # engine's window (hex md5 compares lexicographically =
+        # numerically at fixed width; doc_id tiebreak)
+        "doc_eval_holdout": """
+SELECT doc_id, lang, CAST(sample_rank AS INTEGER) AS sample_rank
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+  FROM documents)
+WHERE sample_rank <= 20
 """,
         # sketch certification: the engine asserts its own HLL error
         # bound in-engine; the oracle pins the exact counts and that

@@ -327,6 +327,30 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
     return df.filter(h < thr)
 
 
+def stratified_topk(df: DataFrame, k: int, strata_col: str = "lang",
+                    key_col: str = "doc_id") -> DataFrame:
+    """Deterministic EXACT-k per-stratum sample — the eval-holdout
+    selection step (hold out exactly k docs per language/source for
+    benchmarks), where `stratified_sample`'s rate-based filter gives
+    only an EXPECTED count. Rows are ranked inside each stratum by
+    (md5(key), key) — a uniform pseudo-random but fully deterministic
+    order — and the top k kept, with the rank emitted.
+    -> input columns + (sample_rank int).
+
+    Scale shape: one window shuffle on the stratum key. Stratum
+    cardinality is the skew axis (a 'en' stratum at web scale is
+    ~half the corpus) — for huge strata, pre-filter with
+    `stratified_sample` at ~10x the target rate first so the window
+    sorts k*10 rows per stratum, not the stratum."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(key_col).cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(key_col))
+    return (df.withColumn("sample_rank",
+                          F.row_number().over(w).cast("int"))
+              .filter(F.col("sample_rank") <= int(k)))
+
+
 # Repetition rejection rules (Gopher §A1.1 second block) as integer
 # cross-multiplications over repetition_stats columns; emission order =
 # list order, appended after QUALITY_RULES in the extended filter.

@@ -99,6 +99,7 @@ def main() -> int:
     run("doc_dsir_scores")
     run("part_cooccur_triangles")
     run("events_distinct_sketch")
+    run("doc_eval_holdout")
     run("registry_completeness")
     run("doc_token_stats")
     run("doc_lang_id")

@@ -1251,3 +1251,24 @@ def test_resize_media_gif_reencodes_png(spark):
     assert (row["width"], row["height"]) == (ow, oh)
     got, gw, gh = multimodal.decode_png_array(bytes(row["payload"]))
     assert (got == multimodal.box_downsample(src, ow, oh)).all()
+
+
+def test_stratified_topk_exact_k_and_determinism(spark):
+    import hashlib
+
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(60)] + [(100, "zh")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = textops.stratified_topk(df, k=5).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert {k: len(v) for k, v in by_lang.items()} == \
+        {"en": 5, "de": 5, "fr": 5, "zh": 1}   # stratum smaller than k
+    # rank order = (md5(doc_id), doc_id), exactly reproducible
+    for lang, got in by_lang.items():
+        ids = [i for i, lg in rows if lg == lang]
+        want = sorted(ids, key=lambda i: (hashlib.md5(
+            str(i).encode()).hexdigest(), i))[:5]
+        got_sorted = [r["doc_id"] for r in
+                      sorted(got, key=lambda r: r["sample_rank"])]
+        assert got_sorted == want, lang
