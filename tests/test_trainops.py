@@ -1272,3 +1272,102 @@ def test_stratified_topk_exact_k_and_determinism(spark):
         got_sorted = [r["doc_id"] for r in
                       sorted(got, key=lambda r: r["sample_rank"])]
         assert got_sorted == want, lang
+
+
+def test_gif_property_random_compressed_all_code_sizes():
+    """Property: for random palettes (4..256 colors, so LZW min code
+    sizes 2..8) and random index rasters, a real compressed LZW
+    stream decodes to the original pixels — dictionary growth, width
+    bumps and small-alphabet edge cases included."""
+    import struct
+
+    import numpy as np
+
+    def lzw_encode(data: bytes, min_code: int) -> bytes:
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        codes, widths = [clear], [min_code + 1]
+        width = min_code + 1
+        dct = {bytes([i]): i for i in range(clear)}
+        table_len = end + 1
+        wbuf = data[:1]
+        for ch in data[1:]:
+            wk = wbuf + bytes([ch])
+            if wk in dct:
+                wbuf = wk
+                continue
+            codes.append(dct[wbuf])
+            widths.append(width)
+            dct[wk] = table_len
+            table_len += 1
+            if table_len == (1 << width) + 1 and width < 12:
+                width += 1
+            wbuf = bytes([ch])
+        codes.append(dct[wbuf])
+        widths.append(width)
+        codes.append(end)
+        widths.append(width)
+        acc = nbits = 0
+        out = bytearray()
+        for code, cw in zip(codes, widths):
+            acc |= code << nbits
+            nbits += cw
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    rng = np.random.default_rng(42)
+    for trial in range(30):
+        pal_bits = int(rng.integers(2, 9))           # 2..8
+        n_colors = 1 << pal_bits
+        w, h = int(rng.integers(1, 30)), int(rng.integers(1, 30))
+        # mix runs (dictionary reuse) with noise
+        idx = rng.integers(0, n_colors, size=(h, w), dtype=np.uint8)
+        if trial % 3 == 0 and h > 2:
+            idx[1::2] = idx[0]                        # repeated rows
+        pal = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+        stream = lzw_encode(idx.reshape(-1).tobytes(), pal_bits)
+        blocks = b"".join(
+            bytes([min(255, len(stream) - o)]) + stream[o:o + 255]
+            for o in range(0, len(stream), 255)) + b"\x00"
+        gif = (b"GIF89a"
+               + struct.pack("<HHBBB", w, h, 0x80 | (pal_bits - 1), 0, 0)
+               + pal.tobytes()
+               + b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+               + bytes([pal_bits]) + blocks + b"\x3B")
+        got, gw, gh = multimodal.decode_gif_array(gif)
+        assert (gw, gh) == (w, h), trial
+        assert (got == pal[idx]).all(), (trial, pal_bits, w, h)
+
+
+def test_new_ops_cross_partitioning_determinism(spark):
+    """DSIR scores and the triangle census are partitioning-invariant:
+    identical results under different repartitionings and shuffle
+    widths — the distributed-determinism bar every oracle-checked
+    operator has to meet."""
+    from askg_spark import graphops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "text", "lang")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet") \
+        .select("l_orderkey", "l_partkey")
+
+    def dsir_rows(d):
+        return sorted(
+            (r["doc_id"], r["n_feats"], r["score_scaled"])
+            for r in textops.dsir_scores(
+                d, d.filter(F.col("lang") == "en")).collect())
+
+    a = dsir_rows(docs.repartition(3))
+    b = dsir_rows(docs.repartition(17, "lang"))
+    assert a == b and len(a) > 0
+
+    def tri_row(frame):
+        e = graphops.cooccurrence_edges(frame, "l_orderkey", "l_partkey")
+        r = graphops.triangle_stats(e).collect()[0]
+        return (r["n_nodes"], r["n_edges"], r["n_triangles"])
+
+    assert tri_row(li.repartition(2)) == tri_row(li.repartition(13))
