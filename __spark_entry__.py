@@ -770,6 +770,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf, "documents")
         return textops.dsir_scores(docs, docs.filter(F.col("lang") == "en"))
 
+    def web_canonical_urls(spark, sf):
+        # URL canonicalization (crawl-dedup key): messy URLs built
+        # closed-form from doc_id (uppercase scheme/host, www.,
+        # default :443 port, trailing slash, utm_ tracking param,
+        # unsorted params, fragment) -> one pure Column expression;
+        # the oracle emits the expected canonical form directly
+        from askg_spark import webgraph
+        d = F.col("doc_id")
+        messy = F.concat(
+            F.lit("HTTPS://WWW.Site"), (d % 7).cast("string"),
+            F.lit(".com"),
+            F.when(d % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.lit("/Path/"), d.cast("string"),
+            F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.lit("?utm_source=x&b="), (d % 5).cast("string"),
+            F.lit("&a=1"),
+            F.when(d % 4 == 0, F.lit("#sec")).otherwise(F.lit("")))
+        return _t(spark, sf, "documents").select(
+            "doc_id",
+            messy.alias("url"),
+            webgraph.canonicalize_url(messy).alias("canon_url"))
+
     def doc_eval_holdout(spark, sf):
         # exact-k per-language eval holdout: deterministic md5 rank
         # inside each stratum, k=20 — the exact-count companion to
@@ -960,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_cooccur_triangles": part_cooccur_triangles,
         "events_distinct_sketch": events_distinct_sketch,
         "doc_eval_holdout": doc_eval_holdout,
+        "web_canonical_urls": web_canonical_urls,
         # (b) r2-binary-only rows — re-verify under the r4 binary
         "kg_id_stats": kg_id_stats,
         "kg_repo_domains": kg_repo_domains,
@@ -2329,6 +2352,22 @@ SELECT CAST(n.n_nodes AS BIGINT) AS n_nodes,
        CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
        CAST(tri.n_triangles AS BIGINT) AS n_triangles
 FROM n, tri
+""",
+        # URL canonicalization: the oracle rebuilds the messy input
+        # the same way and emits the EXPECTED canonical form in
+        # closed form (scheme/host lowercased, www./default port/
+        # trailing slash/fragment/tracking param gone, params sorted)
+        "web_canonical_urls": """
+SELECT doc_id,
+       'HTTPS://WWW.Site' || (doc_id % 7) || '.com'
+         || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+         || '/Path/' || doc_id
+         || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+         || '?utm_source=x&b=' || (doc_id % 5) || '&a=1'
+         || CASE WHEN doc_id % 4 = 0 THEN '#sec' ELSE '' END AS url,
+       'https://site' || (doc_id % 7) || '.com/Path/' || doc_id
+         || '?a=1&b=' || (doc_id % 5) AS canon_url
+FROM documents
 """,
         # exact-k per-stratum holdout: same md5 rank order as the
         # engine's window (hex md5 compares lexicographically =

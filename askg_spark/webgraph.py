@@ -60,6 +60,57 @@ def target_owner(target: Column) -> Column:
     return F.regexp_extract(target, r"^([^/]+(?:/[^/]+)?)", 1)
 
 
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref)="
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of an http(s) URL for crawl-dedup keys — the
+    normalization step a web pipeline runs before URL-level dedup /
+    frontier checks, as a single pure Column expression (codegen, no
+    UDF), reproducible bit-for-bit by a SQL oracle:
+
+      1. strip the #fragment
+      2. lowercase the scheme and host (path/query case preserved)
+      3. drop a leading www. and a default :80 / :443 port
+      4. drop tracking query params (utm_*, fbclid, gclid, msclkid,
+         ref) and SORT the survivors byte-lexicographically (param
+         order never distinguishes resources in practice; sorting
+         makes the key order-insensitive)
+      5. strip a trailing / from the path
+
+    Deliberately conservative: no %-decoding (decoding can change
+    semantics), no param-value touching, non-http(s) inputs pass
+    through steps 1/4/5 unchanged."""
+    u = F.regexp_replace(url, r"#.*$", "")                    # 1
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://",
+                                      1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))  # 2
+    hostport = F.regexp_replace(hostport, r"^www\.", "")         # 3
+    hostport = F.regexp_replace(hostport, r":(80|443)$", "")
+    tail = F.regexp_replace(rest, r"^[^/?]*", "")
+    path = F.regexp_extract(tail, r"^([^?]*)", 1)
+    query = F.regexp_replace(F.regexp_extract(tail, r"\?(.*)$", 1),
+                             r"^\?", "")
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE))       # 4
+    query_c = F.array_join(F.array_sort(params), "&")
+    path_c = F.regexp_replace(path, r"/$", "")                  # 5
+    canon = F.concat(
+        F.when(scheme == "", F.lit("")).otherwise(
+            F.concat(scheme, F.lit("://"))),
+        hostport, path_c,
+        F.when(query_c == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), query_c)))
+    # non-URL strings (no scheme): keep original host casing by
+    # rebuilding from the raw rest
+    return F.when(scheme == "", F.concat(
+        F.regexp_replace(F.regexp_extract(u, r"^([^?]*)", 1), r"/$", ""),
+        F.when(query_c == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), query_c)))).otherwise(canon)
+
+
 def owner_indegree(pages: DataFrame) -> DataFrame:
     """Link-graph in-degree rolled up to the target owner:
     -> (owner, n_links, n_targets, n_src_pages). n_links counts every

@@ -100,6 +100,7 @@ def main() -> int:
     run("part_cooccur_triangles")
     run("events_distinct_sketch")
     run("doc_eval_holdout")
+    run("web_canonical_urls")
     run("registry_completeness")
     run("doc_token_stats")
     run("doc_lang_id")

@@ -140,3 +140,34 @@ def test_pagerank_runs_on_child_session_and_cleans_views(spark):
     leftover = [t.name for t in spark.catalog.listTables("global_temp")
                 if t.name.startswith("askg_pr_")]
     assert leftover == []
+
+
+def test_canonicalize_url_rules(spark):
+    from askg_spark.webgraph import canonicalize_url
+
+    cases = [
+        # scheme+host lowercased, www/default port/trailing slash/
+        # fragment stripped, tracking dropped, params sorted
+        ("HTTPS://WWW.Example.COM:443/A/B/?utm_source=x&b=2&a=1#frag",
+         "https://example.com/A/B?a=1&b=2"),
+        ("http://example.com:80/", "http://example.com"),
+        # non-default port and param values preserved
+        ("http://example.com:8080/p?z=Z%20Q&A=2",
+         "http://example.com:8080/p?A=2&z=Z%20Q"),
+        # tracking-only query -> no '?'
+        ("https://example.com/p?utm_campaign=c&fbclid=1",
+         "https://example.com/p"),
+        # no query, no changes needed
+        ("https://example.com/a", "https://example.com/a"),
+        # no scheme: host casing preserved, steps 1/4/5 still apply
+        ("Example.com/Path/?b=1&utm_source=s#x", "Example.com/Path?b=1"),
+        # empty query string after '?' -> dropped
+        ("https://example.com/a?", "https://example.com/a"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i long, url string")
+    got = {r["i"]: r["c"] for r in
+           df.select("i", canonicalize_url(F.col("url")).alias("c"))
+           .collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
