@@ -792,6 +792,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             messy.alias("url"),
             webgraph.canonicalize_url(messy).alias("canon_url"))
 
+    def warc_roundtrip(spark, sf):
+        # CC-style ingest surface certified end-to-end: documents are
+        # planted as real WARC/1.0 segments (per-record gzip members,
+        # warcinfo + request + response records, exact Content-Length
+        # bookkeeping), then re-read by the distributed parser
+        # (mapInPandas over segments, zero shuffle); every emitted
+        # column is arithmetic in doc_id, so the oracle recomputes
+        # the expected pages straight from the documents table —
+        # a payload-md5 mismatch means the parser did not recover
+        # byte-identical bodies (the north rule's per-row invariant)
+        from askg_spark import warc as W
+        docs = _t(spark, sf, "documents")
+        pages = W.parse_warc(W.documents_as_warc(docs, n_segments=32))
+        return pages.select(
+            "url", "ts_epoch", "status",
+            F.md5(F.col("payload")).alias("payload_md5"),
+            F.octet_length(F.col("payload")).cast("long").alias("n_bytes"))
+
     def doc_eval_holdout(spark, sf):
         # exact-k per-language eval holdout: deterministic md5 rank
         # inside each stratum, k=20 — the exact-count companion to
@@ -983,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_distinct_sketch": events_distinct_sketch,
         "doc_eval_holdout": doc_eval_holdout,
         "web_canonical_urls": web_canonical_urls,
+        "warc_roundtrip": warc_roundtrip,
         # (b) r2-binary-only rows — re-verify under the r4 binary
         "kg_id_stats": kg_id_stats,
         "kg_repo_domains": kg_repo_domains,
@@ -2367,6 +2386,19 @@ SELECT doc_id,
          || CASE WHEN doc_id % 4 = 0 THEN '#sec' ELSE '' END AS url,
        'https://site' || (doc_id % 7) || '.com/Path/' || doc_id
          || '?a=1&b=' || (doc_id % 5) AS canon_url
+FROM documents
+""",
+        # WARC round trip: every output column is closed-form in the
+        # documents row (url/ts arithmetic, md5 of the utf-8 body the
+        # writer planted), so a green row certifies the parser
+        # recovered byte-identical payloads through real gzip-member
+        # WARC segments
+        "warc_roundtrip": """
+SELECT 'https://' || source || '.example.org/doc/' || doc_id AS url,
+       CAST(1600000000 + doc_id % 86400 AS BIGINT) AS ts_epoch,
+       CAST(200 AS INTEGER) AS status,
+       md5(text) AS payload_md5,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
 FROM documents
 """,
         # exact-k per-stratum holdout: same md5 rank order as the
