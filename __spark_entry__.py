@@ -810,6 +810,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.md5(F.col("payload")).alias("payload_md5"),
             F.octet_length(F.col("payload")).cast("long").alias("n_bytes"))
 
+    def kg_ntriples_export(spark, sf):
+        # RDF export surface: serialize a triple frame as W3C
+        # N-Triples lines via the pure-Column escape chains in
+        # triples.to_ntriples — IRI objects for edges, escaped string
+        # literals for attributes. The literal branch injects every
+        # ECHAR (backslash, quote, newline, tab) around documents.text
+        # so the oracle certifies the escape order exactly; the IRI
+        # branch exercises %20 on multi-word names (MIDDLE EAST)
+        from askg_spark import triples as T
+        n, r = _t(spark, sf, "nation"), _t(spark, sf, "region")
+        edges = (n.join(F.broadcast(r),
+                        n.n_regionkey == r.r_regionkey)
+                 .select(F.concat(F.lit("nation "),
+                                  F.col("n_name")).alias("subj"),
+                         F.lit("IN_REGION").alias("pred"),
+                         F.col("r_name").alias("obj"),
+                         F.lit(True).alias("is_iri")))
+        attrs = _t(spark, sf, "documents").select(
+            F.concat(F.lit("doc "),
+                     F.col("doc_id").cast("string")).alias("subj"),
+            F.lit("text").alias("pred"),
+            F.concat(F.lit('say "'), F.col("text"),
+                     F.lit('"\\\n\tok')).alias("obj"),
+            F.lit(False).alias("is_iri"))
+        return T.to_ntriples(edges.unionByName(attrs),
+                             object_is_iri=F.col("is_iri"))
+
     def doc_eval_holdout(spark, sf):
         # exact-k per-language eval holdout: deterministic md5 rank
         # inside each stratum, k=20 — the exact-count companion to
@@ -1002,6 +1029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_eval_holdout": doc_eval_holdout,
         "web_canonical_urls": web_canonical_urls,
         "warc_roundtrip": warc_roundtrip,
+        "kg_ntriples_export": kg_ntriples_export,
         # (b) r2-binary-only rows — re-verify under the r4 binary
         "kg_id_stats": kg_id_stats,
         "kg_repo_domains": kg_repo_domains,
@@ -2400,6 +2428,31 @@ SELECT 'https://' || source || '.example.org/doc/' || doc_id AS url,
        md5(text) AS payload_md5,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
 FROM documents
+""",
+        # N-Triples export: the oracle rebuilds each line with the
+        # same escape chains (backslash first, then quote/NL/CR/TAB;
+        # IRIs percent-encode space — the only forbidden IRI char in
+        # these values, the engine applies the full §2.2 set)
+        "kg_ntriples_export": """
+WITH base AS (SELECT 'https://askg.example/kg/' AS b),
+edges AS (
+  SELECT '<' || b || replace('nation ' || n_name, ' ', '%20') || '> '
+         || '<' || b || 'IN_REGION> '
+         || '<' || b || replace(r_name, ' ', '%20') || '> .' AS line
+  FROM nation, region, base WHERE n_regionkey = r_regionkey),
+attrs AS (
+  SELECT '<' || b || replace('doc ' || doc_id, ' ', '%20') || '> '
+         || '<' || b || 'text> "'
+         || replace(replace(replace(replace(replace(
+              'say "' || text || '"' || chr(92) || chr(10) || chr(9) || 'ok',
+              chr(92), chr(92) || chr(92)),
+              '"', chr(92) || '"'),
+              chr(10), chr(92) || 'n'),
+              chr(13), chr(92) || 'r'),
+              chr(9), chr(92) || 't')
+         || '" .' AS line
+  FROM documents, base)
+SELECT line FROM edges UNION ALL SELECT line FROM attrs
 """,
         # exact-k per-stratum holdout: same md5 rank order as the
         # engine's window (hex md5 compares lexicographically =

@@ -164,3 +164,66 @@ def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
             .select(*key,
                     F.when(F.col("_in_new") == 1, F.lit("added"))
                      .otherwise(F.lit("removed")).alias("change")))
+
+
+# ----------------------------------------------------------- RDF export
+
+#: N-Triples string-literal escapes (W3C N-Triples §2.3 ECHAR), applied
+#: in order — backslash FIRST or later escapes would double-escape.
+_NT_LITERAL_ESCAPES = [("\\", "\\\\"), ('"', '\\"'),
+                       ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")]
+
+#: IRI percent-encoding for the characters N-Triples forbids inside
+#: <...> (§2.2 IRIREF: control chars, space, <>"{}|^` and backslash).
+#: '%' first so already-written escapes don't get re-encoded.
+_NT_IRI_ESCAPES = [("%", "%25"), (" ", "%20"), ("<", "%3C"), (">", "%3E"),
+                   ('"', "%22"), ("{", "%7B"), ("}", "%7D"), ("|", "%7C"),
+                   ("^", "%5E"), ("`", "%60"), ("\\", "%5C")]
+
+
+def _chain_replace(col: F.Column, pairs) -> F.Column:
+    for old, new in pairs:
+        col = F.replace(col, F.lit(old), F.lit(new))
+    return col
+
+
+def nt_literal(col: F.Column) -> F.Column:
+    """An N-Triples quoted string literal, fully escaped."""
+    return F.concat(F.lit('"'),
+                    _chain_replace(col.cast("string"),
+                                   _NT_LITERAL_ESCAPES),
+                    F.lit('"'))
+
+
+def nt_iri(col: F.Column, base: str = "https://askg.example/kg/") -> F.Column:
+    """An IRIREF under `base` with forbidden characters percent-encoded."""
+    return F.concat(F.lit("<" + base),
+                    _chain_replace(col.cast("string"), _NT_IRI_ESCAPES),
+                    F.lit(">"))
+
+
+def to_ntriples(triples: DataFrame,
+                base: str = "https://askg.example/kg/",
+                object_is_iri: F.Column | None = None) -> DataFrame:
+    """Serialize (subj, pred, obj) rows as N-Triples lines — the
+    standard line-oriented RDF exchange format, so the materialized
+    graph can leave Spark for any triple store without a custom
+    loader (the reference ships its graph to Neo4j over bolt;
+    neo4j_integration.py — this is the bulk-file equivalent surface).
+
+    Pure Column expressions (two bounded replace chains + concat), so
+    the export is a zero-shuffle map over however the triple frame is
+    already partitioned — at 10^12-scale this is `to_ntriples(t)
+    .write.text(...)` with one line per triple and no Python on the
+    hot path.
+
+    ``object_is_iri``: optional boolean Column; where true the object
+    serializes as an IRI under `base` (relationship edges), where
+    false/absent as an escaped string literal (attribute values)."""
+    obj = (nt_literal(F.col("obj")) if object_is_iri is None
+           else F.when(object_is_iri, nt_iri(F.col("obj"), base))
+                 .otherwise(nt_literal(F.col("obj"))))
+    return triples.select(
+        F.concat(nt_iri(F.col("subj"), base), F.lit(" "),
+                 nt_iri(F.col("pred"), base), F.lit(" "),
+                 obj, F.lit(" .")).alias("line"))
