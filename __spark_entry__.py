@@ -837,6 +837,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return T.to_ntriples(edges.unionByName(attrs),
                              object_is_iri=F.col("is_iri"))
 
+    def web_robots_filter(spark, sf):
+        # crawl-frontier politeness: REAL robots.txt text synthesized
+        # per domain (comments, a decoy badbot group, wildcard +
+        # end-anchor rules, a domain-dependent extra rule), parsed by
+        # the RFC 9309 parser once per domain, then longest-match
+        # applied JVM-side to closed-form URL paths; the oracle
+        # re-derives every decision from the same arithmetic, so a
+        # green row pins group selection, wildcard translation AND
+        # precedence (note /private/ok/{id}.zip: Allow len 11 beats
+        # Disallow /*.zip$ len 7)
+        from askg_spark import robots as R
+        docs = _t(spark, sf, "documents")
+        d = F.col("doc_id")
+        urls = docs.select(
+            "doc_id",
+            F.col("source").alias("domain"),
+            F.concat(
+                F.when(d % 5 == 0, F.lit("/private/"))
+                 .when(d % 5 == 1, F.lit("/private/ok/"))
+                 .when(d % 5 == 2, F.lit("/data/"))
+                 .otherwise(F.lit("/pub/")),
+                d.cast("string"),
+                F.when(d % 7 == 0, F.lit(".zip"))
+                 .otherwise(F.lit(".html"))).alias("path"))
+        robots_txt = docs.select("source").distinct().select(
+            F.col("source").alias("domain"),
+            F.concat(
+                F.lit("# synthetic per-domain policy\n"
+                      "User-agent: badbot\nDisallow: /\n\n"
+                      "User-agent: *\n"
+                      "Disallow: /private/\n"
+                      "Allow: /private/ok\n"
+                      "Disallow: /*.zip$\n"),
+                F.when(
+                    F.ascii(F.substring(F.col("source"), -1, 1)) % 2
+                    == 0,
+                    F.lit("Disallow: /data/\n")).otherwise(F.lit("")))
+            .alias("robots_txt"))
+        rules = R.robots_rules(robots_txt, agent="askg-spark")
+        return R.apply_robots(urls, rules)
+
     def doc_eval_holdout(spark, sf):
         # exact-k per-language eval holdout: deterministic md5 rank
         # inside each stratum, k=20 — the exact-count companion to
@@ -1030,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_canonical_urls": web_canonical_urls,
         "warc_roundtrip": warc_roundtrip,
         "kg_ntriples_export": kg_ntriples_export,
+        "web_robots_filter": web_robots_filter,
         # (b) r2-binary-only rows — re-verify under the r4 binary
         "kg_id_stats": kg_id_stats,
         "kg_repo_domains": kg_repo_domains,
@@ -2453,6 +2495,32 @@ attrs AS (
          || '" .' AS line
   FROM documents, base)
 SELECT line FROM edges UNION ALL SELECT line FROM attrs
+""",
+        # robots decisions re-derived closed-form; CASE order encodes
+        # the longest-match precedence (Allow /private/ok len 11 >
+        # Disallow /private/ len 9 > Disallow /*.zip$ len 7 >
+        # Disallow /data/ len 6; unmatched -> allowed)
+        "web_robots_filter": """
+WITH u AS (
+  SELECT doc_id, source AS domain,
+         (CASE WHEN doc_id % 5 = 0 THEN '/private/'
+               WHEN doc_id % 5 = 1 THEN '/private/ok/'
+               WHEN doc_id % 5 = 2 THEN '/data/'
+               ELSE '/pub/' END)
+         || doc_id
+         || (CASE WHEN doc_id % 7 = 0 THEN '.zip'
+                  ELSE '.html' END) AS path
+  FROM documents)
+SELECT doc_id, domain, path,
+       CAST(CASE
+         WHEN path LIKE '/private/ok%' THEN 1
+         WHEN path LIKE '/private/%' THEN 0
+         WHEN path LIKE '%.zip' THEN 0
+         WHEN path LIKE '/data/%'
+              AND ascii(substr(domain, length(domain), 1)) % 2 = 0
+           THEN 0
+         ELSE 1 END AS INTEGER) AS allowed
+FROM u
 """,
         # exact-k per-stratum holdout: same md5 rank order as the
         # engine's window (hex md5 compares lexicographically =
