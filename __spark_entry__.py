@@ -878,6 +878,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rules = R.robots_rules(robots_txt, agent="askg-spark")
         return R.apply_robots(urls, rules)
 
+    def catalog_pruned_scan(spark, sf):
+        # Iceberg-style manifest pruning certified end-to-end: events
+        # written range-partitioned on event_id, per-file min/max
+        # harvested from parquet footers into the manifest, then a
+        # 10%-range scan that OPENS only overlapping files. `pruned`
+        # pins that file skipping actually happened (strictly fewer
+        # files opened than exist); the aggregate pins that the
+        # pruned read lost no rows vs the oracle's full-table filter
+        import os
+        import shutil
+
+        from askg_spark.catalog import Catalog
+        root = f"/tmp/askg-prune-{os.path.basename(sf.rstrip('/'))}"
+        shutil.rmtree(root, ignore_errors=True)
+        cat = Catalog(root)
+        cat.write_snapshot(
+            _t(spark, sf, "events").repartitionByRange(8, "event_id"),
+            "events_rt")
+        cat.collect_file_stats("events_rt", ["event_id"])
+        df, rep = cat.scan_pruned(spark, "events_rt", "event_id",
+                                  1000, 1999)
+        return (df.groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.countDistinct("user_id").alias("n_users"))
+                .select("event_type", "n", "n_users",
+                        F.lit(1 if rep["files_read"] < rep["files_total"]
+                              else 0).alias("pruned")))
+
     def doc_eval_holdout(spark, sf):
         # exact-k per-language eval holdout: deterministic md5 rank
         # inside each stratum, k=20 — the exact-count companion to
@@ -1072,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": warc_roundtrip,
         "kg_ntriples_export": kg_ntriples_export,
         "web_robots_filter": web_robots_filter,
+        "catalog_pruned_scan": catalog_pruned_scan,
         # (b) r2-binary-only rows — re-verify under the r4 binary
         "kg_id_stats": kg_id_stats,
         "kg_repo_domains": kg_repo_domains,
@@ -2521,6 +2550,17 @@ SELECT doc_id, domain, path,
            THEN 0
          ELSE 1 END AS INTEGER) AS allowed
 FROM u
+""",
+        # the pruned read must equal the full-table filter exactly;
+        # pruned=1 is asserted engine-side (files_read < files_total)
+        "catalog_pruned_scan": """
+SELECT event_type,
+       count(*) AS n,
+       count(DISTINCT user_id) AS n_users,
+       CAST(1 AS INTEGER) AS pruned
+FROM events
+WHERE event_id BETWEEN 1000 AND 1999
+GROUP BY event_type
 """,
         # exact-k per-stratum holdout: same md5 rank order as the
         # engine's window (hex md5 compares lexicographically =

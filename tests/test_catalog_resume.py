@@ -85,3 +85,45 @@ def test_compact_snapshot_reduces_files_preserves_rows(spark, tmp_path):
     assert sorted(r["id"] for r in cat.read(spark, "t").collect()) \
         == list(range(200))
     assert cat.read(spark, "t", snapshot_id=s1).count() == 200
+
+
+def test_file_stats_pruned_scan(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    cat = Catalog(str(tmp_path / "cat"))
+    df = (spark.range(0, 1000)
+          .select(F.col("id").alias("k"),
+                  (F.col("id") % 7).alias("v"))
+          .repartitionByRange(8, "k"))
+    cat.write_snapshot(df, "t")
+    n_files = cat.collect_file_stats("t", ["k", "v"])
+    assert n_files == 8
+    man_files = cat.manifest("t")["snapshots"][0]["files"]
+    assert all("k" in e["stats"] for e in man_files)
+
+    pruned, rep = cat.scan_pruned(spark, "t", "k", 100, 199)
+    assert rep["files_total"] == 8
+    assert rep["files_read"] < 8          # skipping actually happened
+    assert sorted(r.k for r in pruned.collect()) == list(range(100, 200))
+
+    # range outside the data: zero files, empty frame, schema intact
+    empty, rep0 = cat.scan_pruned(spark, "t", "k", 5000, 6000)
+    assert rep0["files_read"] == 0 and empty.count() == 0
+    assert empty.columns == ["k", "v"]
+
+    # files lacking stats for the column are conservatively kept
+    for e in cat.manifest("t")["snapshots"][0]["files"]:
+        e["stats"].pop("v", None)
+    cat._save_manifest("t", cat.manifest("t"))
+    # stats were popped on a COPY loaded from disk; re-annotate and
+    # drop one file's entry for the real conservatism check
+    man = cat.manifest("t")
+    # drop stats from a file that does NOT overlap [100, 199] (the
+    # max-k file) — conservatism must now force it into the read set
+    drop = max(man["snapshots"][0]["files"],
+               key=lambda e: e["stats"]["k"][1])
+    assert drop["stats"]["k"][0] > 199
+    drop["stats"].pop("k")
+    cat._save_manifest("t", man)
+    _all, rep2 = cat.scan_pruned(spark, "t", "k", 100, 199)
+    assert rep2["files_read"] == rep["files_read"] + 1
