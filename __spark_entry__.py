@@ -760,6 +760,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents").select("doc_id"))
         return multimodal.image_pixel_stats(media)
 
+    def multimodal_jpeg_stats(spark, sf):
+        # FOURTH real image codec, and the web's dominant one: per-doc
+        # baseline JFIF images through the full marker/Huffman/IDCT
+        # decoder. The plant (constant gray 8x8 tiles) makes the lossy
+        # codec integer-exact — DC-only blocks, zero chroma — so the
+        # oracle recomputes every tile's decoded value closed-form
+        # (k = floor((v-128)/2 + .5); y = clamp(2k+128))
+        media = multimodal.synth_jpeg_corpus(
+            _t(spark, sf, "documents").select("doc_id"))
+        return multimodal.image_pixel_stats(media)
+
     def doc_dsir_scores(spark, sf):
         # DSIR-style data selection: importance of each doc under a
         # target distribution (here: the English slice) vs the raw
@@ -1101,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ntriples_export": kg_ntriples_export,
         "web_robots_filter": web_robots_filter,
         "catalog_pruned_scan": catalog_pruned_scan,
+        "multimodal_jpeg_stats": multimodal_jpeg_stats,
         # (b) r2-binary-only rows — re-verify under the r4 binary
         "kg_id_stats": kg_id_stats,
         "kg_repo_domains": kg_repo_domains,
@@ -2398,6 +2410,23 @@ FROM s GROUP BY doc_id
         # w = 10 + doc_id%20, h = 10 + (doc_id*3)%20, palette index
         # (doc_id + 3r + 5c) % 256 — the oracle regenerates every
         # palette-mapped cell, checking the LZW decoder bit-for-bit
+        # lossy JPEG, integer-exact: constant gray tiles are DC-only,
+        # so decode(encode(v)) = clamp(2*floor((v-128)/2 + .5) + 128)
+        # per tile; 3 channels x 64 px per tile
+        "multimodal_jpeg_stats": """
+WITH v AS (
+  SELECT d.doc_id,
+         least(255, greatest(0,
+           2 * CAST(floor((((d.doc_id * 31 + t.t * 97) % 256) - 128)
+                          / 2.0 + 0.5) AS BIGINT) + 128)) AS y
+  FROM documents d, range(16) t(t))
+SELECT doc_id,
+       CAST(32 AS INTEGER) AS width,
+       CAST(32 AS INTEGER) AS height,
+       CAST(1024 AS BIGINT) AS n_pixels,
+       CAST(3 * 64 * sum(y) AS BIGINT) AS sum_pixels
+FROM v GROUP BY doc_id
+""",
         "multimodal_gif_stats": """
 WITH d AS (
   SELECT doc_id,

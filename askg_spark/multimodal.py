@@ -516,8 +516,8 @@ def encode_gif(indices, palette) -> bytes:
 
 
 def decode_image_array(payload: bytes):
-    """Signature-dispatched raster decode: PNG, BMP or GIF ->
-    (pixels uint8 (h, w, ch), w, h). Unknown signatures raise
+    """Signature-dispatched raster decode: PNG, BMP, GIF or baseline
+    JPEG -> (pixels uint8 (h, w, ch), w, h). Unknown signatures raise
     ValueError (quarantine) — the single entry point stats surfaces
     use so new codecs plug in here once."""
     if payload.startswith(PNG_SIG):
@@ -526,12 +526,18 @@ def decode_image_array(payload: bytes):
         return decode_bmp_array(payload)
     if payload[:6] in GIF_SIGS:
         return decode_gif_array(payload)
+    if payload.startswith(JPEG_SIG):
+        from askg_spark.jpeg import decode_jpeg_array
+        return decode_jpeg_array(payload)
     raise ValueError("unknown image signature")
+
+
+JPEG_SIG = b"\xff\xd8\xff"
 
 
 def _is_raster(payload: bytes) -> bool:
     return (payload.startswith(PNG_SIG) or payload.startswith(BMP_SIG)
-            or payload[:6] in GIF_SIGS)
+            or payload[:6] in GIF_SIGS or payload.startswith(JPEG_SIG))
 
 
 def _decode_real(payload: bytes):
@@ -1032,6 +1038,30 @@ def synth_bmp_corpus(docs: DataFrame) -> DataFrame:
         "doc_id", "payload",
         F.struct(
             F.lit("image/bmp").alias("content_type"),
+            F.length("payload").cast("long").alias("n_bytes"),
+        ).alias("media_meta"),
+    )
+
+
+def synth_jpeg_corpus(docs: DataFrame) -> DataFrame:
+    """Planted-payload media source: one baseline JFIF image per
+    doc_id (constant gray 8x8 tiles — see jpeg.synth_jpeg) whose
+    decode is integer-exact despite the lossy codec, so the fourth
+    image format also carries a closed-form SQL oracle."""
+    from pyspark.sql.functions import pandas_udf
+
+    from askg_spark.jpeg import synth_jpeg
+
+    @pandas_udf(BinaryType())
+    def mk(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_jpeg(int(i)))
+
+    return docs.select(
+        "doc_id", mk("doc_id").alias("payload")
+    ).select(
+        "doc_id", "payload",
+        F.struct(
+            F.lit("image/jpeg").alias("content_type"),
             F.length("payload").cast("long").alias("n_bytes"),
         ).alias("media_meta"),
     )
