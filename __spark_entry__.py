@@ -771,6 +771,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents").select("doc_id"))
         return multimodal.image_pixel_stats(media)
 
+    def graph_bfs_depths(spark, sf):
+        # level-synchronous multi-source BFS with a HARD oracle: the
+        # iterative frontier loop vs DuckDB's recursive CTE over the
+        # same closed-form functional graph (2 out-edges per node,
+        # undirected; seeds every 97th) — the certification pattern
+        # pagerank needed quantization for works directly here since
+        # hop depths are exact integers
+        from askg_spark import graphops
+        docs = _t(spark, sf, "documents").select("doc_id")
+        n = docs.count()
+        d = F.col("doc_id")
+        edges = (docs.select(d.alias("src"),
+                             ((d * 7 + 3) % n).alias("dst"))
+                 .unionByName(
+                     docs.select(d.alias("src"),
+                                 ((d * 13 + 5) % n).alias("dst"))))
+        seeds = docs.filter(d % 97 == 0).select(d.alias("node"))
+        return (graphops.bfs_depths(edges, seeds, max_depth=4)
+                .select("node", "depth"))
+
     def doc_dsir_scores(spark, sf):
         # DSIR-style data selection: importance of each doc under a
         # target distribution (here: the English slice) vs the raw
@@ -1113,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_robots_filter": web_robots_filter,
         "catalog_pruned_scan": catalog_pruned_scan,
         "multimodal_jpeg_stats": multimodal_jpeg_stats,
+        "graph_bfs_depths": graph_bfs_depths,
         # (b) r2-binary-only rows — re-verify under the r4 binary
         "kg_id_stats": kg_id_stats,
         "kg_repo_domains": kg_repo_domains,
@@ -2410,6 +2431,26 @@ FROM s GROUP BY doc_id
         # w = 10 + doc_id%20, h = 10 + (doc_id*3)%20, palette index
         # (doc_id + 3r + 5c) % 256 — the oracle regenerates every
         # palette-mapped cell, checking the LZW decoder bit-for-bit
+        # BFS min-depths via recursive CTE over the same closed-form
+        # graph; UNION dedups (node, depth) states, min() collapses
+        # to the hop distance
+        "graph_bfs_depths": """
+WITH RECURSIVE
+n AS (SELECT count(*) AS n FROM documents),
+e AS (
+  SELECT doc_id AS u, (doc_id * 7 + 3) % n.n AS v FROM documents, n
+  UNION ALL
+  SELECT doc_id, (doc_id * 13 + 5) % n.n FROM documents, n),
+bi AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+bfs(node, depth) AS (
+  SELECT doc_id, 0 FROM documents WHERE doc_id % 97 = 0
+  UNION
+  SELECT bi.v, bfs.depth + 1
+  FROM bfs JOIN bi ON bi.u = bfs.node
+  WHERE bfs.depth < 4)
+SELECT node, CAST(min(depth) AS INTEGER) AS depth
+FROM bfs GROUP BY node
+""",
         # lossy JPEG, integer-exact: constant gray tiles are DC-only,
         # so decode(encode(v)) = clamp(2*floor((v-128)/2 + .5) + 128)
         # per tile; 3 channels x 64 px per tile

@@ -98,3 +98,45 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     return spark.createDataFrame(
         [(n_nodes, n_edges, n_triangles)],
         "n_nodes long, n_edges long, n_triangles long")
+
+
+def bfs_depths(edges: DataFrame, seeds: DataFrame,
+               max_depth: int = 4) -> DataFrame:
+    """Multi-source BFS: minimum hop distance (<= max_depth) from any
+    seed, over an undirected edge set. -> (node, depth).
+
+    Level-synchronous frontier expansion — the textbook distributed
+    BFS: each round joins the CURRENT frontier (small) against the
+    edge frame on the frontier's node key, anti-joins already-visited
+    nodes, and advances. Per round that is one equi-join shuffle
+    keyed by node plus one aggregation; rounds = max_depth, so the
+    total work is O(edges touched) with no plan growth (each round's
+    frontier is a fresh aggregation result, not a deepening lineage —
+    bounded loops at fixed depth need no checkpoint). Web-scale BFS
+    (friend-of-friend audiences, link-distance features) runs this
+    exact shape; hub-node skew lands on the edge join's build side
+    where AQE's skew split handles it.
+
+    `edges` (src, dst) is treated as undirected; `seeds` is one
+    column of node ids, depth 0."""
+    bidir = (edges.selectExpr("src AS u", "dst AS v")
+             .unionByName(edges.selectExpr("dst AS u", "src AS v"))
+             .distinct())
+    node_col = seeds.columns[0]
+    visited = seeds.select(
+        F.col(node_col).alias("node"), F.lit(0).alias("depth")).distinct()
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        nxt = (frontier.join(bidir, frontier["node"] == bidir["u"])
+               .select(F.col("v").alias("node"))
+               .distinct()
+               .join(visited.select("node"), "node", "left_anti")
+               .withColumn("depth", F.lit(d)))
+        # materialize the (small) frontier once so visited's growing
+        # union doesn't recompute every prior hop's joins
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited

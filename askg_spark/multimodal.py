@@ -541,8 +541,8 @@ def _is_raster(payload: bytes) -> bool:
 
 
 def _decode_real(payload: bytes):
-    """Real decoder: the built-in pure-python PNG/BMP/GIF paths; other
-    formats would need codecs this container lacks."""
+    """Real decoder: the built-in pure-python PNG/BMP/GIF/JPEG paths;
+    other formats would need codecs this container lacks."""
     import numpy as np
 
     if _is_raster(payload):
@@ -627,23 +627,25 @@ RESIZED_SCHEMA = StructType([
 
 
 def _resize_real(payload: bytes, max_side: int):
-    """REAL resize for PNG payloads, no PIL: decode via the built-in
-    codec, exact integer box-filter downsample, re-encode via
-    `encode_png` — a full decode->kernel->encode round trip whose
-    output pixels are a closed form of the input. Non-PNG formats
-    (JPEG/video stills) still need codecs this container lacks and
-    fall through to the deterministic fallback."""
+    """REAL resize for raster payloads (PNG/BMP/GIF/JPEG), no PIL:
+    decode via the built-in codecs, exact integer box-filter
+    downsample, re-encode — a full decode->kernel->encode round trip
+    whose output pixels are a closed form of the input. Video stills
+    still need codecs this container lacks and fall through to the
+    deterministic fallback."""
     if _is_raster(payload):
         px, w, h = decode_image_array(payload)
         ow, oh = resize_target(w, h, max_side)
         out = px if (ow, oh) == (w, h) else box_downsample(px, ow, oh)
-        # format-preserving for PNG/BMP; GIF re-encodes as PNG (the
-        # box filter produces true-color pixels — re-palettizing would
-        # need a quantizer, and lossless PNG is the honest container)
+        # format-preserving for PNG/BMP; GIF and JPEG re-encode as
+        # PNG (the box filter produces true-color pixels — GIF would
+        # need re-palettizing, and a JPEG re-encode would stack a
+        # second lossy generation; lossless PNG is the honest
+        # container for a derived thumbnail)
         enc = encode_bmp if payload.startswith(BMP_SIG) else encode_png
         return ow, oh, enc(out)
     raise NotImplementedError(
-        "non-PNG/BMP/GIF resize requires PIL/ffmpeg; this environment "
+        "non-raster resize requires PIL/ffmpeg; this environment "
         "ships none — the deterministic fallback keeps the plumbing "
         "testable")
 

@@ -66,3 +66,30 @@ def test_dedup_effectiveness_row(spark):
     # null norm_name excluded from name stats
     assert row["n_norm_names"] == 2
     assert row["n_dup_names"] == 1
+
+
+def test_bfs_depths_path_graph(spark):
+    from askg_spark.graphops import bfs_depths
+
+    # path 0-1-2-...-9 plus a detached pair (10, 11)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)] + [(10, 11)],
+        "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.depth
+           for r in bfs_depths(edges, seeds, max_depth=4).collect()}
+    # exactly nodes within 4 hops, at their true distances; the
+    # detached component and nodes beyond the horizon are absent
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+
+    # multi-source: min over seeds; undirectedness (seed at the end)
+    seeds2 = spark.createDataFrame([(0,), (9,)], "node long")
+    got2 = {r.node: r.depth
+            for r in bfs_depths(edges, seeds2, max_depth=4).collect()}
+    assert got2[9] == 0 and got2[5] == 4 and got2[8] == 1
+    assert 10 not in got2
+
+    # early exit: horizon larger than the graph terminates
+    got3 = {r.node: r.depth
+            for r in bfs_depths(edges, seeds, max_depth=50).collect()}
+    assert got3[9] == 9 and len(got3) == 10
