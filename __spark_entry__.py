@@ -791,6 +791,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (graphops.bfs_depths(edges, seeds, max_depth=4)
                 .select("node", "depth"))
 
+    def corpus_bpe_merges(spark, sf):
+        # distributed BPE training: merge decisions are inherently
+        # sequential (each argmax depends on all prior merges), so
+        # this is rows-only like the other iterative operators — the
+        # certification is exact merge-table equality vs an
+        # independent pure-python reference in tests/test_bpe.py,
+        # plus determinism via (-freq, left, right) tie-breaks
+        from askg_spark import bpe
+        wc = bpe.word_type_counts(_t(spark, sf, "documents"))
+        merges = bpe.train_bpe(wc, n_merges=10, min_freq=2)
+        return spark.createDataFrame(
+            [(i, a, b, f) for i, (a, b, f) in enumerate(merges)],
+            "rank int, left string, right string, freq long")
+
     def doc_dsir_scores(spark, sf):
         # DSIR-style data selection: importance of each doc under a
         # target distribution (here: the English slice) vs the raw
@@ -1134,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catalog_pruned_scan": catalog_pruned_scan,
         "multimodal_jpeg_stats": multimodal_jpeg_stats,
         "graph_bfs_depths": graph_bfs_depths,
+        "corpus_bpe_merges": corpus_bpe_merges,
         # (b) r2-binary-only rows — re-verify under the r4 binary
         "kg_id_stats": kg_id_stats,
         "kg_repo_domains": kg_repo_domains,

@@ -96,6 +96,13 @@ def main() -> int:
     run("multimodal_bmp_stats")
     run("multimodal_audio_stats")
     run("multimodal_gif_stats")
+    run("multimodal_jpeg_stats")
+    run("warc_roundtrip")
+    run("kg_ntriples_export")
+    run("web_robots_filter")
+    run("catalog_pruned_scan")
+    run("graph_bfs_depths")
+    run("corpus_bpe_merges")
     run("doc_dsir_scores")
     run("part_cooccur_triangles")
     run("events_distinct_sketch")
