@@ -951,6 +951,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.lit(1 if rep["files_read"] < rep["files_total"]
                               else 0).alias("pruned")))
 
+    def web_surt_keys(spark, sf):
+        # CDX index keys: the same messy closed-form URLs as
+        # web_canonical_urls, through canonicalize_url + SURT host
+        # reversal; the oracle rebuilds the expected key from the
+        # known canonical form
+        from askg_spark import webgraph
+        d = F.col("doc_id")
+        messy = F.concat(
+            F.lit("HTTPS://WWW.Site"), (d % 7).cast("string"),
+            F.lit(".com"),
+            F.when(d % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.lit("/Path/"), d.cast("string"),
+            F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.lit("?utm_source=x&b="), (d % 5).cast("string"),
+            F.lit("&a=1"),
+            F.when(d % 4 == 0, F.lit("#sec")).otherwise(F.lit("")))
+        return _t(spark, sf, "documents").select(
+            "doc_id", webgraph.surt_key(messy).alias("surt"))
+
+    def events_quantile_sketch(spark, sf):
+        # quantile-sketch certification, events_distinct_sketch-style:
+        # percentile_approx (GK sketch, accuracy 1000 => rank error
+        # <= 1e-3) checked IN-ENGINE — the approx quantile's true rank
+        # must sit within 0.011 of its target — so the approximate
+        # operator gets a hard oracle without DuckDB reproducing the
+        # sketch; the flag is an algorithmic guarantee, not luck
+        ev = _t(spark, sf, "events")
+        ap = ev.groupBy("event_type").agg(
+            F.expr("percentile_approx(value, array(0.5, 0.9), 1000)")
+            .alias("_q"))
+        j = ev.join(F.broadcast(ap), "event_type")
+        return (j.groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.avg((F.col("value") <= F.element_at("_q", 1))
+                           .cast("double")).alias("_r50"),
+                     F.avg((F.col("value") <= F.element_at("_q", 2))
+                           .cast("double")).alias("_r90"))
+                .select("event_type", "n",
+                        (F.abs(F.col("_r50") - 0.5) <= 0.011)
+                        .cast("int").alias("p50_ok"),
+                        (F.abs(F.col("_r90") - 0.9) <= 0.011)
+                        .cast("int").alias("p90_ok")))
+
     def doc_eval_holdout(spark, sf):
         # exact-k per-language eval holdout: deterministic md5 rank
         # inside each stratum, k=20 — the exact-count companion to
@@ -1149,6 +1192,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg_stats": multimodal_jpeg_stats,
         "graph_bfs_depths": graph_bfs_depths,
         "corpus_bpe_merges": corpus_bpe_merges,
+        "web_surt_keys": web_surt_keys,
+        "events_quantile_sketch": events_quantile_sketch,
         # (b) r2-binary-only rows — re-verify under the r4 binary
         "kg_id_stats": kg_id_stats,
         "kg_repo_domains": kg_repo_domains,
@@ -2446,6 +2491,23 @@ FROM s GROUP BY doc_id
         # w = 10 + doc_id%20, h = 10 + (doc_id*3)%20, palette index
         # (doc_id + 3r + 5c) % 256 — the oracle regenerates every
         # palette-mapped cell, checking the LZW decoder bit-for-bit
+        # SURT: canonical form is pinned by the web_canonical_urls
+        # oracle; reversed host + ')' + path?query
+        "web_surt_keys": """
+SELECT doc_id,
+       'com,site' || (doc_id % 7) || ')/Path/' || doc_id
+         || '?a=1&b=' || (doc_id % 5) AS surt
+FROM documents
+""",
+        # GK-sketch certification: exact n per group; the rank-error
+        # flags are asserted engine-side (accuracy 1000 bounds rank
+        # error at 1e-3, threshold 0.011 adds tie slack)
+        "events_quantile_sketch": """
+SELECT event_type, count(*) AS n,
+       CAST(1 AS INTEGER) AS p50_ok,
+       CAST(1 AS INTEGER) AS p90_ok
+FROM events GROUP BY event_type
+""",
         # BFS min-depths via recursive CTE over the same closed-form
         # graph; UNION dedups (node, depth) states, min() collapses
         # to the hop distance

@@ -111,6 +111,26 @@ def canonicalize_url(url: Column) -> Column:
             F.concat(F.lit("?"), query_c)))).otherwise(canon)
 
 
+def surt_key(url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) index key — the
+    key format Common Crawl's CDX index and every web archive use:
+    the canonical URL's host reversed comma-wise, then ')' and the
+    path+query, e.g. `com,example)/path?a=1`. Reversed hosts make a
+    byte-sorted key file cluster by registrable domain, so one
+    RANGE-partitioned sort of 10^12 keys gives per-domain locality
+    for free (politeness budgeting, per-site dedup, prefix lookups).
+
+    Pure Column expression on top of `canonicalize_url` — same
+    zero-UDF, oracle-reproducible contract."""
+    cu = canonicalize_url(url)
+    rest = F.regexp_replace(cu, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    host = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    tail = F.regexp_replace(rest, r"^[^/?]*", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    return F.concat(rev, F.lit(")"),
+                    F.when(tail == "", F.lit("/")).otherwise(tail))
+
+
 def owner_indegree(pages: DataFrame) -> DataFrame:
     """Link-graph in-degree rolled up to the target owner:
     -> (owner, n_links, n_targets, n_src_pages). n_links counts every

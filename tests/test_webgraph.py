@@ -171,3 +171,21 @@ def test_canonicalize_url_rules(spark):
            .collect()}
     for i, (u, want) in enumerate(cases):
         assert got[i] == want, (u, got[i], want)
+
+
+def test_surt_key_shapes(spark):
+    from pyspark.sql import functions as F
+
+    from askg_spark.webgraph import surt_key
+
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/A/b/?utm_source=x&z=1#frag",
+         "com,example)/A/b?z=1"),
+        ("http://sub.host.co.uk/x", "uk,co,host,sub)/x"),
+        ("https://plain.org", "org,plain)/"),
+        ("https://one.two/path/", "two,one)/path"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.s for r in df.select(surt_key(F.col("url")).alias("s"))
+           .collect()]
+    assert got == [e for _, e in cases]
