@@ -994,6 +994,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         (F.abs(F.col("_r90") - 0.9) <= 0.011)
                         .cast("int").alias("p90_ok")))
 
+    def web_cdx_index(spark, sf):
+        # CDX archive index over the planted WARC segments: per
+        # response record, its SURT key + timestamp + an IN-ENGINE
+        # random-access certification (cdx_ok: the indexed byte range
+        # re-sliced from the segment and re-parsed standalone must
+        # reproduce the url and byte-identical payload — the contract
+        # ranged GETs depend on). Offsets themselves depend on
+        # compressed sizes, so the oracle pins (url, surt, ts, ok=1)
+        # and the slice check pins the geometry
+        from askg_spark import warc as W
+        from askg_spark import webgraph
+        docs = _t(spark, sf, "documents")
+        seg = W.documents_as_warc(docs, n_segments=32)
+        idx = W.cdx_records(seg)
+        return idx.select(
+            "url",
+            webgraph.surt_key(F.col("url")).alias("surt"),
+            "ts_epoch", "cdx_ok")
+
+    def web_fetch_schedule(spark, sf):
+        # crawl-frontier politeness scheduling: one fetch slot per
+        # domain every delay_ms (domain-dependent), slots assigned in
+        # deterministic doc_id order — the window-rank shape that
+        # spreads 10^12 fetches into per-domain queues; the shuffle
+        # key is the domain, the same key the frontier is partitioned
+        # by anyway
+        from pyspark.sql import Window
+        docs = _t(spark, sf, "documents")
+        delay = (500 + (F.ascii(F.substring(F.col("source"), -1, 1))
+                        % 3) * 250)
+        w = Window.partitionBy("source").orderBy("doc_id")
+        return docs.select(
+            "doc_id",
+            F.col("source").alias("domain"),
+            ((F.row_number().over(w) - 1) * delay)
+            .cast("long").alias("fetch_at_ms"))
+
     def doc_eval_holdout(spark, sf):
         # exact-k per-language eval holdout: deterministic md5 rank
         # inside each stratum, k=20 — the exact-count companion to
@@ -1194,6 +1231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bpe_merges": corpus_bpe_merges,
         "web_surt_keys": web_surt_keys,
         "events_quantile_sketch": events_quantile_sketch,
+        "web_cdx_index": web_cdx_index,
+        "web_fetch_schedule": web_fetch_schedule,
         # (b) r2-binary-only rows — re-verify under the r4 binary
         "kg_id_stats": kg_id_stats,
         "kg_repo_domains": kg_repo_domains,
@@ -2497,6 +2536,25 @@ FROM s GROUP BY doc_id
 SELECT doc_id,
        'com,site' || (doc_id % 7) || ')/Path/' || doc_id
          || '?a=1&b=' || (doc_id % 5) AS surt
+FROM documents
+""",
+        # CDX rows: url/ts closed-form as in warc_roundtrip; surt is
+        # the deterministic reversal of the planted host; cdx_ok = 1
+        # is the engine-side ranged-refetch certification
+        "web_cdx_index": """
+SELECT 'https://' || source || '.example.org/doc/' || doc_id AS url,
+       'org,example,' || source || ')/doc/' || doc_id AS surt,
+       CAST(1600000000 + doc_id % 86400 AS BIGINT) AS ts_epoch,
+       CAST(1 AS INTEGER) AS cdx_ok
+FROM documents
+""",
+        # politeness slots: identical window arithmetic
+        "web_fetch_schedule": """
+SELECT doc_id, source AS domain,
+       CAST((row_number() OVER (PARTITION BY source ORDER BY doc_id)
+             - 1)
+            * (500 + (ascii(substr(source, length(source), 1)) % 3)
+               * 250) AS BIGINT) AS fetch_at_ms
 FROM documents
 """,
         # GK-sketch certification: exact n per group; the rank-error

@@ -99,11 +99,9 @@ def _scaled_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
 
 # ------------------------------------------------------------- encoder
 
-def _size_cat(v: np.ndarray) -> np.ndarray:
+def _size_cat(v: int) -> int:
     """JPEG magnitude category (bits needed for |v|)."""
-    return np.where(v == 0, 0,
-                    np.floor(np.log2(np.maximum(np.abs(v), 1))) + 1
-                    ).astype(np.int64)
+    return abs(v).bit_length()
 
 
 class _BitWriter:
@@ -232,7 +230,7 @@ def _encode_component_blocks(blocks: np.ndarray, freq_dc, freq_ac,
     for blk in blocks:
         diff = int(blk[0]) - pred
         pred = int(blk[0])
-        s = int(_size_cat(np.array([diff]))[0])
+        s = _size_cat(diff)
         if emit:
             c, ln = dc_codes[s]
             emit((c, ln))
@@ -256,7 +254,7 @@ def _encode_component_blocks(blocks: np.ndarray, freq_dc, freq_ac,
                 else:
                     freq_ac[0xF0] = freq_ac.get(0xF0, 0) + 1
                 run -= 16
-            s = int(_size_cat(np.array([v]))[0])
+            s = _size_cat(v)
             sym = (run << 4) | s
             if emit:
                 c, ln = ac_codes[sym]
@@ -475,6 +473,23 @@ class _BitReader:
         v = (self.acc >> self.nbits) & ((1 << n) - 1)
         return v
 
+    def peek16(self) -> tuple[int, int]:
+        """Up to 16 buffered bits left-aligned into a 16-bit window,
+        plus how many are real; the tail is virtually padded with
+        1-bits when the stream ends at a marker (T.81 pad
+        convention) so the fast Huffman path needs exactly one call."""
+        while self.nbits < 16:
+            try:
+                self._fill()
+            except (_Marker, ValueError):
+                pad = 16 - self.nbits
+                return (((self.acc << pad)
+                         | ((1 << pad) - 1)) & 0xFFFF, self.nbits)
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF, 16
+
+    def drop(self, n: int) -> None:
+        self.nbits -= n
+
     def align(self) -> None:
         self.nbits -= self.nbits % 8
         # drop consumed whole bytes from acc bookkeeping
@@ -506,11 +521,16 @@ class _HuffTable:
         self.vals = vals
 
     def decode(self, br: _BitReader) -> int:
-        code = 0
+        # peek-16 fast path: one buffered window, then pure int
+        # compares — replaces 1..16 per-bit reader calls per symbol
+        code16, avail = br.peek16()
         for ln in range(1, 17):
-            code = (code << 1) | br.bits(1)
-            if code <= self.maxcode[ln]:
-                return self.vals[self.valptr[ln] + code - self.mincode[ln]]
+            c = code16 >> (16 - ln)
+            if c <= self.maxcode[ln]:
+                if ln > avail:
+                    raise ValueError("truncated Huffman code")
+                br.drop(ln)
+                return self.vals[self.valptr[ln] + c - self.mincode[ln]]
         raise ValueError("bad Huffman code")
 
 

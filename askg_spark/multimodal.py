@@ -1058,6 +1058,11 @@ def synth_jpeg_corpus(docs: DataFrame) -> DataFrame:
     def mk(ids: pd.Series) -> pd.Series:
         return ids.map(lambda i: synth_jpeg(int(i)))
 
+    # the documents table is one parquet file at test SFs — without a
+    # repartition the per-image python codec runs on ONE core; spread
+    # it before the udf (at real scale the source is already wide)
+    spark = docs.sparkSession
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return docs.select(
         "doc_id", mk("doc_id").alias("payload")
     ).select(

@@ -103,6 +103,10 @@ def main() -> int:
     run("catalog_pruned_scan")
     run("graph_bfs_depths")
     run("corpus_bpe_merges")
+    run("web_surt_keys")
+    run("web_cdx_index")
+    run("web_fetch_schedule")
+    run("events_quantile_sketch")
     run("doc_dsir_scores")
     run("part_cooccur_triangles")
     run("events_distinct_sketch")

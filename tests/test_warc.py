@@ -113,3 +113,37 @@ def test_ntriples_on_pipeline_triples(spark):
     pat = re.compile(r'^<[^<>"\s]+> <[^<>"\s]+> "(?:[^"\\\n\r]|\\.)*" \.$')
     for r in T.to_ntriples(t).collect():
         assert pat.match(r.line), r.line
+
+
+def test_cdx_offsets_random_access():
+    blob = W.synth_warc_segment(ROWS, 5)
+    recs = []
+    for raw, off, clen in W._members_with_offsets(blob):
+        rec = W._parse_record(raw)
+        if rec:
+            recs.append((rec, off, clen))
+    assert len(recs) == len(ROWS)
+    for (url, ts, status, payload), off, clen in recs:
+        # ranged refetch: the slice alone must reproduce the record
+        sliced = list(W.parse_warc_bytes(blob[off:off + clen]))
+        assert sliced == [(url, ts, status, payload)]
+        # and a corrupted offset must NOT silently succeed
+        assert list(W.parse_warc_bytes(blob[off + 1:off + clen])) == []
+    # offsets tile the segment exactly: every byte belongs to a member
+    all_members = list(W._members_with_offsets(blob))
+    assert all_members[0][1] == 0
+    for (_, o1, c1), (_, o2, _) in zip(all_members, all_members[1:]):
+        assert o1 + c1 == o2
+    assert all_members[-1][1] + all_members[-1][2] == len(blob)
+
+
+def test_cdx_records_spark(spark):
+    docs = spark.createDataFrame(
+        [(i, f"body {i}", "en", f"s{i % 2}", 6) for i in range(20)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    seg = W.documents_as_warc(docs, n_segments=4)
+    out = W.cdx_records(seg).collect()
+    assert len(out) == 20
+    assert all(r.cdx_ok == 1 for r in out)
+    assert all(r.comp_len > 0 for r in out)
