@@ -92,10 +92,13 @@ def train_bpe(word_counts: DataFrame, n_merges: int = 10,
     in merge order. Stops early when the best pair drops below
     `min_freq`."""
     types = word_counts.select(
-        "n", _initial_symbols(F.col("word")).alias("syms"))
-    # the types frame is re-scanned every iteration; keep it hot and
-    # re-persist after each merge so lineage stays one level deep
-    types = types.persist()
+        "n", _initial_symbols(F.col("word")).alias("syms")).persist()
+    # every round's frame is persisted and kept until the end: the
+    # next round's argmax job is what materializes it (into cache, on
+    # top of the already-cached parent — lineage stays one level
+    # deep), so no extra count() job per round; the frames are
+    # word-TYPE sized, far below executor memory even at web scale
+    persisted = [types]
     merges: list[tuple[str, str, int]] = []
     try:
         for _ in range(n_merges):
@@ -108,14 +111,13 @@ def train_bpe(word_counts: DataFrame, n_merges: int = 10,
             left, right, freq = (best[0]["left"], best[0]["right"],
                                  int(best[0]["freq"]))
             merges.append((left, right, freq))
-            nxt = types.select(
+            types = types.select(
                 "n", _merge_expr(F.col("syms"), left, right)
                 .alias("syms")).persist()
-            nxt.count()  # materialize before dropping the parent
-            types.unpersist()
-            types = nxt
+            persisted.append(types)
     finally:
-        types.unpersist()
+        for f in persisted:
+            f.unpersist()
     return merges
 
 
