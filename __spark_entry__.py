@@ -815,15 +815,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf, "documents")
         return textops.dsir_scores(docs, docs.filter(F.col("lang") == "en"))
 
-    def web_canonical_urls(spark, sf):
-        # URL canonicalization (crawl-dedup key): messy URLs built
-        # closed-form from doc_id (uppercase scheme/host, www.,
+    def _messy_url(d):
+        # shared closed-form messy URL (uppercase scheme/host, www.,
         # default :443 port, trailing slash, utm_ tracking param,
-        # unsorted params, fragment) -> one pure Column expression;
-        # the oracle emits the expected canonical form directly
-        from askg_spark import webgraph
-        d = F.col("doc_id")
-        messy = F.concat(
+        # unsorted params, fragment) — ONE definition feeding both
+        # web_canonical_urls and web_surt_keys so the two oracles
+        # can't drift apart
+        return F.concat(
             F.lit("HTTPS://WWW.Site"), (d % 7).cast("string"),
             F.lit(".com"),
             F.when(d % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
@@ -832,6 +830,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit("?utm_source=x&b="), (d % 5).cast("string"),
             F.lit("&a=1"),
             F.when(d % 4 == 0, F.lit("#sec")).otherwise(F.lit("")))
+
+    def web_canonical_urls(spark, sf):
+        # URL canonicalization (crawl-dedup key): messy URLs ->
+        # one pure Column expression; the oracle emits the expected
+        # canonical form directly
+        from askg_spark import webgraph
+        messy = _messy_url(F.col("doc_id"))
         return _t(spark, sf, "documents").select(
             "doc_id",
             messy.alias("url"),
@@ -953,22 +958,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def web_surt_keys(spark, sf):
         # CDX index keys: the same messy closed-form URLs as
-        # web_canonical_urls, through canonicalize_url + SURT host
-        # reversal; the oracle rebuilds the expected key from the
-        # known canonical form
+        # web_canonical_urls (shared _messy_url), through
+        # canonicalize_url + SURT host reversal; the oracle rebuilds
+        # the expected key from the known canonical form
         from askg_spark import webgraph
-        d = F.col("doc_id")
-        messy = F.concat(
-            F.lit("HTTPS://WWW.Site"), (d % 7).cast("string"),
-            F.lit(".com"),
-            F.when(d % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
-            F.lit("/Path/"), d.cast("string"),
-            F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
-            F.lit("?utm_source=x&b="), (d % 5).cast("string"),
-            F.lit("&a=1"),
-            F.when(d % 4 == 0, F.lit("#sec")).otherwise(F.lit("")))
         return _t(spark, sf, "documents").select(
-            "doc_id", webgraph.surt_key(messy).alias("surt"))
+            "doc_id",
+            webgraph.surt_key(_messy_url(F.col("doc_id")))
+            .alias("surt"))
 
     def events_quantile_sketch(spark, sf):
         # quantile-sketch certification, events_distinct_sketch-style:

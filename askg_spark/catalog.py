@@ -201,7 +201,11 @@ class Catalog:
         if not keep:
             df = self.read(spark, table, sid).limit(0)
         else:
-            df = spark.read.parquet(*keep)
+            # basePath keeps hive partition columns alive when the
+            # snapshot was written with partition_by (leaf-file reads
+            # would otherwise silently drop them)
+            df = (spark.read.option("basePath", snap["path"])
+                  .parquet(*keep))
         c = F.col(col)
         return df.filter((c >= F.lit(lo)) & (c <= F.lit(hi))), report
 

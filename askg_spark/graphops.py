@@ -121,22 +121,29 @@ def bfs_depths(edges: DataFrame, seeds: DataFrame,
     column of node ids, depth 0."""
     bidir = (edges.selectExpr("src AS u", "dst AS v")
              .unionByName(edges.selectExpr("dst AS u", "src AS v"))
-             .distinct())
+             .distinct()
+             .persist())  # scanned once per round — without this the
+    # doubled+distinct edge shuffle re-runs every hop
     node_col = seeds.columns[0]
     visited = seeds.select(
         F.col(node_col).alias("node"), F.lit(0).alias("depth")).distinct()
     frontier = visited
-    for d in range(1, max_depth + 1):
-        nxt = (frontier.join(bidir, frontier["node"] == bidir["u"])
-               .select(F.col("v").alias("node"))
-               .distinct()
-               .join(visited.select("node"), "node", "left_anti")
-               .withColumn("depth", F.lit(d)))
-        # materialize the (small) frontier once so visited's growing
-        # union doesn't recompute every prior hop's joins
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
-            break
-        visited = visited.unionByName(nxt)
-        frontier = nxt
+    try:
+        for d in range(1, max_depth + 1):
+            nxt = (frontier.join(bidir, frontier["node"] == bidir["u"])
+                   .select(F.col("v").alias("node"))
+                   .distinct()
+                   .join(visited.select("node"), "node", "left_anti")
+                   .withColumn("depth", F.lit(d)))
+            # materialize the (small) frontier once so visited's
+            # growing union doesn't recompute every prior hop's joins
+            nxt = nxt.localCheckpoint(eager=True)
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(nxt)
+            frontier = nxt
+        # pin the result before releasing the cached edge frame
+        visited = visited.localCheckpoint(eager=True)
+    finally:
+        bidir.unpersist()
     return visited

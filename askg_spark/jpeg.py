@@ -119,6 +119,10 @@ class _BitWriter:
             self.out.append(b)
             if b == 0xFF:
                 self.out.append(0x00)  # byte stuffing
+        # truncate consumed high bits — without this the accumulator
+        # grows into an unbounded bigint and every later shift is
+        # O(stream), turning large-image encode quadratic
+        self.acc &= (1 << self.nbits) - 1
 
     def pad_to_byte(self) -> None:
         if self.nbits:
@@ -463,7 +467,9 @@ class _BitReader:
                 raise _Marker(nxt)
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
+        # mask to the live window (acc must not grow into a bigint —
+        # same quadratic-shift hazard as the writer side)
+        self.acc = ((self.acc << 8) | b) & 0xFFFFFFFF
         self.nbits += 8
 
     def bits(self, n: int) -> int:
@@ -559,6 +565,13 @@ def _decode(d: bytes):
     while pos < len(d):
         if d[pos] != 0xFF:
             raise ValueError("marker expected")
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+        # fill bytes — consume them or the next byte is misread as a
+        # segment length
+        while pos + 1 < len(d) and d[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(d):
+            raise ValueError("truncated at marker")
         marker = d[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -608,6 +621,15 @@ def _decode(d: bytes):
             for i in range(ns):
                 cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan[cid] = (tt >> 4, tt & 0xF)
+            # quarantine contract: a scan not covering every frame
+            # component (non-interleaved multi-scan, or corrupt ids)
+            # must be a ValueError, not a KeyError task-killer
+            missing = [c["id"] for c in frame["comps"]
+                       if c["id"] not in scan]
+            if missing:
+                raise ValueError(
+                    f"SOS missing components {missing} "
+                    "(non-interleaved scans unsupported)")
             return _decode_scan(d, pos + ln, frame, scan, qts, hts, ri)
         pos += ln
     raise ValueError("no scan data")

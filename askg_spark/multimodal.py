@@ -2,12 +2,14 @@
 
 Images/audio/video ride through the pipeline as `binary` columns with a
 metadata struct; decode / feature-extraction runs as Arrow-batched
-`mapInPandas` stages. PNG decode is REAL — a pure-python/numpy baseline
-decoder (stdlib zlib; `decode_png_array`) with a matching synthetic
-encoder so pixel-level stats carry an exact SQL oracle. Non-PNG codecs
-(JPEG/audio/video) would need libraries this container lacks and keep
-the deterministic md5 fallback — the Spark-side contract (schema, batch
-shape, partitioning, null handling) is identical either way.
+`mapInPandas` stages. Raster decode is REAL for the four web formats —
+pure-python/numpy PNG (stdlib zlib), BMP, GIF (full variable-width
+LZW) and baseline JPEG (jpeg.py) — signature-dispatched through
+`decode_image_array`, each with a matching synthetic encoder so
+pixel-level stats carry exact SQL oracles. Only mp3/h264 (no ffmpeg in
+this container) keep the deterministic md5 fallback — the Spark-side
+contract (schema, batch shape, partitioning, null handling) is
+identical either way.
 
 Scale notes: binary payloads dominate byte volume; stages that don't
 need the payload must never deserialize it (column pruning — see
@@ -51,6 +53,8 @@ def attach_payload(df: DataFrame, payload_col: str = "text") -> DataFrame:
         ).alias("media_meta"),
     )
 
+
+from askg_spark.jpeg import JPEG_SIG  # single source of the signature
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -530,9 +534,6 @@ def decode_image_array(payload: bytes):
         from askg_spark.jpeg import decode_jpeg_array
         return decode_jpeg_array(payload)
     raise ValueError("unknown image signature")
-
-
-JPEG_SIG = b"\xff\xd8\xff"
 
 
 def _is_raster(payload: bytes) -> bool:

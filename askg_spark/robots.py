@@ -138,7 +138,11 @@ def apply_robots(urls: DataFrame, rules: DataFrame,
     ONE partial-aggregating max_by groupBy on the url key — the only
     shuffle, and it is on the frame we were about to shuffle into the
     frontier anyway. RFC 9309 winner = max (rule_len, allow)."""
+    # row-preserving: a crawl frontier may legitimately hold duplicate
+    # (domain, path) rows; key the winner aggregation on a per-row id
+    # so the output has exactly one row per INPUT row
     key = [c for c in urls.columns]
+    urls = urls.withColumn("_rid", F.monotonically_increasing_id())
     matched = (urls.join(
         F.broadcast(rules),
         (urls[domain_col] == rules["domain"]) &
@@ -146,7 +150,7 @@ def apply_robots(urls: DataFrame, rules: DataFrame,
         "left")
         .drop(rules["domain"]))
     decided = (matched
-               .groupBy(*key)
+               .groupBy("_rid", *key)
                .agg(F.max_by(
                    F.col("allow"),
                    F.struct(F.col("rule_len"), F.col("allow")))

@@ -174,11 +174,14 @@ _NT_LITERAL_ESCAPES = [("\\", "\\\\"), ('"', '\\"'),
                        ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")]
 
 #: IRI percent-encoding for the characters N-Triples forbids inside
-#: <...> (§2.2 IRIREF: control chars, space, <>"{}|^` and backslash).
-#: '%' first so already-written escapes don't get re-encoded.
+#: <...> (§2.2 IRIREF: space, <>"{}|^` and backslash, plus the
+#: C0 controls that survive upstream text normalization — TAB/LF/CR;
+#: normalize_text strips the rest before ids are minted, documented
+#: at nt_iri). '%' first so escapes don't get re-encoded.
 _NT_IRI_ESCAPES = [("%", "%25"), (" ", "%20"), ("<", "%3C"), (">", "%3E"),
                    ('"', "%22"), ("{", "%7B"), ("}", "%7D"), ("|", "%7C"),
-                   ("^", "%5E"), ("`", "%60"), ("\\", "%5C")]
+                   ("^", "%5E"), ("`", "%60"), ("\\", "%5C"),
+                   ("\t", "%09"), ("\n", "%0A"), ("\r", "%0D")]
 
 
 def _chain_replace(col: F.Column, pairs) -> F.Column:
@@ -196,7 +199,13 @@ def nt_literal(col: F.Column) -> F.Column:
 
 
 def nt_iri(col: F.Column, base: str = "https://askg.example/kg/") -> F.Column:
-    """An IRIREF under `base` with forbidden characters percent-encoded."""
+    """An IRIREF under `base` with forbidden characters percent-encoded.
+
+    Covers §2.2's printable forbidden set plus TAB/LF/CR; remaining
+    C0 controls (%x00-%x08 etc.) are assumed already stripped by
+    upstream text normalization (textops.normalize_text) — ids minted
+    by this pipeline never contain them, and a bounded replace chain
+    beats a per-row UDF for the 10^12-row export."""
     return F.concat(F.lit("<" + base),
                     _chain_replace(col.cast("string"), _NT_IRI_ESCAPES),
                     F.lit(">"))

@@ -312,10 +312,12 @@ def _members_with_offsets(blob: bytes):
     record with a ranged GET instead of scanning the segment."""
     pos = 0
     n = len(blob)
+    mv = memoryview(blob)  # zero-copy tail slices — a bytes slice per
+    # member would make the walk O(members x segment) memcpy
     while pos < n and blob[pos:pos + 2] == b"\x1f\x8b":
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
         try:
-            raw = d.decompress(blob[pos:]) + d.flush()
+            raw = d.decompress(mv[pos:]) + d.flush()
         except zlib.error:
             return
         end = n - len(d.unused_data)

@@ -87,7 +87,13 @@ def canonicalize_url(url: Column) -> Column:
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
     hostport = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))  # 2
     hostport = F.regexp_replace(hostport, r"^www\.", "")         # 3
-    hostport = F.regexp_replace(hostport, r":(80|443)$", "")
+    # default-port strip is SCHEME-conditional: http://h:443 is a
+    # different resource from http://h and must not collide with it
+    hostport = (F.when(scheme == "http",
+                       F.regexp_replace(hostport, r":80$", ""))
+                .when(scheme == "https",
+                      F.regexp_replace(hostport, r":443$", ""))
+                .otherwise(hostport))
     tail = F.regexp_replace(rest, r"^[^/?]*", "")
     path = F.regexp_extract(tail, r"^([^?]*)", 1)
     query = F.regexp_replace(F.regexp_extract(tail, r"\?(.*)$", 1),

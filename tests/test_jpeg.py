@@ -86,3 +86,23 @@ def test_dispatcher_routes_jpeg(spark):
         exp = _expected_image(i)
         assert stats[i].sum_pixels == 3 * int(exp.sum())
         assert stats[i].n_pixels == 1024
+
+
+def test_fill_bytes_before_markers_accepted():
+    good = synth_jpeg(2)
+    # inject 0xFF fill padding before the DQT marker (T.81 B.1.1.2)
+    i = good.index(b"\xff\xdb")
+    padded = good[:i] + b"\xff\xff\xff" + good[i:]
+    px, w, h = decode_jpeg_array(padded)
+    assert (w, h) == (32, 32)
+    assert np.array_equal(px, decode_jpeg_array(good)[0])
+
+
+def test_sos_component_mismatch_is_valueerror():
+    good = synth_jpeg(2)
+    i = good.index(b"\xff\xda")
+    # corrupt the first scan component id (3 -> count byte, then id)
+    sos = bytearray(good[i:i + 20])
+    sos[5] = 9  # component id 1 -> 9, absent from SOF
+    with pytest.raises(ValueError):
+        decode_jpeg_array(good[:i] + bytes(sos) + good[i + 20:])

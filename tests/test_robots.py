@@ -76,3 +76,16 @@ def test_apply_plan_is_broadcast(spark):
     plan = R.apply_robots(urls, rules)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_apply_preserves_duplicate_rows(spark):
+    robots_df = spark.createDataFrame(
+        [("d1", TXT)], "domain string, robots_txt string")
+    rules = R.robots_rules(robots_df, agent="randombot")
+    urls = spark.createDataFrame(
+        [("d1", "/private/x"), ("d1", "/private/x"), ("d1", "/open")],
+        "domain string, path string")
+    out = R.apply_robots(urls, rules).collect()
+    assert len(out) == 3  # duplicates survive, one row per input row
+    assert sorted((r.path, r.allowed) for r in out) == [
+        ("/open", 1), ("/private/x", 0), ("/private/x", 0)]

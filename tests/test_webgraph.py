@@ -189,3 +189,20 @@ def test_surt_key_shapes(spark):
     got = [r.s for r in df.select(surt_key(F.col("url")).alias("s"))
            .collect()]
     assert got == [e for _, e in cases]
+
+
+def test_canonicalize_port_strip_is_scheme_conditional(spark):
+    from pyspark.sql import functions as F
+
+    from askg_spark.webgraph import canonicalize_url
+
+    cases = [
+        ("http://h.com:443/x", "http://h.com:443/x"),   # NOT default
+        ("https://h.com:80/x", "https://h.com:80/x"),   # NOT default
+        ("http://h.com:80/x", "http://h.com/x"),
+        ("https://h.com:443/x", "https://h.com/x"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in
+           df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
+    assert got == [e for _, e in cases]
