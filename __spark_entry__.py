@@ -456,6 +456,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # synthetic corpus actually has OOV tokens)
         return textops.oov_stats(_t(spark, sf, "documents"), vocab_k=20)
 
+    def doc_lm_perplexity(spark, sf):
+        # CCNet-style quality bucketing: corpus-trained add-one
+        # unigram LM, integer micro-nat cross-entropy, NTILE terciles
+        return textops.unigram_lm_scores(_t(spark, sf, "documents"))
+
     def doc_pack_assignments(spark, sf):
         # GPT-style sequence packing: 32 token streams (doc_id % 32),
         # budget-256 sequences, per-shard ordered cumsum — all ints
@@ -511,6 +516,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def dedup_embedding_pairs(spark, sf):
         return dedup.embedding_dup_pairs(_t(spark, sf, "embeddings"))
+
+    def dedup_substring_spans(spark, sf):
+        # Lee-et-al-style exact duplicate-substring coverage: stride-1
+        # 15-token windows, xxhash64 keys, per-doc interval-union of
+        # duplicated spans — all-integer output (dedup.py)
+        return dedup.duplicate_span_stats(_t(spark, sf, "documents"),
+                                          w=15)
 
     def _ann_frames(spark, sf):
         # the three ANN result frames (exact / LSH / IVF, 40 rows
@@ -593,6 +605,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pages repeat the first card's target) — closed-form oracle
         from askg_spark import webgraph
         return webgraph.owner_indegree(_web_pages(spark, sf))
+
+    def web_anchor_texts(spark, sf):
+        # anchor-text aggregation over the fuzzy + mcpmarket page
+        # families: per-(target, anchor) link counts with a per-owner
+        # rank — the retrieval-side link signal next to indegree; the
+        # %5 repeated mcpmarket card gives n_links=2 rows, the %10
+        # fuzzy variant adds -qq-alt targets, so counts and ranks are
+        # non-trivially data-dependent (closed-form oracle)
+        from askg_spark import webgraph
+        from askg_spark.webcorpus import (render_fuzzy_pages,
+                                          render_mcpmarket_pages)
+        docs = _t(spark, sf, "documents")
+        pages = render_fuzzy_pages(docs).unionByName(
+            render_mcpmarket_pages(docs))
+        return webgraph.target_anchor_stats(pages)
 
     def _web_ranks(spark, sf):
         # the 8-iteration rank frame is an eager localCheckpoint —
@@ -1067,6 +1094,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         edges = graphops.cooccurrence_edges(li, "l_orderkey", "l_partkey")
         return graphops.triangle_stats(edges)
 
+    def part_cooccur_kcore(spark, sf):
+        # 80-core of the same co-occurrence graph: iterative peel to
+        # the fixed point (<= 7 rounds here), surviving (node, degree)
+        # rows; the oracle unrolls the peel to the 16-round backstop
+        from askg_spark import graphops
+        li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+        edges = graphops.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+        return graphops.kcore(edges, k=80)
+
     def events_latest_per_user(spark, sf):
         from pyspark.sql import Window
         w = Window.partitionBy("user_id").orderBy(
@@ -1230,6 +1266,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantile_sketch": events_quantile_sketch,
         "web_cdx_index": web_cdx_index,
         "web_fetch_schedule": web_fetch_schedule,
+        "dedup_substring_spans": dedup_substring_spans,
+        "web_anchor_texts": web_anchor_texts,
+        "doc_lm_perplexity": doc_lm_perplexity,
+        "part_cooccur_kcore": part_cooccur_kcore,
         # (b) r2-binary-only rows — re-verify under the r4 binary
         "kg_id_stats": kg_id_stats,
         "kg_repo_domains": kg_repo_domains,
@@ -1240,7 +1280,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mcpmarket_mentions": kg_mcpmarket_mentions,
         "stream_changed_pages": stream_changed_pages,
         "kg_relations_capped": kg_relations_capped,
-        "kg_fixture_entities": kg_fixture_entities,
         "doc_quality_filter": doc_quality_filter,
         "doc_quality_extended": doc_quality_extended,
         "doc_fingerprints": doc_fingerprints,
@@ -1287,6 +1326,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_pairs": dedup_ngram_pairs,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_embedding_pairs": dedup_embedding_pairs,
+        # rows-only by design (no oracle): fixture parity asserted in
+        # pytest; kept out of the driver's first-50 hash window so an
+        # oracle-bearing query takes the slot
+        "kg_fixture_entities": kg_fixture_entities,
         # rows-only by design; superseded by web_pagerank_quantized
         "web_pagerank_topk": web_pagerank_topk,
     }
@@ -1617,6 +1660,33 @@ reach AS (
   SELECT r.u, e2.v FROM reach r JOIN und e2 ON r.v = e2.u)
 SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
 """
+    # k-core: the monotone peel unrolled to the engine's max_rounds
+    # backstop (16) — rounds past the fixed point are no-ops (degree
+    # filter keeps everything), so the unrolled form equals the fixed
+    # point whenever the engine converges (it raises otherwise)
+    _kcore_rounds = []
+    _prev = "e0"
+    for _r in range(1, 17):
+        _kcore_rounds.append(f"""
+k{_r} AS MATERIALIZED (SELECT n FROM (SELECT n, count(*) AS c FROM
+          (SELECT u AS n FROM {_prev} UNION ALL SELECT v FROM {_prev})
+          GROUP BY n) WHERE c >= 80),
+e{_r} AS MATERIALIZED (SELECT u, v FROM {_prev}
+          WHERE u IN (SELECT n FROM k{_r})
+            AND v IN (SELECT n FROM k{_r}))""")
+        _prev = f"e{_r}"
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+    # each round references its predecessor ~5x -> exponential plan
+    kcore_cte = f"""
+WITH pp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem),
+e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+       FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p),{",".join(_kcore_rounds)}
+SELECT n AS node, CAST(count(*) AS BIGINT) AS degree
+FROM (SELECT u AS n FROM {_prev} UNION ALL SELECT v FROM {_prev})
+GROUP BY n
+"""
+
     lang_scores = ", ".join(
         f"len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in ws)})))"
         f" AS s_{lang}"
@@ -2297,6 +2367,34 @@ SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
        coalesce(p.n_oov, 0) AS n_oov
 FROM documents d LEFT JOIN p USING (doc_id)
 """,
+        # unigram-LM bucketing: per-token logprobs quantized to
+        # integer micro-nats BEFORE the per-doc sum, so sums are
+        # order-independent; ln() 1-ulp libm drift is the documented
+        # quantized-oracle margin. (sum_lp is negative -> -sum_lp
+        # div n is a positive truncating division on both engines.)
+        "doc_lm_perplexity": f"""
+WITH t AS (SELECT doc_id, {_TOKS_SAFE} AS toks FROM documents),
+e AS (SELECT doc_id, unnest(toks) AS token FROM t),
+c AS (SELECT token, count(*) AS c FROM e GROUP BY token),
+tot AS (SELECT sum(c) AS N, count(*) AS V FROM c),
+lp AS (SELECT token,
+              CAST(floor(1000000.0 *
+                   ln(CAST(c + 1 AS DOUBLE) / (N + V))) AS BIGINT)
+                AS lp
+       FROM c, tot),
+p AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             sum(lp.lp) AS sum_lp
+      FROM e JOIN lp USING (token) GROUP BY e.doc_id),
+s AS (SELECT d.doc_id,
+             coalesce(p.n_tokens, 0) AS n_tokens,
+             CASE WHEN coalesce(p.n_tokens, 0) = 0 THEN 0
+                  ELSE (-p.sum_lp) // p.n_tokens END AS score_micronat
+      FROM documents d LEFT JOIN p USING (doc_id))
+SELECT doc_id, n_tokens, score_micronat,
+       CAST(ntile(3) OVER (ORDER BY score_micronat ASC, doc_id ASC)
+            AS BIGINT) AS bucket
+FROM s
+""",
         # packing: per-shard ordered window cumsum; doc_id is unique,
         # so RANGE/ROWS framing agree on both engines
         "doc_pack_assignments": f"""
@@ -2657,6 +2755,7 @@ FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
         # u < v canonical edge convention each triangle {a<b<c}
         # appears exactly once as (a,b)+(b,c)+(a,c), so the oracle
         # skips the engine's degree ordering (count is identical)
+        "part_cooccur_kcore": kcore_cte,
         "part_cooccur_triangles": """
 WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
             FROM lineitem),
@@ -2807,6 +2906,41 @@ FROM s JOIN n ON s.label = n.label
         # distinct target instead of 2 — pure closed forms of
         # (doc_id, source), no HTML parsing needed oracle-side
         "web_pagerank_quantized": pagerank_sql,
+        # anchor texts: closed form of the fuzzy (+%10 variant) and
+        # mcpmarket (+%5 repeated-card) page families — one 'code'
+        # link per fuzzy page, two 'gh' card links per mcpmarket page
+        # collapsing onto one target when the second card repeats the
+        # first; rank ordering mirrors the engine's window exactly
+        "web_anchor_texts": """
+WITH d AS (
+  SELECT doc_id, source,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) || '-' ||
+           CAST(doc_id AS VARCHAR) AS stem,
+         md5(CAST(doc_id AS VARCHAR)) || '-' ||
+           CAST(doc_id AS VARCHAR) AS fstem
+  FROM documents),
+links AS (
+  SELECT source, 'github.com/' || source || '/' || fstem || '-qq'
+           AS target, 'code' AS anchor, 1 AS n FROM d
+  UNION ALL
+  SELECT source, 'github.com/' || source || '/' || fstem || '-qq-alt',
+         'code', 1 FROM d WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT source, 'github.com/' || source || '/' || stem || '-a',
+         'gh', CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END FROM d
+  UNION ALL
+  SELECT source, 'github.com/' || source || '/' || stem || '-b',
+         'gh', 1 FROM d WHERE doc_id % 5 <> 0),
+counts AS (
+  SELECT 'github.com/' || source AS owner, target, anchor,
+         CAST(sum(n) AS BIGINT) AS n_links
+  FROM links GROUP BY 1, 2, 3)
+SELECT owner, target, anchor, n_links,
+       CAST(row_number() OVER (PARTITION BY owner
+              ORDER BY n_links DESC, target ASC, anchor ASC) AS BIGINT)
+         AS rnk
+FROM counts
+""",
         "web_owner_indegree": """
 SELECT 'github.com/' || source AS owner,
        CAST(2 * count(*) AS BIGINT) AS n_links,
@@ -2923,6 +3057,34 @@ WITH fp AS (
   FROM documents)
 SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS canonical_doc_id
 FROM fp GROUP BY fingerprint HAVING count(*) > 1
+""",
+        # duplicate-substring coverage: stride-1 15-token windows; the
+        # engine keys windows by xxhash64, the oracle by the window
+        # TEXT — identical output modulo 64-bit collisions (the
+        # documented trade shared with dedup_ngram_pairs). Interval
+        # union via lead(): fixed-length spans sorted by start cover
+        # min(w, next-start) tokens each, w for the last.
+        "dedup_substring_spans": f"""
+WITH t AS (SELECT doc_id, {_TOKS_SAFE} AS toks FROM documents),
+base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks
+         FROM t),
+w AS (SELECT doc_id, i, array_to_string(toks[i:i+14], ' ') AS gram
+      FROM base, unnest(generate_series(1, len(toks) - 14)) AS g(i)
+      WHERE len(toks) >= 15),
+d AS (SELECT gram FROM w GROUP BY gram HAVING count(*) > 1),
+hit AS (SELECT w.doc_id, w.i FROM w JOIN d USING (gram)),
+m AS (SELECT doc_id, i,
+             lead(i) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+      FROM hit),
+cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows,
+               CAST(sum(least(15, coalesce(nxt - i, 15))) AS BIGINT)
+                 AS dup_tokens
+        FROM m GROUP BY doc_id)
+SELECT b.doc_id, b.n_tokens,
+       CAST(greatest(b.n_tokens - 14, 0) AS BIGINT) AS n_windows,
+       coalesce(c.n_dup_windows, 0) AS n_dup_windows,
+       coalesce(c.dup_tokens, 0) AS dup_tokens
+FROM base b LEFT JOIN cov c USING (doc_id)
 """,
         "dedup_ngram_pairs": grams_cte,
         "dedup_near_clusters": clusters_cte,

@@ -111,6 +111,81 @@ def ngram_jaccard_pairs(
     )
 
 
+def duplicate_span_stats(df: DataFrame, w: int = 15,
+                         max_window_df: int | None = None) -> DataFrame:
+    """Exact duplicate-SUBSTRING coverage per document — the windowed
+    formulation of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    token position is "duplicated text" iff it is covered by some
+    length-``w`` token window whose exact text occurs more than once
+    in the corpus (cross-document OR self-repetition).
+
+    -> (doc_id, n_tokens, n_windows, n_dup_windows, dup_tokens), all
+    exact integers; ``dup_tokens`` is the length of the UNION of the
+    duplicated windows' spans (interval merge), i.e. how many tokens
+    a remove-duplicated-spans pass would cut.
+
+    Plan (100 TB posture):
+      * one projection builds the stride-1 window array per doc
+        (struct<i, h=xxhash64(window text)>) and explodes it WITHOUT
+        carrying the token array — only (doc_id, i, h) rows shuffle,
+        8-byte keys, same hash-vs-string trade as the n-gram index
+        (collision adds one spurious dup window at P ~ m²/2⁶⁴);
+      * duplicate-window detection is one groupBy(h) with map-side
+        partial counts, then a left_semi back-join on the same key —
+        AQE reuses the co-partitioning;
+      * interval union is a per-doc sort (lead over doc_id/i): for
+        fixed-length intervals sorted by start, covered =
+        Σ min(w, next_start - start) with w for the last — no
+        collect, no per-doc Python;
+      * ``max_window_df`` (None = exact) drops windows occurring in
+        more than that many positions corpus-wide — the boilerplate
+        stop-window cap; at web scale a license header's windows have
+        posting lists of millions and would dominate the back-join.
+        Dropped mass is the cap policy, logged by the caller.
+    """
+    t = (df.select("doc_id", tokens(F.col("text")).alias("toks"))
+         .select("doc_id", F.col("toks"),
+                 F.size("toks").cast("long").alias("n_tokens")))
+    wins_arr = F.when(
+        F.col("n_tokens") >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_tokens") - (w - 1)),
+            lambda i: F.struct(
+                i.cast("long").alias("i"),
+                F.xxhash64(F.concat_ws(" ", F.slice(F.col("toks"), i, w)))
+                 .alias("h")),
+        )
+    ).otherwise(F.array().cast("array<struct<i:long,h:long>>"))
+    wins = (t.select("doc_id", F.explode(wins_arr).alias("win"))
+            .select("doc_id", F.col("win.i").alias("i"),
+                    F.col("win.h").alias("h")))
+    counts = wins.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
+    dup_keys = counts.filter(F.col("n_occ") > 1)
+    if max_window_df is not None:
+        dup_keys = dup_keys.filter(F.col("n_occ") <= max_window_df)
+    hit = wins.join(dup_keys.select("h"), "h", "left_semi")
+    nxt = F.lead("i").over(
+        Window.partitionBy("doc_id").orderBy("i"))
+    cov = (hit.select("doc_id", "i", nxt.alias("nxt"))
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_dup_windows"),
+                F.sum(F.least(F.lit(w).cast("long"),
+                              F.coalesce(F.col("nxt") - F.col("i"),
+                                         F.lit(w).cast("long"))))
+                 .alias("dup_tokens")))
+    base = t.select(
+        "doc_id", "n_tokens",
+        F.greatest(F.col("n_tokens") - (w - 1), F.lit(0).cast("long"))
+         .alias("n_windows"))
+    return (base.join(cov, "doc_id", "left")
+            .select("doc_id", "n_tokens", "n_windows",
+                    F.coalesce("n_dup_windows", F.lit(0).cast("long"))
+                     .alias("n_dup_windows"),
+                    F.coalesce("dup_tokens", F.lit(0).cast("long"))
+                     .alias("dup_tokens")))
+
+
 def contamination_check(
     train: DataFrame, eval_df: DataFrame, n: int = 4,
     max_gram_df: int | None = None,

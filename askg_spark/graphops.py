@@ -147,3 +147,53 @@ def bfs_depths(edges: DataFrame, seeds: DataFrame,
     finally:
         bidir.unpersist()
     return visited
+
+
+def kcore(edges: DataFrame, k: int, max_rounds: int = 16) -> DataFrame:
+    """k-core of an undirected graph — the maximal subgraph where
+    every node keeps degree >= k — by the standard iterative peel:
+    drop all nodes of degree < k, recompute degrees (removals cascade),
+    repeat to the fixed point. -> (node, degree) of the surviving
+    core, degrees measured INSIDE the core. Cores are the classic
+    web-graph density filter (spam farms and boilerplate link blocks
+    live in shallow cores; genuinely-linked hubs survive deep ones).
+
+    Per round: one degree aggregation (map-side combine) plus two
+    left_semi joins keying the edge frame by each endpoint — all
+    equi-joins on node ids, no collect of data rows; the only driver
+    sync is one scalar count per round for the convergence test, and
+    each round's frame is an eager localCheckpoint so lineage stays
+    flat (same bounded-loop shape as bfs_depths). Rounds are
+    data-bounded: peel cascades are shallow in practice (<= 7 on the
+    co-occurrence graphs here; max_rounds is a runaway backstop and
+    the oracle unrolls the same bound — a graph still peeling after
+    max_rounds raises rather than returning a non-fixed-point)."""
+    cur = (edges.select(F.least("u", "v").alias("u"),
+                        F.greatest("u", "v").alias("v"))
+           .filter(F.col("u") != F.col("v"))
+           .distinct()
+           .localCheckpoint(eager=True))
+    n_edges = cur.count()
+    for _ in range(max_rounds):
+        deg = (cur.select(F.col("u").alias("n"))
+               .unionAll(cur.select(F.col("v").alias("n")))
+               .groupBy("n").agg(F.count(F.lit(1)).alias("c")))
+        keep = deg.filter(F.col("c") >= k).select("n")
+        nxt = (cur.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
+               .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
+               .select("u", "v")
+               .localCheckpoint(eager=True))
+        n_next = nxt.count()
+        if n_next == n_edges:
+            break
+        cur, n_edges = nxt, n_next
+        if n_edges == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"k-core peel did not converge within {max_rounds} rounds")
+    return (cur.select(F.col("u").alias("n"))
+            .unionAll(cur.select(F.col("v").alias("n")))
+            .groupBy("n").agg(F.count(F.lit(1)).alias("degree"))
+            .select(F.col("n").alias("node"),
+                    F.col("degree").cast("long").alias("degree")))

@@ -797,3 +797,68 @@ def dsir_scores(raw: DataFrame, target: DataFrame,
                     F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
                     F.coalesce("score_scaled", F.lit(0))
                      .alias("score_scaled")))
+
+
+def unigram_lm_scores(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      scale: int = 1_000_000,
+                      n_buckets: int = 3) -> DataFrame:
+    """CCNet-style language-model quality bucketing (Wenzek et al.
+    2020) with the LM reduced to an add-one-smoothed UNIGRAM model
+    trained on the corpus itself: per-doc cross-entropy in nats, then
+    an NTILE split into head/middle/tail buckets.
+
+    -> (id_col, n_tokens, score_micronat, bucket) where
+       score_micronat = (-Σ lp_micronat(tok)) div n_tokens,
+       lp_micronat(tok) = floor(scale * ln((c_tok+1) / (N+V)))
+    and bucket ∈ 1..n_buckets by NTILE ordered on
+    (score_micronat, id_col) — 1 = head (most predictable text).
+
+    Integer-exactness: each DISTINCT token logprob is quantized to an
+    integer once, so per-doc sums are order-independent and exactly
+    reproducible on any partitioning and in SQL. The only cross-engine
+    float op is ln() itself on ~V distinct rationals; a 1-ulp libm
+    difference flips a floor only if scale*ln(p) lands within ~1e-9 of
+    an integer (the same measured-margin trade as the quantized
+    pagerank oracle).
+
+    Plan (100 TB posture): token counts are one groupBy(token) with
+    map-side combine; (N, V) is a 1-row aggregate cross-joined lazily
+    (broadcast); scoring joins the exploded token stream to the
+    logprob table on the token key — frequency skew lands in the
+    count aggregation, not the join, and the per-doc reduction is a
+    second keyed groupBy. The final NTILE is a single total-order
+    window: fine for per-snapshot bucketing at the quantile-threshold
+    alternative's cost; at 10^12 docs replace it with thresholds from
+    an approx-quantile pass over score_micronat (same contract,
+    documented trade)."""
+    from pyspark.sql import Window
+
+    toks_e = (df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+              .select(F.col(id_col), F.explode(F.col("_t")).alias("token")))
+    counts = toks_e.groupBy("token").agg(
+        F.count(F.lit(1)).alias("c"))
+    tot = counts.agg(F.sum("c").alias("N"),
+                     F.count(F.lit(1)).alias("V"))
+    lp = (counts.crossJoin(F.broadcast(tot))
+          .select("token",
+                  F.floor(F.lit(float(scale)) *
+                          F.log((F.col("c") + 1).cast("double") /
+                                (F.col("N") + F.col("V")).cast("double")))
+                   .cast("long").alias("lp")))
+    per_doc = (toks_e.join(lp, "token")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_tokens"),
+                    F.sum("lp").alias("sum_lp")))
+    scored = (df.select(id_col).join(per_doc, id_col, "left")
+              .select(F.col(id_col),
+                      F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                      F.coalesce("sum_lp", F.lit(0)).alias("sum_lp"))
+              .select(F.col(id_col), F.col("n_tokens"),
+                      F.when(F.col("n_tokens") == 0, F.lit(0).cast("long"))
+                       .otherwise(F.expr("(-sum_lp) div n_tokens"))
+                       .alias("score_micronat")))
+    w = Window.orderBy(F.asc("score_micronat"), F.asc(id_col))
+    return scored.select(
+        F.col(id_col), "n_tokens", "score_micronat",
+        F.ntile(n_buckets).over(w).cast("long").alias("bucket"))

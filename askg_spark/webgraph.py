@@ -26,7 +26,7 @@ Design notes (100 TB posture):
 from __future__ import annotations
 
 from pyspark import StorageLevel
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # double-quoted href attributes; the corpus renderer escapes embedded
 # quotes (webcorpus._esc), so [^"]* is exact for our page families and
@@ -135,6 +135,58 @@ def surt_key(url: Column) -> Column:
     rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
     return F.concat(rev, F.lit(")"),
                     F.when(tail == "", F.lit("/")).otherwise(tail))
+
+
+# href + anchor text of a double-quoted <a>; [^<]* anchor body stops
+# at the closing tag, so nested markup inside an anchor is skipped
+# (conservative — matches what a production extractor keeps anyway)
+ANCHOR_RE = r'<a href="([^"]*)"[^>]*>([^<]*)</a>'
+
+
+def anchor_texts(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) -> (owner, target, anchor), one row per
+    <a href>anchor</a> occurrence — the classic web-corpus signal
+    (anchor text describes the TARGET page better than the target's
+    own text; it's a standard retrieval/quality feature aggregated
+    per target at corpus scale).
+
+    One JVM regex pass extracts hrefs and anchor bodies as two
+    parallel arrays (regexp_extract_all returns a single group, so
+    the pattern runs twice) zipped positionally — no Python, no
+    shuffle, scan pruned to (html) only."""
+    h = F.col("html").cast("string")
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(h, F.lit(ANCHOR_RE), F.lit(1)).alias("href"),
+        F.regexp_extract_all(h, F.lit(ANCHOR_RE), F.lit(2)).alias("anchor"))
+    ex = (pages.select(F.explode(pairs).alias("p"))
+          .select(F.col("p.href").alias("href"),
+                  F.trim(F.col("p.anchor")).alias("anchor")))
+    target = normalize_target(F.col("href"))
+    return ex.select(target_owner(target).alias("owner"),
+                     target.alias("target"), "anchor")
+
+
+def target_anchor_stats(pages: DataFrame) -> DataFrame:
+    """Per-(target, anchor) link counts with a per-owner rank:
+    -> (owner, target, anchor, n_links, rnk), rnk ordering
+    (n_links DESC, target ASC, anchor ASC).
+
+    Plan: groupBy(owner, target, anchor) with map-side partial
+    counts (one shuffle), then a row_number window partitioned by
+    owner — the second exchange re-keys on the owner prefix only.
+    At web scale the owner partition is the skew risk (a hot domain
+    collects millions of distinct targets); the window sorts within
+    one partition, so hot owners should be range-salted first if a
+    full rank is required — callers that only need top-k per owner
+    can pre-filter with a count threshold before the window."""
+    counts = (anchor_texts(pages)
+              .groupBy("owner", "target", "anchor")
+              .agg(F.count(F.lit(1)).alias("n_links")))
+    w = Window.partitionBy("owner").orderBy(
+        F.desc("n_links"), F.asc("target"), F.asc("anchor"))
+    return counts.select(
+        "owner", "target", "anchor", "n_links",
+        F.row_number().over(w).cast("long").alias("rnk"))
 
 
 def owner_indegree(pages: DataFrame) -> DataFrame:

@@ -60,6 +60,10 @@ def main() -> int:
     extras["kg_triples_per_sec"] = round(n_triples / timings["kg_triples"], 1)
 
     run("dedup_exact_groups")
+    run("dedup_substring_spans")
+    run("web_anchor_texts")
+    run("doc_lm_perplexity")
+    run("part_cooccur_kcore")
     run("dedup_ngram_pairs")
     run("dedup_minhash_pairs")
     run("dedup_simhash_pairs")

@@ -1371,3 +1371,71 @@ def test_new_ops_cross_partitioning_determinism(spark):
         return (r["n_nodes"], r["n_edges"], r["n_triangles"])
 
     assert tri_row(li.repartition(2)) == tri_row(li.repartition(13))
+
+
+def test_duplicate_span_stats_interval_merge(spark):
+    """Hand-checked w=3 corpus: cross-doc shared spans, overlapping
+    windows merging into one interval, self-repetition counting as
+    duplication, and short docs yielding zero windows."""
+    rows = [
+        (0, "a b c d e f"),   # shares [a b c], [b c d] with doc 1
+        (1, "x a b c d y"),
+        (2, "z z z z"),       # self-repeated window (i=1, i=2)
+        (3, "q r s"),         # one unique window
+        (4, "u v"),           # < w tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           dedup.duplicate_span_stats(df, w=3).collect()}
+    assert len(got) == 5
+    # doc 0: dup windows at token 1,2 -> union [1,5) = 4 tokens
+    assert (got[0]["n_windows"], got[0]["n_dup_windows"],
+            got[0]["dup_tokens"]) == (4, 2, 4)
+    assert (got[1]["n_dup_windows"], got[1]["dup_tokens"]) == (2, 4)
+    # doc 2: both windows identical -> whole doc covered
+    assert (got[2]["n_windows"], got[2]["n_dup_windows"],
+            got[2]["dup_tokens"]) == (2, 2, 4)
+    assert (got[3]["n_windows"], got[3]["dup_tokens"]) == (1, 0)
+    assert (got[4]["n_tokens"], got[4]["n_windows"],
+            got[4]["dup_tokens"]) == (2, 0, 0)
+
+
+def test_unigram_lm_scores_exact_integers(spark):
+    """Closed-form check of the integer micro-nat pipeline: token
+    counts a=3 b=2 c=1 (N=6, V=3), add-one logprobs quantized per
+    DISTINCT token, per-doc truncating-div average, NTILE buckets."""
+    import math
+
+    rows = [(0, "a a b"), (1, "a b"), (2, "c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lp = {t: math.floor(1e6 * math.log((c + 1) / 9.0))
+          for t, c in {"a": 3, "b": 2, "c": 1}.items()}
+    want = {
+        0: (3, (-(2 * lp["a"] + lp["b"])) // 3),
+        1: (2, (-(lp["a"] + lp["b"])) // 2),
+        2: (1, -lp["c"]),
+    }
+    got = {r["doc_id"]: r for r in
+           textops.unigram_lm_scores(df).collect()}
+    for d, (n, score) in want.items():
+        assert (got[d]["n_tokens"], got[d]["score_micronat"]) == (n, score)
+    # scores order 0 < 1 < 2 (rarer tokens -> higher surprisal)
+    assert [got[d]["bucket"] for d in (0, 1, 2)] == [1, 2, 3]
+
+
+def test_kcore_peel_cascade_and_backstop(spark):
+    """5-clique + pendant chain 5-6-7: the 2-core removes 7 then
+    (cascade) 6, keeping the clique at inside-degree 4; an impossible
+    k empties the graph; max_rounds too small raises instead of
+    returning a non-fixed-point."""
+    from askg_spark import graphops
+
+    clique = [(a, b) for a in range(1, 6) for b in range(1, 6) if a < b]
+    edges = spark.createDataFrame(clique + [(5, 6), (6, 7)],
+                                  "u long, v long")
+    core = {r["node"]: r["degree"]
+            for r in graphops.kcore(edges, k=2).collect()}
+    assert core == {n: 4 for n in range(1, 6)}
+    assert graphops.kcore(edges, k=5).count() == 0
+    with pytest.raises(RuntimeError):
+        graphops.kcore(edges, k=2, max_rounds=1)

@@ -206,3 +206,29 @@ def test_canonicalize_port_strip_is_scheme_conditional(spark):
     got = [r.c for r in
            df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
     assert got == [e for _, e in cases]
+
+
+def test_target_anchor_stats_counts_and_ranks(spark):
+    """Anchor extraction + per-owner ranking on a handcrafted page
+    set: repeated (target, anchor) pairs aggregate, distinct anchors
+    for one target stay separate rows, rank orders by (n_links DESC,
+    target, anchor)."""
+    pages = spark.createDataFrame(
+        [("p1", '<a href="https://github.com/o/r1">code</a>'
+                '<a href="https://github.com/o/r1">code</a>'
+                '<a href="https://github.com/o/r2">docs</a>'),
+         ("p2", '<a href="https://github.com/o/r1">source</a>'
+                '<a href="https://www.other.net/x/">x</a>')],
+        "url string, html string") \
+        .select("url", F.col("html").cast("binary").alias("html"))
+    rows = {(r["owner"], r["target"], r["anchor"]):
+            (r["n_links"], r["rnk"])
+            for r in webgraph.target_anchor_stats(pages).collect()}
+    assert rows[("github.com/o", "github.com/o/r1", "code")] == (2, 1)
+    assert rows[("github.com/o", "github.com/o/r1", "source")][0] == 1
+    assert rows[("github.com/o", "github.com/o/r2", "docs")][0] == 1
+    # ties at n_links=1 break by (target, anchor) ascending
+    assert rows[("github.com/o", "github.com/o/r1", "source")][1] == 2
+    assert rows[("github.com/o", "github.com/o/r2", "docs")][1] == 3
+    # www. + trailing slash normalize away; owner of a bare-host path
+    assert rows[("other.net/x", "other.net/x", "x")] == (1, 1)
