@@ -456,6 +456,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # synthetic corpus actually has OOV tokens)
         return textops.oov_stats(_t(spark, sf, "documents"), vocab_k=20)
 
+    def corpus_domain_stats(spark, sf):
+        # domain-level curation rollup (source = the domain stand-in
+        # in the synthetic corpus): doc/token/short/duplicate counts
+        # per domain, all integers
+        return textops.domain_stats(_t(spark, sf, "documents"))
+
     def doc_lm_perplexity(spark, sf):
         # CCNet-style quality bucketing: corpus-trained add-one
         # unigram LM, integer micro-nat cross-entropy, NTILE terciles
@@ -516,6 +522,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def dedup_embedding_pairs(spark, sf):
         return dedup.embedding_dup_pairs(_t(spark, sf, "embeddings"))
+
+    def dedup_incremental(spark, sf):
+        # rolling-crawl ingest: flag each increment doc (doc_id%3==0)
+        # against the base corpus (%3!=0) — exact fingerprint hit +
+        # count of >=0.5-Jaccard base near-dups; join work scales
+        # with the increment, never base x base
+        docs = _t(spark, sf, "documents")
+        return dedup.incremental_dedup_flags(
+            docs.filter(F.col("doc_id") % 3 != 0),
+            docs.filter(F.col("doc_id") % 3 == 0))
 
     def dedup_substring_spans(spark, sf):
         # Lee-et-al-style exact duplicate-substring coverage: stride-1
@@ -1123,6 +1139,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select(F.col("window.start").alias("hour_start"),
                         "event_type", "n"))
 
+    def events_anomaly_hours(spark, sf):
+        # integer-exact 3-sigma hourly volume anomalies per type: the
+        # z-test multiplied out to BIGINT moments, no float boundary
+        from askg_spark.timeseries import anomaly_hours
+        return anomaly_hours(_t(spark, sf, "events"))
+
     def events_asof_join(spark, sf):
         # point-in-time join: each purchase gains the latest click at
         # or before it per user — one window shuffle, no range join
@@ -1270,6 +1292,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_anchor_texts": web_anchor_texts,
         "doc_lm_perplexity": doc_lm_perplexity,
         "part_cooccur_kcore": part_cooccur_kcore,
+        "dedup_incremental": dedup_incremental,
+        "corpus_domain_stats": corpus_domain_stats,
+        "events_anomaly_hours": events_anomaly_hours,
         # (b) r2-binary-only rows — re-verify under the r4 binary
         "kg_id_stats": kg_id_stats,
         "kg_repo_domains": kg_repo_domains,
@@ -2367,6 +2392,44 @@ SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
        coalesce(p.n_oov, 0) AS n_oov
 FROM documents d LEFT JOIN p USING (doc_id)
 """,
+        # hourly anomaly flags: identical integer moments, identical
+        # multiplied-out predicate — no float tolerance anywhere
+        "events_anomaly_hours": """
+WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+                  CAST(count(*) AS BIGINT) AS n_events
+           FROM events GROUP BY 1, 2),
+m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_h,
+             sum(n_events) AS s, sum(n_events * n_events) AS ss
+      FROM h GROUP BY 1)
+SELECT h.event_type, h.hour, h.n_events,
+       CAST(CASE WHEN (h.n_events * m.n_h - m.s) > 0
+                  AND (h.n_events * m.n_h - m.s)
+                      * (h.n_events * m.n_h - m.s)
+                      > 9 * (m.n_h * m.ss - m.s * m.s)
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM h JOIN m USING (event_type)
+""",
+        # domain rollup: corpus-wide duplicate fingerprints, then one
+        # group-by over the domain key; same token/fingerprint
+        # formulas as the doc-level oracles
+        "corpus_domain_stats": f"""
+WITH fp AS (SELECT doc_id,
+                   md5(trim(regexp_replace(lower(coalesce(text, '')),
+                                           '\\s+', ' ', 'g'))) AS fpr
+            FROM documents),
+dupf AS (SELECT fpr FROM fp GROUP BY fpr HAVING count(*) > 1),
+d AS (SELECT doc_id, source AS domain,
+             CAST(len({_TOKS_SAFE}) AS BIGINT) AS n_tokens,
+             CASE WHEN fpr IN (SELECT fpr FROM dupf) THEN 1 ELSE 0 END
+               AS is_dup
+      FROM documents JOIN fp USING (doc_id))
+SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_short_docs,
+       CAST(sum(is_dup) AS BIGINT) AS n_dup_docs
+FROM d GROUP BY domain
+""",
         # unigram-LM bucketing: per-token logprobs quantized to
         # integer micro-nats BEFORE the per-doc sum, so sums are
         # order-independent; ln() 1-ulp libm drift is the documented
@@ -3057,6 +3120,42 @@ WITH fp AS (
   FROM documents)
 SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS canonical_doc_id
 FROM fp GROUP BY fingerprint HAVING count(*) > 1
+""",
+        # incremental dedup: the asymmetric inverted-index join (inc
+        # grams x base grams); same gram text vs xxhash64 key trade
+        "dedup_incremental": f"""
+WITH t AS (SELECT doc_id, {_TOKS_SAFE} AS toks FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct(
+        [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         for i in range(1, len(toks) - 1)])) AS gram
+      FROM t WHERE len(toks) >= 3),
+sz AS (SELECT doc_id, count(*) AS n_g FROM g GROUP BY doc_id),
+fp AS (SELECT doc_id,
+              md5(trim(regexp_replace(lower(coalesce(text, '')),
+                                      '\\s+', ' ', 'g'))) AS fpr
+       FROM documents),
+ex AS (SELECT DISTINCT i.doc_id FROM fp i
+       WHERE i.doc_id % 3 = 0 AND i.fpr IN
+             (SELECT fpr FROM fp b WHERE b.doc_id % 3 <> 0)),
+inter AS (SELECT i.doc_id AS inc_id, b.doc_id AS base_id,
+                 count(*) AS n_common
+          FROM g i JOIN g b ON i.gram = b.gram
+          WHERE i.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
+          GROUP BY 1, 2),
+near AS (SELECT inc_id, CAST(count(*) AS BIGINT) AS n_near
+         FROM inter
+         JOIN sz si ON si.doc_id = inc_id
+         JOIN sz sb ON sb.doc_id = base_id
+         WHERE n_common >= 0.5 * (si.n_g + sb.n_g - n_common)
+         GROUP BY inc_id)
+SELECT d.doc_id,
+       CAST(CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS exact_dup,
+       coalesce(near.n_near, 0) AS n_near_dups
+FROM documents d
+LEFT JOIN ex ON d.doc_id = ex.doc_id
+LEFT JOIN near ON d.doc_id = near.inc_id
+WHERE d.doc_id % 3 = 0
 """,
         # duplicate-substring coverage: stride-1 15-token windows; the
         # engine keys windows by xxhash64, the oracle by the window

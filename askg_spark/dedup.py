@@ -186,6 +186,71 @@ def duplicate_span_stats(df: DataFrame, w: int = 15,
                      .alias("dup_tokens")))
 
 
+def incremental_dedup_flags(base: DataFrame, inc: DataFrame,
+                            n: int = 3, threshold: float = 0.5,
+                            max_gram_df: int | None = None) -> DataFrame:
+    """Incremental-crawl dedup: flag each INCREMENT document against
+    an existing BASE corpus — the shape every rolling web pipeline
+    runs per snapshot (dedup the new crawl against the index, never
+    re-pair the base against itself).
+
+    -> (doc_id, exact_dup, n_near_dups) per increment doc:
+       exact_dup   1 iff the doc's canonical fingerprint already
+                   exists in base (0/1 BIGINT),
+       n_near_dups how many base docs share n-gram Jaccard >=
+                   threshold with it.
+
+    Plan: the exact arm is a left_semi of increment fingerprints
+    against the base fingerprint dimension (one shuffle on the hash —
+    at scale the base side is a bucketed fingerprint index, so only
+    the increment shuffles). The near arm is the asymmetric variant
+    of ngram_jaccard_pairs' inverted index: increment grams equi-join
+    base grams on the xxhash64 gram key, so join work is proportional
+    to the INCREMENT's posting mass, not the corpus product.
+    ``max_gram_df`` is the same stop-gram skew cap, measured on the
+    base side (boilerplate lives in the base)."""
+    fp_base = fingerprints(base).select("fingerprint").distinct()
+    fp_inc = fingerprints(inc)
+    exact = (fp_inc.join(fp_base, "fingerprint", "left_semi")
+             .select("doc_id", F.lit(1).cast("long").alias("exact_dup")))
+
+    def grams_of(df: DataFrame) -> DataFrame:
+        return (df.select("doc_id", tokens(F.col("text")).alias("toks"))
+                .select("doc_id",
+                        F.explode(ngrams_from_tokens(F.col("toks"), n))
+                        .alias("gram"))
+                .select("doc_id", F.xxhash64("gram").alias("gram")))
+
+    gb, gi = grams_of(base), grams_of(inc)
+    if max_gram_df is not None:
+        hot = gb.groupBy("gram").agg(F.count(F.lit(1)).alias("df_"))
+        ok = hot.filter(F.col("df_") <= max_gram_df).select("gram")
+        gb = gb.join(ok, "gram", "left_semi")
+        gi = gi.join(ok, "gram", "left_semi")
+    sizes_b = gb.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_b"))
+    sizes_i = gi.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_i"))
+    inter = (gi.withColumnRenamed("doc_id", "inc_id")
+             .join(gb.withColumnRenamed("doc_id", "base_id"), "gram")
+             .groupBy("inc_id", "base_id")
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    near = (inter
+            .join(sizes_i.withColumnRenamed("doc_id", "inc_id"), "inc_id")
+            .join(sizes_b.withColumnRenamed("doc_id", "base_id"), "base_id")
+            .filter(F.col("n_common") >= F.lit(threshold) *
+                    (F.col("n_i") + F.col("n_b") - F.col("n_common")))
+            .groupBy("inc_id")
+            .agg(F.count(F.lit(1)).alias("n_near_dups"))
+            .withColumnRenamed("inc_id", "doc_id"))
+    return (inc.select("doc_id")
+            .join(exact, "doc_id", "left")
+            .join(near, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("exact_dup", F.lit(0).cast("long"))
+                     .alias("exact_dup"),
+                    F.coalesce("n_near_dups", F.lit(0).cast("long"))
+                     .alias("n_near_dups")))
+
+
 def contamination_check(
     train: DataFrame, eval_df: DataFrame, n: int = 4,
     max_gram_df: int | None = None,

@@ -862,3 +862,41 @@ def unigram_lm_scores(df: DataFrame, text_col: str = "text",
     return scored.select(
         F.col(id_col), "n_tokens", "score_micronat",
         F.ntile(n_buckets).over(w).cast("long").alias("bucket"))
+
+
+def domain_stats(df: DataFrame, domain_col: str = "source",
+                 text_col: str = "text", id_col: str = "doc_id",
+                 short_tokens: int = 20) -> DataFrame:
+    """Domain-level curation rollup — the RefinedWeb/C4-style signal
+    for KEEPING or DROPPING whole sites rather than documents (domain
+    spam shows up as high duplicate fractions and short-page farms
+    long before per-doc filters fire).
+
+    -> (domain, n_docs, total_tokens, n_short_docs, n_dup_docs), all
+    exact BIGINTs; n_dup_docs counts docs whose canonical fingerprint
+    occurs more than once CORPUS-WIDE (cross-domain mirrors count for
+    every domain that hosts a copy — the signal a mirror-farm
+    detector wants).
+
+    Plan: one fingerprint groupBy builds the duplicate-fingerprint
+    dimension (hash-keyed shuffle), a left_semi marks dup docs, token
+    counts are a pure Column expression, and the rollup is a single
+    groupBy(domain) with map-side partial aggregation — domain skew
+    (one giant host) lands in the partial agg, not a join."""
+    fp = fingerprints(df, text_col=text_col, id_col=id_col)
+    dup_fps = (fp.groupBy("fingerprint")
+               .agg(F.count(F.lit(1)).alias("c"))
+               .filter(F.col("c") > 1).select("fingerprint"))
+    dup_ids = (fp.join(dup_fps, "fingerprint", "left_semi")
+               .select(F.col(id_col), F.lit(1).cast("long").alias("is_dup")))
+    n_tok = token_count(F.col(text_col))
+    base = (df.select(F.col(id_col), F.col(domain_col).alias("domain"),
+                      n_tok.alias("n_tokens"))
+            .join(dup_ids, id_col, "left"))
+    return (base.groupBy("domain")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.sum(F.when(F.col("n_tokens") < short_tokens, 1)
+                       .otherwise(0)).cast("long").alias("n_short_docs"),
+                 F.sum(F.coalesce("is_dup", F.lit(0))).cast("long")
+                  .alias("n_dup_docs")))

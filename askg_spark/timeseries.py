@@ -208,3 +208,48 @@ def cohort_retention(events: DataFrame, key: str = "user_id",
     return (acts.join(cohorts, key)
             .groupBy("cohort_week", "active_week")
             .agg(F.countDistinct(key).alias("n_keys")))
+
+
+def anomaly_hours(events: DataFrame, type_col: str = "event_type",
+                  ts_col: str = "ts", sigmas: int = 3) -> DataFrame:
+    """Per-type hourly volume anomalies: flag hours whose event count
+    sits more than ``sigmas`` population standard deviations above
+    that type's mean hourly count — the monitoring primitive every
+    ingest pipeline runs over its own throughput stream.
+
+    -> (event_type, hour, n_events, is_anomaly), with is_anomaly
+    decided INTEGER-EXACTLY: with per-type sums S = Σc, SS = Σc² over
+    n observed hours, the test  c > μ + kσ  (σ population) multiplies
+    out to
+
+        (c·n − S) > 0  AND  (c·n − S)² > k²·(n·SS − S²)
+
+    — all BIGINT arithmetic, so the flag is bit-reproducible on any
+    partitioning and in SQL with no float tolerance at the boundary.
+
+    Plan: one groupBy(type, hour) count (map-side combine), a tiny
+    per-type moment aggregate joined back broadcast, and a pure
+    Column predicate — two narrow shuffles total. Only OBSERVED hours
+    enter the moments (a silent hour is a missing row, not a zero);
+    at web scale the per-type moment frame stays dimension-sized.
+    BIGINT headroom: the squared deviation needs |c·n − S| < 3·10⁹;
+    hourly counts beyond ~10⁶ with ~10³ observed hours should cast
+    the predicate to DECIMAL(38,0) (same closed form, wider lanes)."""
+    hourly = (events.select(F.col(type_col).alias("event_type"),
+                            F.date_trunc("hour", F.col(ts_col))
+                            .alias("hour"))
+              .groupBy("event_type", "hour")
+              .agg(F.count(F.lit(1)).alias("n_events")))
+    moments = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum("n_events").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("ss"))
+    dev = F.col("n_events") * F.col("n_h") - F.col("s")
+    var_term = (F.lit(int(sigmas) ** 2) *
+                (F.col("n_h") * F.col("ss") - F.col("s") * F.col("s")))
+    return (hourly.join(F.broadcast(moments), "event_type")
+            .select("event_type", "hour",
+                    F.col("n_events").cast("long").alias("n_events"),
+                    F.when((dev > 0) & (dev * dev > var_term),
+                           F.lit(1)).otherwise(F.lit(0))
+                    .cast("long").alias("is_anomaly")))

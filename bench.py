@@ -61,6 +61,9 @@ def main() -> int:
 
     run("dedup_exact_groups")
     run("dedup_substring_spans")
+    run("dedup_incremental")
+    run("corpus_domain_stats")
+    run("events_anomaly_hours")
     run("web_anchor_texts")
     run("doc_lm_perplexity")
     run("part_cooccur_kcore")

@@ -196,3 +196,39 @@ def test_asof_join_rejects_reserved_scratch_columns(spark):
         [(1, 5, 2, 7)], "user_id int, ts int, event_id int, _rn int")
     with _pytest.raises(ValueError, match="_rn"):
         asof_join(left, right_bad)
+
+
+def test_anomaly_hours_integer_z_test(spark):
+    """The multiplied-out integer predicate agrees with the float
+    z-test away from the boundary: one spiked hour flags, flat and
+    below-threshold series do not, and negative deviations never
+    flag."""
+    import datetime as dt
+
+    from askg_spark.timeseries import anomaly_hours
+
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 1, 1)
+
+    def add(n, typ, hour):
+        nonlocal eid
+        for _ in range(n):
+            rows.append((eid, base + dt.timedelta(hours=hour), typ))
+            eid += 1
+
+    # 20 baseline hours of 3 + one 100-spike: the spike inflates its
+    # own sigma (population moments include it), so a wide baseline
+    # is needed for 3-sigma to clear — mean 7.6, sigma ~20.7,
+    # threshold ~69.6 < 100
+    for h in range(20):
+        add(3, "spiky", h)
+    add(100, "spiky", 20)
+    for h in range(5):                          # flat -> variance 0
+        add(2, "flat", h)
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, "
+                                     "event_type string")
+    got = {(r["event_type"], r["hour"].hour): r["is_anomaly"]
+           for r in anomaly_hours(df).collect()}
+    assert got[("spiky", 20)] == 1
+    assert all(v == 0 for k, v in got.items() if k != ("spiky", 20))

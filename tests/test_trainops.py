@@ -1439,3 +1439,48 @@ def test_kcore_peel_cascade_and_backstop(spark):
     assert graphops.kcore(edges, k=5).count() == 0
     with pytest.raises(RuntimeError):
         graphops.kcore(edges, k=2, max_rounds=1)
+
+
+def test_incremental_dedup_flags(spark):
+    """Increment docs flagged against a fixed base: byte-different
+    but canonically-equal text hits the exact arm, heavy 3-gram
+    overlap hits the near arm, novel text hits neither."""
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven")],
+        "doc_id long, text string")
+    inc = spark.createDataFrame(
+        [(30, "  ALPHA beta   gamma delta epsilon ZETA "),  # exact
+         (31, "one two three four five six eight"),          # near
+         (32, "totally different words entirely here now")], # novel
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["exact_dup"], r["n_near_dups"])
+           for r in dedup.incremental_dedup_flags(base, inc).collect()}
+    assert got[30][0] == 1
+    assert got[31] == (0, 1)   # 4/6 shared grams -> jaccard 4/6 >= .5
+    assert got[32] == (0, 0)
+    # the near arm is case-SENSITIVE (raw grams, same semantics as
+    # dedup_ngram_pairs) while the exact arm canonicalizes — the
+    # upper-cased copy hits exact only
+    assert got[30][1] == 0
+
+
+def test_domain_stats_rollup(spark):
+    """Cross-domain mirrored content marks BOTH hosting domains'
+    n_dup_docs; short docs counted per threshold; token sums exact."""
+    rows = [
+        (0, "d1", "mirrored page body with some shared words"),
+        (1, "d2", "mirrored page body with some shared words"),
+        (2, "d1", "tiny"),
+        (3, "d2", "a regular page " + "tok " * 20),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, "
+                                     "text string")
+    got = {r["domain"]: r for r in
+           textops.domain_stats(df, short_tokens=5).collect()}
+    assert (got["d1"]["n_docs"], got["d1"]["n_dup_docs"],
+            got["d1"]["n_short_docs"]) == (2, 1, 1)
+    assert (got["d2"]["n_docs"], got["d2"]["n_dup_docs"],
+            got["d2"]["n_short_docs"]) == (2, 1, 0)
+    assert got["d1"]["total_tokens"] == 7 + 1
+    assert got["d2"]["total_tokens"] == 7 + 23
