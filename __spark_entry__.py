@@ -462,6 +462,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per domain, all integers
         return textops.domain_stats(_t(spark, sf, "documents"))
 
+    def doc_chunks(spark, sf):
+        # RAG-prep chunking: 64-token windows, 16-token overlap;
+        # chunk_md5 pins exact slice boundaries
+        return textops.chunk_assignments(_t(spark, sf, "documents"),
+                                         budget=64, overlap=16)
+
+    def doc_top_terms(spark, sf):
+        # per-doc top-3 TF-IDF keywords, integer micro-nat idf (same
+        # quantize-then-integer-arithmetic contract as the LM op)
+        return textops.top_terms_tfidf(_t(spark, sf, "documents"), k=3)
+
     def doc_lm_perplexity(spark, sf):
         # CCNet-style quality bucketing: corpus-trained add-one
         # unigram LM, integer micro-nat cross-entropy, NTILE terciles
@@ -1283,7 +1294,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catalog_pruned_scan": catalog_pruned_scan,
         "multimodal_jpeg_stats": multimodal_jpeg_stats,
         "graph_bfs_depths": graph_bfs_depths,
-        "corpus_bpe_merges": corpus_bpe_merges,
         "web_surt_keys": web_surt_keys,
         "events_quantile_sketch": events_quantile_sketch,
         "web_cdx_index": web_cdx_index,
@@ -1295,6 +1305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": dedup_incremental,
         "corpus_domain_stats": corpus_domain_stats,
         "events_anomaly_hours": events_anomaly_hours,
+        "doc_top_terms": doc_top_terms,
+        "doc_chunks": doc_chunks,
         # (b) r2-binary-only rows — re-verify under the r4 binary
         "kg_id_stats": kg_id_stats,
         "kg_repo_domains": kg_repo_domains,
@@ -1351,9 +1363,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_pairs": dedup_ngram_pairs,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_embedding_pairs": dedup_embedding_pairs,
-        # rows-only by design (no oracle): fixture parity asserted in
-        # pytest; kept out of the driver's first-50 hash window so an
-        # oracle-bearing query takes the slot
+        # rows-only by design (no oracle): parity asserted in pytest;
+        # kept out of the driver's first-50 hash window so oracle-
+        # bearing queries take the slots
+        "corpus_bpe_merges": corpus_bpe_merges,
         "kg_fixture_entities": kg_fixture_entities,
         # rows-only by design; superseded by web_pagerank_quantized
         "web_pagerank_topk": web_pagerank_topk,
@@ -2429,6 +2442,48 @@ SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
          AS n_short_docs,
        CAST(sum(is_dup) AS BIGINT) AS n_dup_docs
 FROM d GROUP BY domain
+""",
+        # chunking: same stride arithmetic, DuckDB 1-based inclusive
+        # list slicing toks[s : s+budget-1]; md5 of the rejoined slice
+        # pins boundaries exactly
+        "doc_chunks": f"""
+WITH t AS (SELECT doc_id, {_TOKS_SAFE} AS toks FROM documents),
+b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t
+      WHERE len(toks) > 0),
+nc AS (SELECT doc_id, toks, n,
+              CASE WHEN n <= 64 THEN 1
+                   ELSE 1 + CAST(ceil((n - 64) / 48.0) AS BIGINT) END
+                AS n_chunks
+       FROM b)
+SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+       CAST(k * 48 + 1 AS BIGINT) AS start_tok,
+       CAST(least(64, n - k * 48) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(toks[(k * 48 + 1):(k * 48 + 64)], ' '))
+         AS chunk_md5
+FROM nc, unnest(generate_series(0, n_chunks - 1)) AS g(k)
+""",
+        # TF-IDF keywords: same integer-quantized-idf arithmetic;
+        # row_number tie-break mirrored exactly
+        "doc_top_terms": f"""
+WITH t AS (SELECT doc_id, {_TOKS_SAFE} AS toks FROM documents),
+e AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM e GROUP BY 1, 2),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+idf AS (SELECT term,
+               CAST(floor(1000000.0 *
+                    ln(CAST(n_docs AS DOUBLE) / count(*))) AS BIGINT)
+                 AS idf_micro
+        FROM tf, nd GROUP BY term, n_docs),
+s AS (SELECT tf.doc_id, tf.term, tf.tf,
+             tf.tf * idf.idf_micro AS score_micro
+      FROM tf JOIN idf USING (term))
+SELECT doc_id, term, tf, score_micro,
+       rnk
+FROM (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY score_micro DESC, term ASC) AS BIGINT) AS rnk
+      FROM s)
+WHERE rnk <= 3
 """,
         # unigram-LM bucketing: per-token logprobs quantized to
         # integer micro-nats BEFORE the per-doc sum, so sums are

@@ -900,3 +900,101 @@ def domain_stats(df: DataFrame, domain_col: str = "source",
                        .otherwise(0)).cast("long").alias("n_short_docs"),
                  F.sum(F.coalesce("is_dup", F.lit(0))).cast("long")
                   .alias("n_dup_docs")))
+
+
+def top_terms_tfidf(df: DataFrame, k: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    scale: int = 1_000_000) -> DataFrame:
+    """Per-document top-k keywords by TF-IDF — the classic semantic
+    index / keyword-extraction primitive.
+
+    -> (id_col, term, tf, score_micro, rnk), rnk 1..k per doc by
+    (score DESC, term ASC); score_micro = tf * idf_micro with
+    idf_micro = floor(scale * ln(N_docs / df_term)) — the same
+    quantize-each-DISTINCT-value-then-do-integer-arithmetic contract
+    as unigram_lm_scores, so results are partitioning-independent and
+    SQL-reproducible (ln()'s 1-ulp libm drift is the one documented
+    cross-engine caveat).
+
+    Plan: tf is one groupBy(doc, term) with map-side combine; df is
+    one groupBy(term) over the DISTINCT doc-term frame (reuses the
+    same exchange key prefix); idf joins back on the term key where
+    term-frequency skew is absorbed by the preceding aggregation; the
+    top-k is a per-doc row_number window — bounded work per doc, no
+    corpus-wide sort."""
+    from pyspark.sql import Window
+
+    tf = (df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+          .select(F.col(id_col), F.explode(F.col("_t")).alias("term"))
+          .groupBy(id_col, "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    n_docs = df.agg(
+        F.count_distinct(F.col(id_col)).alias("n_docs"))
+    idf = (tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_"))
+           .crossJoin(F.broadcast(n_docs))
+           .select("term",
+                   F.floor(F.lit(float(scale)) *
+                           F.log(F.col("n_docs").cast("double") /
+                                 F.col("df_").cast("double")))
+                    .cast("long").alias("idf_micro")))
+    scored = (tf.join(idf, "term")
+              .select(F.col(id_col), "term", F.col("tf").cast("long")
+                      .alias("tf"),
+                      (F.col("tf") * F.col("idf_micro"))
+                      .cast("long").alias("score_micro")))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score_micro"), F.asc("term"))
+    return (scored.select(F.col(id_col), "term", "tf", "score_micro",
+                          F.row_number().over(w).cast("long")
+                          .alias("rnk"))
+            .filter(F.col("rnk") <= k))
+
+
+def chunk_assignments(df: DataFrame, budget: int = 64, overlap: int = 16,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Retrieval-prep chunking: split each document's token stream
+    into overlapping windows of ``budget`` tokens with ``overlap``
+    carried between neighbors (stride = budget - overlap) — the
+    standard RAG/embedding-index preprocessing step.
+
+    -> (id_col, chunk_id, start_tok, n_chunk_tokens, chunk_md5);
+    chunk_md5 hashes the space-rejoined token slice, so a green
+    oracle pins the exact slice boundaries, not just the counts.
+    Chunk count per doc: 1 if n <= budget else
+    1 + ceil((n - budget) / stride); the final chunk may be short
+    (never empty), and empty docs produce no rows.
+
+    Plan: one projection builds the per-doc chunk array (transform
+    over a sequence — no Python, no shuffle) and explodes it; work
+    and output are linear in token count with the documented
+    ~budget/stride duplication factor. Deliberately stateless and
+    embarrassingly parallel: chunking is the map side of an
+    embedding-index build, so there is nothing to shuffle until the
+    downstream index groups by chunk key."""
+    stride = budget - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than budget")
+    t = (df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+         .select(F.col(id_col), "toks",
+                 F.size("toks").cast("long").alias("n")))
+    n_chunks = F.when(F.col("n") <= 0, F.lit(0)) \
+        .when(F.col("n") <= budget, F.lit(1)) \
+        .otherwise(1 + F.ceil((F.col("n") - budget) /
+                              F.lit(float(stride))).cast("long"))
+    chunk = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda k: F.struct(
+            k.cast("long").alias("chunk_id"),
+            (k * stride + 1).cast("long").alias("start_tok"),
+            F.least(F.lit(budget).cast("long"),
+                    F.col("n") - k * stride).alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(
+                " ", F.slice(F.col("toks"), k * stride + 1, budget)))
+             .alias("chunk_md5")))
+    return (t.filter(F.col("n") > 0)
+            .select(F.col(id_col), F.explode(chunk).alias("c"))
+            .select(F.col(id_col), F.col("c.chunk_id").alias("chunk_id"),
+                    F.col("c.start_tok").alias("start_tok"),
+                    F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
+                    F.col("c.chunk_md5").alias("chunk_md5")))

@@ -64,6 +64,8 @@ def main() -> int:
     run("dedup_incremental")
     run("corpus_domain_stats")
     run("events_anomaly_hours")
+    run("doc_top_terms")
+    run("doc_chunks")
     run("web_anchor_texts")
     run("doc_lm_perplexity")
     run("part_cooccur_kcore")

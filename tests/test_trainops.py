@@ -1484,3 +1484,56 @@ def test_domain_stats_rollup(spark):
             got["d2"]["n_short_docs"]) == (2, 1, 0)
     assert got["d1"]["total_tokens"] == 7 + 1
     assert got["d2"]["total_tokens"] == 7 + 23
+
+
+def test_top_terms_tfidf_ordering(spark):
+    """3-doc corpus with hand-computed integer idf: corpus-wide terms
+    get idf 0 and sink, doc-unique terms top the ranking, ties break
+    term-ascending."""
+    import math
+
+    rows = [(0, "common rare0 rare0 shared"),
+            (1, "common rare1 shared"),
+            (2, "common only2")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in textops.top_terms_tfidf(df, k=2).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["rnk"], r["term"], r["tf"], r["score_micro"]))
+    idf = {df_: math.floor(1e6 * math.log(3 / df_)) for df_ in (1, 2, 3)}
+    for d in got:
+        got[d].sort()
+    # doc 0: rare0 tf=2 idf(1) beats shared tf=1 idf(2)
+    assert got[0] == [(1, "rare0", 2, 2 * idf[1]),
+                      (2, "shared", 1, idf[2])]
+    # doc 2: only2 unique; 'common' idf == 0 still ranks (score 0)
+    assert got[2] == [(1, "only2", 1, idf[1]), (2, "common", 1, 0)]
+
+
+def test_chunk_assignments_boundaries(spark):
+    """budget=5, overlap=2 (stride 3): exact starts/lengths including
+    the short final chunk, the n<=budget single-chunk case, md5 of
+    the rejoined slice, and empty docs dropping out."""
+    import hashlib
+
+    toks9 = [f"t{i}" for i in range(1, 10)]
+    rows = [(0, " ".join(toks9)),   # 9 tokens -> chunks @1,4,7
+            (1, "a b c"),           # single chunk
+            (2, "")]                # no rows
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in textops.chunk_assignments(df, budget=5, overlap=2).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["start_tok"], r["n_chunk_tokens"],
+             r["chunk_md5"]))
+    for d in got:
+        got[d].sort()
+
+    def h(ts):
+        return hashlib.md5(" ".join(ts).encode()).hexdigest()
+
+    assert got[0] == [(0, 1, 5, h(toks9[0:5])),
+                      (1, 4, 5, h(toks9[3:8])),
+                      (2, 7, 3, h(toks9[6:9]))]
+    assert got[1] == [(0, 1, 3, h(["a", "b", "c"]))]
+    assert 2 not in got
