@@ -1110,6 +1110,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              <= 3 * rsd * F.col("n_exact"))
             .cast("int").alias("sketch_ok"))
 
+    def _cooccur_edges(spark, sf):
+        # the 1.2M-edge part co-occurrence frame (sf0.1) feeds both
+        # graph-census queries; the pp self-join + distinct that
+        # builds it is most of either query's cold cost, so it is
+        # memoized + persisted per sf (same pattern as _web_pages)
+        from pyspark import StorageLevel
+
+        from askg_spark import graphops
+        key = (id(spark), sf, "cooccur")
+        if key not in _KG_CACHE:
+            li = _t(spark, sf, "lineitem").select("l_orderkey",
+                                                  "l_partkey")
+            # coalesce to core count before persisting: a cached frame
+            # pins its partitioning (AQE cannot coalesce through an
+            # InMemoryRelation), and the distinct's 128-way layout
+            # would tax every downstream scan with near-empty tasks
+            # (the r4 pipeline-cache lesson)
+            width = spark.sparkContext.defaultParallelism
+            _KG_CACHE[key] = (
+                graphops.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+                .coalesce(width)
+                .persist(StorageLevel.MEMORY_AND_DISK))
+        return _KG_CACHE[key]
+
     def part_cooccur_triangles(spark, sf):
         # exact triangle census of the part co-occurrence graph
         # (parts sharing an order), degree-ordered orientation so the
@@ -1117,18 +1141,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # orientation-independent, so the oracle recomputes it with
         # the simpler id-ordering
         from askg_spark import graphops
-        li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-        edges = graphops.cooccurrence_edges(li, "l_orderkey", "l_partkey")
-        return graphops.triangle_stats(edges)
+        return graphops.triangle_stats(_cooccur_edges(spark, sf))
 
     def part_cooccur_kcore(spark, sf):
         # 80-core of the same co-occurrence graph: iterative peel to
         # the fixed point (<= 7 rounds here), surviving (node, degree)
         # rows; the oracle unrolls the peel to the 16-round backstop
         from askg_spark import graphops
-        li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-        edges = graphops.cooccurrence_edges(li, "l_orderkey", "l_partkey")
-        return graphops.kcore(edges, k=80)
+        return graphops.kcore(_cooccur_edges(spark, sf), k=80)
 
     def events_latest_per_user(spark, sf):
         from pyspark.sql import Window
