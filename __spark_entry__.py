@@ -111,6 +111,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def kg_triples(spark, sf):
         return _kg_triples(spark, sf).select("subj", "pred", "obj")
 
+    def kg_negative_samples(spark, sf):
+        # KG-embedding training negatives: deterministic within-
+        # predicate object corruption (md5-rank pick, +1 on self-
+        # collision) over the shared triples frame — restricted to
+        # AUTHORED_BY + HAS_CATEGORY to keep the driver compare frame
+        # small while exercising both a hot predicate and a tiny
+        # object dimension
+        from askg_spark import triples as T
+        tr = _kg_triples(spark, sf).filter(
+            F.col("pred").isin("AUTHORED_BY", "HAS_CATEGORY"))
+        return T.negative_samples(tr)
+
     def kg_category_counts(spark, sf):
         return (_kg_triples(spark, sf)
                 .filter(F.col("pred") == "HAS_CATEGORY")
@@ -1327,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly_hours": events_anomaly_hours,
         "doc_top_terms": doc_top_terms,
         "doc_chunks": doc_chunks,
+        "kg_negative_samples": kg_negative_samples,
         # (b) r2-binary-only rows — re-verify under the r4 binary
         "kg_id_stats": kg_id_stats,
         "kg_repo_domains": kg_repo_domains,
@@ -1790,6 +1803,36 @@ UNION ALL SELECT subj, pred, obj FROM rel
         # (well under 1000 entities per key) — it is mirrored anyway so
         # the oracle stays exact at any sf.
         "kg_triples": _kg_triples_sql,
+        # negative sampling: identical md5-rank arithmetic ('0x' hex
+        # cast == Spark conv(...,16,10); both 32-bit non-negative);
+        # priority 0/1 (not rank value) picks the survivor because
+        # the (h+1) fallback can wrap below h
+        "kg_negative_samples": f"""
+WITH alltr AS ({_kg_triples_sql}),
+t AS (SELECT subj, pred, obj FROM alltr
+      WHERE pred IN ('AUTHORED_BY', 'HAS_CATEGORY')),
+objs AS (SELECT pred, obj,
+                row_number() OVER (PARTITION BY pred ORDER BY obj) - 1
+                  AS rank
+         FROM (SELECT DISTINCT pred, obj FROM t)),
+cnts AS (SELECT pred, count(*) AS n_obj FROM objs GROUP BY pred),
+b AS (SELECT t.subj, t.pred, t.obj, cnts.n_obj,
+             CAST('0x' || substr(md5(concat_ws('|', t.subj, t.pred,
+                                               t.obj)), 1, 8) AS BIGINT)
+               % cnts.n_obj AS h
+      FROM t JOIN cnts USING (pred)),
+cand AS (SELECT subj, pred, obj, 0 AS prio, h AS rank FROM b
+         UNION ALL
+         SELECT subj, pred, obj, 1, (h + 1) % n_obj FROM b),
+picked AS (SELECT c.subj, c.pred, c.obj,
+                  min_by(o.obj, c.prio) AS neg_obj
+           FROM cand c
+           JOIN objs o ON o.pred = c.pred AND o.rank = c.rank
+           WHERE o.obj <> c.obj
+           GROUP BY 1, 2, 3)
+SELECT t.subj, t.pred, t.obj, picked.neg_obj
+FROM t LEFT JOIN picked USING (subj, pred, obj)
+""",
         "kg_two_hop": f"""
 WITH alltr AS ({_kg_triples_sql}),
 rel AS (SELECT DISTINCT subj, obj FROM alltr

@@ -236,3 +236,61 @@ def to_ntriples(triples: DataFrame,
         F.concat(nt_iri(F.col("subj"), base), F.lit(" "),
                  nt_iri(F.col("pred"), base), F.lit(" "),
                  obj, F.lit(" .")).alias("line"))
+
+
+def negative_samples(triples: DataFrame) -> DataFrame:
+    """Deterministic negative sampling for KG-embedding training
+    (TransE/DistMult-style corruption): for every (subj, pred, obj)
+    triple emit one corrupted object drawn from the OTHER objects of
+    the same predicate — within-relation corruption, the standard
+    type-consistent strategy.
+
+    -> (subj, pred, obj, neg_obj); neg_obj is NULL when the predicate
+    has only one distinct object (no valid corruption exists).
+
+    Determinism contract: the candidate rank is
+    h = md5(subj|pred|obj)[:8 hex] mod n_objects(pred) — the same
+    32-bit value in Spark (conv) and SQL ('0x' cast), no RNG — and a
+    self-collision (candidate == obj) advances to (h+1) mod n. Both
+    candidate ranks are joined in ONE pass (explode of <=2 ranks,
+    equi-join on (pred, rank), keep the first non-colliding) so the
+    corruption costs two narrow shuffles regardless of corpus size.
+
+    Plan/skew: the distinct-object ranking is a per-predicate
+    row_number window — parallel across predicates; a hot predicate
+    (most triples share few preds) concentrates its rank window on
+    one partition, the documented skew point: at 10^9+ objects per
+    predicate the rank assignment moves to a range-partitioned sort +
+    per-partition offset pass (two jobs), same contract."""
+    from pyspark.sql import Window
+
+    objs = (triples.select("pred", "obj").distinct()
+            .withColumn("rank", F.row_number().over(
+                Window.partitionBy("pred").orderBy("obj")) - 1))
+    cnts = objs.groupBy("pred").agg(F.count(F.lit(1)).alias("n_obj"))
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws("|", "subj", "pred", "obj")), 1, 8),
+        16, 10).cast("long")
+    base = (triples.select("subj", "pred", "obj")
+            .join(cnts, "pred")
+            .withColumn("h", F.pmod(h, F.col("n_obj"))))
+    # posexplode keeps the candidate PRIORITY (0 = primary rank h,
+    # 1 = fallback (h+1) mod n) separate from the rank value — the
+    # fallback can be numerically smaller when h wraps, so priority,
+    # not rank, decides which survivor wins
+    cand = (base.select(
+        "subj", "pred", "obj",
+        F.posexplode(F.array(
+            F.col("h"),
+            F.pmod(F.col("h") + 1, F.col("n_obj"))))
+        .alias("prio", "rank")))
+    picked = (cand.join(objs.select("pred",
+                                    F.col("obj").alias("cand_obj"),
+                                    "rank"),
+                        ["pred", "rank"])
+              .filter(F.col("cand_obj") != F.col("obj"))
+              .groupBy("subj", "pred", "obj")
+              .agg(F.min_by("cand_obj", "prio").alias("neg_obj")))
+    return (triples.select("subj", "pred", "obj")
+            .join(picked, ["subj", "pred", "obj"], "left")
+            .select("subj", "pred", "obj", "neg_obj"))

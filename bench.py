@@ -91,6 +91,7 @@ def main() -> int:
     extras["ann_ivf_recall"] = round(
         len(exact & ivf) / len(exact), 4) if exact else 1.0
 
+    run("kg_negative_samples")
     run("kg_similar_servers")
     run("kg_triples_diff")
     run("kg_degree_topk", lambda df: len(df.collect()))

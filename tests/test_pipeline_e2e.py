@@ -134,3 +134,33 @@ def test_determinism_across_partitioning(spark, result):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert first == second
+
+
+def test_negative_samples_semantics(spark):
+    """Within-predicate corruption: neg_obj is a DIFFERENT object of
+    the same predicate chosen by the md5 rank (fallback +1 on self-
+    collision incl. wraparound), single-object predicates yield NULL,
+    and the pick is deterministic across partitionings."""
+    import hashlib
+
+    from askg_spark import triples as T
+
+    rows = [("s1", "p", "a"), ("s2", "p", "b"), ("s3", "p", "c"),
+            ("s4", "q", "only")]
+    tr = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {(r["subj"], r["pred"], r["obj"]): r["neg_obj"]
+           for r in T.negative_samples(tr).collect()}
+    objs = ["a", "b", "c"]
+
+    def expect(s, p, o):
+        h = int(hashlib.md5(f"{s}|{p}|{o}".encode())
+                .hexdigest()[:8], 16) % 3
+        cand = objs[h]
+        return cand if cand != o else objs[(h + 1) % 3]
+
+    for s, p, o in rows[:3]:
+        assert got[(s, p, o)] == expect(s, p, o) != o
+    assert got[("s4", "q", "only")] is None
+    got2 = {(r["subj"], r["pred"], r["obj"]): r["neg_obj"]
+            for r in T.negative_samples(tr.repartition(7)).collect()}
+    assert got2 == got

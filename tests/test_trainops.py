@@ -1537,3 +1537,35 @@ def test_chunk_assignments_boundaries(spark):
                       (2, 7, 3, h(toks9[6:9]))]
     assert got[1] == [(0, 1, 3, h(["a", "b", "c"]))]
     assert 2 not in got
+
+
+def test_r4c_ops_cross_partitioning_determinism(spark):
+    """The session's new operators are partitioning-invariant:
+    identical rows under different repartitionings — duplicate-span
+    coverage (hash-join + window merge), incremental flags, LM
+    buckets (global NTILE), and the k-core fixed point."""
+    from askg_spark import graphops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "text")
+
+    def spans(d):
+        return sorted(tuple(r) for r in
+                      dedup.duplicate_span_stats(d, w=15).collect())
+
+    assert spans(docs.repartition(3)) == spans(docs.repartition(17))
+
+    def lm(d):
+        return sorted(tuple(r) for r in
+                      textops.unigram_lm_scores(d).collect())
+
+    assert lm(docs.repartition(2)) == lm(docs.repartition(13, "doc_id"))
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet") \
+        .select("l_orderkey", "l_partkey")
+
+    def core(frame):
+        e = graphops.cooccurrence_edges(frame, "l_orderkey", "l_partkey")
+        return sorted(tuple(r) for r in graphops.kcore(e, k=40).collect())
+
+    assert core(li.repartition(2)) == core(li.repartition(11))
