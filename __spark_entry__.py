@@ -485,6 +485,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quantize-then-integer-arithmetic contract as the LM op)
         return textops.top_terms_tfidf(_t(spark, sf, "documents"), k=3)
 
+    def corpus_collocations(spark, sf):
+        # phrase mining: top-20 adjacent bigrams by integer-quantized
+        # PMI (support >= 5) — the word2vec-phrases signal
+        return textops.collocations(_t(spark, sf, "documents"),
+                                    k=20, min_count=5)
+
     def doc_lm_perplexity(spark, sf):
         # CCNet-style quality bucketing: corpus-trained add-one
         # unigram LM, integer micro-nat cross-entropy, NTILE terciles
@@ -1340,6 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_top_terms": doc_top_terms,
         "doc_chunks": doc_chunks,
         "kg_negative_samples": kg_negative_samples,
+        "corpus_collocations": corpus_collocations,
         # (b) r2-binary-only rows — re-verify under the r4 binary
         "kg_id_stats": kg_id_stats,
         "kg_repo_domains": kg_repo_domains,
@@ -2505,6 +2512,33 @@ SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
          AS n_short_docs,
        CAST(sum(is_dup) AS BIGINT) AS n_dup_docs
 FROM d GROUP BY domain
+""",
+        # collocations: per-DISTINCT-count ln quantization summed as
+        # BIGINTs (same contract as the LM/TF-IDF ops); bigrams keep
+        # multiplicity (one row per adjacent pair occurrence)
+        "corpus_collocations": f"""
+WITH t AS (SELECT {_TOKS_SAFE} AS toks FROM documents),
+uni AS (SELECT w, count(*) AS c
+        FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+tot AS (SELECT sum(c) AS n_total FROM uni),
+bg AS (SELECT w1, w2, count(*) AS n_pair FROM (
+         SELECT toks[i] AS w1, toks[i+1] AS w2
+         FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+         WHERE len(toks) >= 2)
+       GROUP BY 1, 2 HAVING count(*) >= 5),
+s AS (SELECT bg.w1, bg.w2, CAST(bg.n_pair AS BIGINT) AS n_pair,
+             CAST(floor(1000000.0 * ln(CAST(n_total AS DOUBLE)))
+                  + floor(1000000.0 * ln(CAST(bg.n_pair AS DOUBLE)))
+                  - floor(1000000.0 * ln(CAST(u1.c AS DOUBLE)))
+                  - floor(1000000.0 * ln(CAST(u2.c AS DOUBLE)))
+                  AS BIGINT) AS pmi_micro
+      FROM bg JOIN uni u1 ON u1.w = bg.w1
+              JOIN uni u2 ON u2.w = bg.w2, tot)
+SELECT w1, w2, n_pair, pmi_micro, rnk FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY pmi_micro DESC, w1, w2)
+                 AS BIGINT) AS rnk
+  FROM s)
+WHERE rnk <= 20
 """,
         # chunking: same stride arithmetic, DuckDB 1-based inclusive
         # list slicing toks[s : s+budget-1]; md5 of the rejoined slice

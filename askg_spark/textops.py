@@ -998,3 +998,61 @@ def chunk_assignments(df: DataFrame, budget: int = 64, overlap: int = 16,
                     F.col("c.start_tok").alias("start_tok"),
                     F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
                     F.col("c.chunk_md5").alias("chunk_md5")))
+
+
+def collocations(df: DataFrame, k: int = 20, min_count: int = 5,
+                 text_col: str = "text",
+                 scale: int = 1_000_000) -> DataFrame:
+    """Collocation / phrase mining over adjacent token bigrams —
+    the word2vec-phrases-style signal (Mikolov et al. 2013) used to
+    promote "new york"-type units into a tokenizer vocabulary:
+    PMI(a,b) = ln(N·c_ab / (c_a·c_b)) over corpus counts.
+
+    -> top-``k`` rows (w1, w2, n_pair, pmi_micro, rnk) among bigrams
+    with c_ab >= min_count; ordering (pmi_micro DESC, w1, w2).
+
+    Integer contract: pmi_micro = L(N) + L(c_ab) − L(c_a) − L(c_b)
+    with L(x) = floor(scale·ln(x)) applied per DISTINCT count — the
+    sum of per-value quantizations (±2/scale of the true PMI, and
+    bit-stable across engines/partitionings, the same trade as the
+    LM/TF-IDF ops).
+
+    Plan: bigram counts are one groupBy over the exploded adjacent-
+    pair stream (map-side combine; the only corpus-mass shuffle),
+    unigram counts one more, both joined on word keys where frequency
+    skew was already absorbed by the aggregations; the global top-k is
+    a TakeOrdered, not a full sort."""
+    t = df.select(tokens(F.col(text_col)).alias("_t"))
+    uni = (t.select(F.explode(F.col("_t")).alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    n_tok = uni.agg(F.sum("c").alias("n_total"))
+    pairs = (t.select(F.explode(
+                ngrams_from_tokens(F.col("_t"), n=2, distinct=False))
+                .alias("bg"))
+             .groupBy("bg").agg(F.count(F.lit(1)).alias("n_pair"))
+             .filter(F.col("n_pair") >= min_count)
+             .select(F.split("bg", " ").getItem(0).alias("w1"),
+                     F.split("bg", " ").getItem(1).alias("w2"),
+                     "n_pair"))
+
+    def L(c):
+        return F.floor(F.lit(float(scale)) *
+                       F.log(c.cast("double"))).cast("long")
+
+    scored = (pairs
+              .join(uni.select(F.col("w").alias("w1"),
+                               F.col("c").alias("c1")), "w1")
+              .join(uni.select(F.col("w").alias("w2"),
+                               F.col("c").alias("c2")), "w2")
+              .crossJoin(F.broadcast(n_tok))
+              .select("w1", "w2", F.col("n_pair").cast("long")
+                      .alias("n_pair"),
+                      (L(F.col("n_total")) + L(F.col("n_pair"))
+                       - L(F.col("c1")) - L(F.col("c2")))
+                      .alias("pmi_micro")))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("pmi_micro"), F.asc("w1"), F.asc("w2"))
+    return (scored.select("w1", "w2", "n_pair", "pmi_micro",
+                          F.row_number().over(w).cast("long")
+                          .alias("rnk"))
+            .filter(F.col("rnk") <= k))

@@ -65,6 +65,7 @@ def main() -> int:
     run("corpus_domain_stats")
     run("events_anomaly_hours")
     run("doc_top_terms")
+    run("corpus_collocations")
     run("doc_chunks")
     run("web_anchor_texts")
     run("doc_lm_perplexity")

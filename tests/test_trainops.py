@@ -1569,3 +1569,32 @@ def test_r4c_ops_cross_partitioning_determinism(spark):
         return sorted(tuple(r) for r in graphops.kcore(e, k=40).collect())
 
     assert core(li.repartition(2)) == core(li.repartition(11))
+
+
+def test_collocations_pmi_integers(spark):
+    """Hand-computed corpus: the always-adjacent pair tops the PMI
+    ranking; quantization is per-distinct-count floor(1e6*ln)."""
+    import math
+
+    # 'new york' x5 always adjacent; 'the cat' x5 but 'the' also
+    # appears 5 more times alone -> lower PMI
+    rows = [(i, "new york the cat") for i in range(5)] + \
+           [(i + 5, "the dog runs fast") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["rnk"], r["w1"], r["w2"], r["n_pair"], r["pmi_micro"])
+           for r in textops.collocations(df, k=6, min_count=5).collect()]
+    got.sort()
+
+    def L(x):
+        return math.floor(1e6 * math.log(x))
+
+    n_total = 40
+    # new(5) york(5) pair(5)
+    pmi_ny = L(n_total) + L(5) - L(5) - L(5)
+    # york(5) the(10) pair(5)
+    pmi_yt = L(n_total) + L(5) - L(5) - L(10)
+    by_pair = {(w1, w2): (r, n, p) for r, w1, w2, n, p in got}
+    assert by_pair[("new", "york")][2] == pmi_ny
+    assert by_pair[("york", "the")][2] == pmi_yt
+    # ranking: highest PMI first; 'new york' outranks 'york the'
+    assert by_pair[("new", "york")][0] < by_pair[("york", "the")][0]
