@@ -307,6 +307,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return mentions.select(
             "url", "name", "author", "repository", "description")
 
+    def stream_windowed_mentions(spark, sf):
+        # C1 watermark semantics under the hash gate: append-mode
+        # 1-hour event-time windows with a 1-hour watermark, four
+        # checkpointed AvailableNow runs —
+        #   run 1: docs with doc_id % 7 != 0 (ts = EPOCH + 61s*doc_id
+        #          spreads the corpus over many hour windows);
+        #   run 2: the % 7 == 0 docs — those whose window CLOSED
+        #          behind run 1's watermark (window_end <= max_ts1-1h)
+        #          are late and DROPPED, the rest merge into open
+        #          state;
+        #   runs 3-4: two far-future sentinels, 1h+ apart, so the
+        #          watermark passes every real window end and append
+        #          mode flushes them (emission lands the batch AFTER
+        #          the watermark moves — hence two);
+        # output = hourly counts of the ACCEPTED rows only; neither
+        # sentinel's own window ever closes, so neither appears. The
+        # 61 s stride makes wm-vs-window-end ties impossible, so the
+        # late-drop set is closed-form in the oracle.
+        import tempfile
+        from askg_spark.streaming import windowed_mention_counts
+        from askg_spark.webcorpus import render_pages
+        base = tempfile.mkdtemp(prefix="askg_stream_w_")
+        docs = _t(spark, sf, "documents")
+        epoch = F.to_timestamp(F.lit("2025-06-01 00:00:00"))
+        # render_pages emits warc_ts = EPOCH + doc_id seconds (no
+        # doc_id column survives), so recover the id from the ts and
+        # restretch to a 61 s stride
+        pages = (render_pages(docs)
+                 .withColumn("_did",
+                             (F.unix_timestamp("warc_ts")
+                              - F.unix_timestamp(epoch)).cast("long"))
+                 .withColumn("warc_ts",
+                             epoch + F.make_interval(
+                                 secs=(F.col("_did") * 61)
+                                 .cast("double"))))
+        sent = render_pages(docs.filter(F.col("doc_id") == 0))
+        b1 = pages.filter(F.col("_did") % 7 != 0).drop("_did")
+        b2 = pages.filter(F.col("_did") % 7 == 0).drop("_did")
+        b3 = sent.withColumn("warc_ts", F.to_timestamp(
+            F.lit("2030-01-01 00:00:00")))
+        b4 = sent.withColumn("warc_ts", F.to_timestamp(
+            F.lit("2030-01-01 02:00:00")))
+        out, ckpt = f"{base}/out", f"{base}/ckpt"
+        for b in (b1, b2, b3, b4):
+            b.write.mode("append").parquet(f"{base}/pages")
+            q = (windowed_mention_counts(spark, f"{base}/pages",
+                                         watermark="1 hour",
+                                         window="1 hour")
+                 .select(F.col("window.start").alias("window_start"),
+                         "registry", "n_mentions")
+                 .writeStream.outputMode("append")
+                 .format("parquet").option("path", out)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(300)
+        return (spark.read.parquet(out)
+                # sentinel 2 closes sentinel 1's window too; both are
+                # harness scaffolding, not corpus data — drop them
+                .filter(F.col("window_start")
+                        < F.to_timestamp(F.lit("2029-01-01 00:00:00")))
+                .select("window_start", "registry",
+                        F.col("n_mentions").cast("long")
+                        .alias("n_mentions")))
+
     def stream_changed_pages(spark, sf):
         # C1 freshness cache as the applyInPandasWithState operator
         # (streaming.changed_pages_extract): each doc's page is crawled
@@ -1347,6 +1411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": doc_chunks,
         "kg_negative_samples": kg_negative_samples,
         "corpus_collocations": corpus_collocations,
+        "stream_windowed_mentions": stream_windowed_mentions,
         # (b) r2-binary-only rows — re-verify under the r4 binary
         "kg_id_stats": kg_id_stats,
         "kg_repo_domains": kg_repo_domains,
@@ -2039,6 +2104,25 @@ FROM c
         # C1 stateful freshness gate: emitted = first crawl of every
         # url + the changed third crawl of every 5th doc; the
         # byte-identical +1000s re-crawl is suppressed by per-url state
+        # watermark windowed counts: accepted = on-time rows plus the
+        # %7 stragglers whose hour window was still OPEN at run 2
+        # (window_end > max_ts(run 1) - 1h); every real window is
+        # flushed by the sentinel runs, the sentinels' own windows
+        # never close. Pure integer second arithmetic — the 61 s
+        # stride guarantees no watermark/window-end tie.
+        "stream_windowed_mentions": """
+WITH m1 AS (SELECT max(doc_id) AS mx FROM documents
+            WHERE doc_id % 7 <> 0),
+acc AS (SELECT doc_id, (61 * doc_id) // 3600 AS hr
+        FROM documents, m1
+        WHERE doc_id % 7 <> 0
+           OR ((61 * doc_id) // 3600 + 1) * 3600 > 61 * mx - 3600)
+SELECT TIMESTAMP '2025-06-01 00:00:00'
+         + INTERVAL (hr * 3600) SECOND AS window_start,
+       'mcp.so' AS registry,
+       CAST(count(*) AS BIGINT) AS n_mentions
+FROM acc GROUP BY 1, 2
+""",
         "stream_changed_pages": """
 WITH m AS (
   SELECT doc_id, source AS author,

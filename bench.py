@@ -66,6 +66,7 @@ def main() -> int:
     run("events_anomaly_hours")
     run("doc_top_terms")
     run("corpus_collocations")
+    run("stream_windowed_mentions")
     run("doc_chunks")
     run("web_anchor_texts")
     run("doc_lm_perplexity")
