@@ -345,10 +345,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sent = render_pages(docs.filter(F.col("doc_id") == 0))
         b1 = pages.filter(F.col("_did") % 7 != 0).drop("_did")
         b2 = pages.filter(F.col("_did") % 7 == 0).drop("_did")
-        b3 = sent.withColumn("warc_ts", F.to_timestamp(
-            F.lit("2030-01-01 00:00:00")))
-        b4 = sent.withColumn("warc_ts", F.to_timestamp(
-            F.lit("2030-01-01 02:00:00")))
+        # sentinels are derived from the corpus max event time (one
+        # scalar agg), not hard-coded dates, so the harness survives
+        # any corpus size; +3h/+5h keeps each a window of its own
+        # beyond every real window end + the 1h watermark delay
+        max_ts = pages.agg(F.max("warc_ts")).collect()[0][0]
+        sent_base = (F.date_trunc("hour", F.lit(max_ts)))
+        b3 = sent.withColumn(
+            "warc_ts", sent_base + F.expr("INTERVAL 3 HOURS"))
+        b4 = sent.withColumn(
+            "warc_ts", sent_base + F.expr("INTERVAL 5 HOURS"))
         out, ckpt = f"{base}/out", f"{base}/ckpt"
         for b in (b1, b2, b3, b4):
             b.write.mode("append").parquet(f"{base}/pages")
@@ -361,12 +367,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  .format("parquet").option("path", out)
                  .option("checkpointLocation", ckpt)
                  .trigger(availableNow=True).start())
-            q.awaitTermination(300)
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError(
+                    "streaming batch did not drain within 600s")
         return (spark.read.parquet(out)
                 # sentinel 2 closes sentinel 1's window too; both are
                 # harness scaffolding, not corpus data — drop them
-                .filter(F.col("window_start")
-                        < F.to_timestamp(F.lit("2029-01-01 00:00:00")))
+                # (every real window starts <= max_ts's own window)
+                .filter(F.col("window_start") <= F.lit(max_ts))
                 .select("window_start", "registry",
                         F.col("n_mentions").cast("long")
                         .alias("n_mentions")))
@@ -2101,15 +2110,14 @@ SELECT 'https://mcpmarket.com/servers/' || stem AS url,
        'card for ' || name AS description
 FROM c
 """,
-        # C1 stateful freshness gate: emitted = first crawl of every
-        # url + the changed third crawl of every 5th doc; the
-        # byte-identical +1000s re-crawl is suppressed by per-url state
         # watermark windowed counts: accepted = on-time rows plus the
         # %7 stragglers whose hour window was still OPEN at run 2
         # (window_end > max_ts(run 1) - 1h); every real window is
         # flushed by the sentinel runs, the sentinels' own windows
-        # never close. Pure integer second arithmetic — the 61 s
-        # stride guarantees no watermark/window-end tie.
+        # filtered out. Pure integer second arithmetic; the strict
+        # `>` at a watermark/window-end TIE (mx % 3600 == 0) mirrors
+        # Spark's evict-at-equality rule, pinned by
+        # tests/test_streaming_search.py watermark-boundary test.
         "stream_windowed_mentions": """
 WITH m1 AS (SELECT max(doc_id) AS mx FROM documents
             WHERE doc_id % 7 <> 0),
@@ -2123,6 +2131,9 @@ SELECT TIMESTAMP '2025-06-01 00:00:00'
        CAST(count(*) AS BIGINT) AS n_mentions
 FROM acc GROUP BY 1, 2
 """,
+        # C1 stateful freshness gate: emitted = first crawl of every
+        # url + the changed third crawl of every 5th doc; the
+        # byte-identical +1000s re-crawl is suppressed by per-url state
         "stream_changed_pages": """
 WITH m AS (
   SELECT doc_id, source AS author,
@@ -3050,11 +3061,13 @@ SELECT d.doc_id,
        CAST(coalesce(s.score_scaled, 0) AS BIGINT) AS score_scaled
 FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
 """,
+        # k-core: kcore_cte is the 16-round MATERIALIZED-CTE unrolled
+        # peel built above oracle_sql()'s dict
+        "part_cooccur_kcore": kcore_cte,
         # triangle census of the part co-occurrence graph; with the
         # u < v canonical edge convention each triangle {a<b<c}
         # appears exactly once as (a,b)+(b,c)+(a,c), so the oracle
         # skips the engine's degree ordering (count is identical)
-        "part_cooccur_kcore": kcore_cte,
         "part_cooccur_triangles": """
 WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
             FROM lineitem),

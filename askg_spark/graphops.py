@@ -198,8 +198,17 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 16) -> DataFrame:
         if n_edges == 0:
             break
     else:
-        raise RuntimeError(
-            f"k-core peel did not converge within {max_rounds} rounds")
+        # rounds exhausted with the LAST round still removing edges —
+        # but if that removal landed exactly on the fixed point
+        # (cascade depth == max_rounds), the state is correct and only
+        # the confirming no-op round is missing: check stability with
+        # one extra aggregate instead of raising on a right answer
+        deg = (cur.select(F.col("u").alias("n"))
+               .unionAll(cur.select(F.col("v").alias("n")))
+               .groupBy("n").agg(F.count(F.lit(1)).alias("c")))
+        if deg.filter(F.col("c") < k).limit(1).count() > 0:
+            raise RuntimeError(
+                f"k-core peel did not converge within {max_rounds} rounds")
     return (cur.select(F.col("u").alias("n"))
             .unionAll(cur.select(F.col("v").alias("n")))
             .groupBy("n").agg(F.count(F.lit(1)).alias("degree"))

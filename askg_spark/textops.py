@@ -1051,8 +1051,12 @@ def collocations(df: DataFrame, k: int = 20, min_count: int = 5,
                        - L(F.col("c1")) - L(F.col("c2")))
                       .alias("pmi_micro")))
     from pyspark.sql import Window
-    w = Window.orderBy(F.desc("pmi_micro"), F.asc("w1"), F.asc("w2"))
-    return (scored.select("w1", "w2", "n_pair", "pmi_micro",
-                          F.row_number().over(w).cast("long")
-                          .alias("rnk"))
-            .filter(F.col("rnk") <= k))
+
+    # orderBy().limit(k) plans as TakeOrdered (per-partition top-k +
+    # driver merge of k·p rows) — the rank window then runs over just
+    # the k survivors, never a corpus-wide single-partition sort
+    order = [F.desc("pmi_micro"), F.asc("w1"), F.asc("w2")]
+    top = scored.orderBy(*order).limit(k)
+    return top.select("w1", "w2", "n_pair", "pmi_micro",
+                      F.row_number().over(Window.orderBy(*order))
+                      .cast("long").alias("rnk"))

@@ -146,3 +146,48 @@ def test_windowed_counts_watermark_closes_windows_and_drops_late(
     # 13:00 too); the late 10:20 row did NOT bump or re-emit 10:00
     assert rows == {(10, 1), (12, 1), (13, 1)}, rows
     assert out.count() == 3, out.collect()
+
+
+def test_watermark_boundary_tie_drops_late_row(spark, tmp_path):
+    """Pins the evict-at-equality rule the stream_windowed_mentions
+    oracle mirrors with strict `window_end > watermark`: a late row
+    whose window END equals the current watermark is DROPPED, while
+    one window later (end > wm) is accepted and emitted."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path)
+
+    def write(rows):
+        spark.createDataFrame([(t,) for t in rows], "ts timestamp") \
+            .write.mode("append").parquet(f"{base}/in")
+
+    def run():
+        df = (spark.readStream.schema("ts timestamp")
+              .parquet(f"{base}/in")
+              .withWatermark("ts", "1 hour")
+              .groupBy(F.window("ts", "1 hour"))
+              .agg(F.count(F.lit(1)).alias("n")))
+        q = (df.select(F.col("window.start").alias("ws"), "n")
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", f"{base}/out")
+             .option("checkpointLocation", f"{base}/ck")
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+
+    d0 = dt.datetime(2024, 1, 1)
+    write([d0 + dt.timedelta(hours=2)])       # run 1 -> wm = 01:00
+    run()
+    # late 00:30 (window end 01:00 == wm: the TIE) + 01:30 (end 02:00)
+    write([d0 + dt.timedelta(minutes=30), d0 + dt.timedelta(minutes=90)])
+    run()
+    write([d0 + dt.timedelta(hours=20)])      # flush
+    run()
+    write([d0 + dt.timedelta(hours=22)])      # flush (emission lags 1)
+    run()
+    got = {str(r["ws"]): r["n"]
+           for r in spark.read.parquet(f"{base}/out").collect()}
+    assert "2024-01-01 00:00:00" not in got   # tie row dropped
+    assert got["2024-01-01 01:00:00"] == 1    # end > wm accepted
+    assert got["2024-01-01 02:00:00"] == 1
