@@ -123,6 +123,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("pred").isin("AUTHORED_BY", "HAS_CATEGORY"))
         return T.negative_samples(tr)
 
+    def kg_random_walks(spark, sf):
+        # DeepWalk corpus generation: 4-hop deterministic uniform
+        # walks (md5-rank neighbor choice) over the same_author /
+        # similar_functionality relation graph, from the 50 smallest
+        # entity ids — one wide row per start
+        from askg_spark import graphops
+        rel = (_kg_triples(spark, sf)
+               .filter(F.col("pred").isin("same_author",
+                                          "similar_functionality"))
+               .select(F.col("subj").alias("u"),
+                       F.col("obj").alias("v")).distinct())
+        starts = (rel.select(F.col("u").alias("start")).distinct()
+                  .orderBy("start").limit(50))
+        return graphops.random_walks(rel, starts, length=4)
+
     def kg_category_counts(spark, sf):
         return (_kg_triples(spark, sf)
                 .filter(F.col("pred") == "HAS_CATEGORY")
@@ -1421,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negative_samples": kg_negative_samples,
         "corpus_collocations": corpus_collocations,
         "stream_windowed_mentions": stream_windowed_mentions,
+        "kg_random_walks": kg_random_walks,
         # (b) r2-binary-only rows — re-verify under the r4 binary
         "kg_id_stats": kg_id_stats,
         "kg_repo_domains": kg_repo_domains,
@@ -1913,6 +1929,43 @@ picked AS (SELECT c.subj, c.pred, c.obj,
            GROUP BY 1, 2, 3)
 SELECT t.subj, t.pred, t.obj, picked.neg_obj
 FROM t LEFT JOIN picked USING (subj, pred, obj)
+""",
+        # random walks: same md5-rank arithmetic as negative sampling,
+        # hops unrolled; adj/deg MATERIALIZED (each hop re-references
+        # them — plain CTEs would inline the full triples SQL 8x)
+        "kg_random_walks": f"""
+WITH alltr AS MATERIALIZED ({_kg_triples_sql}),
+rel AS MATERIALIZED (
+  SELECT DISTINCT subj AS u, obj AS v FROM alltr
+  WHERE pred IN ('same_author', 'similar_functionality')),
+bidir AS MATERIALIZED (
+  SELECT u AS s, v AS d FROM rel UNION SELECT v, u FROM rel),
+adj AS MATERIALIZED (
+  SELECT s, d, row_number() OVER (PARTITION BY s ORDER BY d) - 1
+           AS rank
+  FROM bidir),
+deg AS MATERIALIZED (SELECT s, count(*) AS deg FROM adj GROUP BY s),
+w0 AS (SELECT DISTINCT u AS start FROM rel ORDER BY start LIMIT 50),
+w1 AS (SELECT w0.start, a.d AS hop_1
+       FROM w0 JOIN deg ON deg.s = w0.start
+       JOIN adj a ON a.s = w0.start
+        AND a.rank = CAST('0x' || substr(md5(w0.start || '|1'), 1, 8)
+                          AS BIGINT) % deg.deg),
+w2 AS (SELECT w1.start, w1.hop_1, a.d AS hop_2
+       FROM w1 JOIN deg ON deg.s = w1.hop_1
+       JOIN adj a ON a.s = w1.hop_1
+        AND a.rank = CAST('0x' || substr(md5(w1.start || '|2'), 1, 8)
+                          AS BIGINT) % deg.deg),
+w3 AS (SELECT w2.start, w2.hop_1, w2.hop_2, a.d AS hop_3
+       FROM w2 JOIN deg ON deg.s = w2.hop_2
+       JOIN adj a ON a.s = w2.hop_2
+        AND a.rank = CAST('0x' || substr(md5(w2.start || '|3'), 1, 8)
+                          AS BIGINT) % deg.deg)
+SELECT w3.start, w3.hop_1, w3.hop_2, w3.hop_3, a.d AS hop_4
+FROM w3 JOIN deg ON deg.s = w3.hop_3
+JOIN adj a ON a.s = w3.hop_3
+ AND a.rank = CAST('0x' || substr(md5(w3.start || '|4'), 1, 8)
+                   AS BIGINT) % deg.deg
 """,
         "kg_two_hop": f"""
 WITH alltr AS ({_kg_triples_sql}),

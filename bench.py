@@ -94,6 +94,7 @@ def main() -> int:
         len(exact & ivf) / len(exact), 4) if exact else 1.0
 
     run("kg_negative_samples")
+    run("kg_random_walks")
     run("kg_similar_servers")
     run("kg_triples_diff")
     run("kg_degree_topk", lambda df: len(df.collect()))

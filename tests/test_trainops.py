@@ -1598,3 +1598,36 @@ def test_collocations_pmi_integers(spark):
     assert by_pair[("york", "the")][2] == pmi_yt
     # ranking: highest PMI first; 'new york' outranks 'york the'
     assert by_pair[("new", "york")][0] < by_pair[("york", "the")][0]
+
+
+def test_random_walks_deterministic_md5_choice(spark):
+    """Walks on a triangle+pendant graph match a Python replay of the
+    md5-rank rule, and are invariant to input partitioning."""
+    import hashlib
+
+    from askg_spark import graphops
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "x")],
+        "u string, v string")
+    starts = spark.createDataFrame([("a",), ("x",)], "n string")
+    got = {r["start"]: (r["hop_1"], r["hop_2"], r["hop_3"], r["hop_4"])
+           for r in graphops.random_walks(edges, starts, 4).collect()}
+
+    nbrs = {"a": ["b", "c"], "b": ["a", "c"],
+            "c": ["a", "b", "x"], "x": ["c"]}
+
+    def replay(start):
+        cur, hops = start, []
+        for t in range(1, 5):
+            h = int(hashlib.md5(f"{start}|{t}".encode())
+                    .hexdigest()[:8], 16)
+            cur = nbrs[cur][h % len(nbrs[cur])]
+            hops.append(cur)
+        return tuple(hops)
+
+    assert got == {"a": replay("a"), "x": replay("x")}
+    got2 = {r["start"]: (r["hop_1"], r["hop_2"], r["hop_3"], r["hop_4"])
+            for r in graphops.random_walks(
+                edges.repartition(5), starts, 4).collect()}
+    assert got2 == got
