@@ -1930,9 +1930,9 @@ picked AS (SELECT c.subj, c.pred, c.obj,
 SELECT t.subj, t.pred, t.obj, picked.neg_obj
 FROM t LEFT JOIN picked USING (subj, pred, obj)
 """,
-        # random walks: same md5-rank arithmetic as negative sampling,
-        # hops unrolled; adj/deg MATERIALIZED (each hop re-references
-        # them — plain CTEs would inline the full triples SQL 8x)
+        # random walks: rendezvous-hash neighbor choice — hop t picks
+        # arg_min over neighbors d of md5(start|t|d); hops unrolled,
+        # bidir MATERIALIZED (each hop re-references it)
         "kg_random_walks": f"""
 WITH alltr AS MATERIALIZED ({_kg_triples_sql}),
 rel AS MATERIALIZED (
@@ -1940,32 +1940,19 @@ rel AS MATERIALIZED (
   WHERE pred IN ('same_author', 'similar_functionality')),
 bidir AS MATERIALIZED (
   SELECT u AS s, v AS d FROM rel UNION SELECT v, u FROM rel),
-adj AS MATERIALIZED (
-  SELECT s, d, row_number() OVER (PARTITION BY s ORDER BY d) - 1
-           AS rank
-  FROM bidir),
-deg AS MATERIALIZED (SELECT s, count(*) AS deg FROM adj GROUP BY s),
 w0 AS (SELECT DISTINCT u AS start FROM rel ORDER BY start LIMIT 50),
-w1 AS (SELECT w0.start, a.d AS hop_1
-       FROM w0 JOIN deg ON deg.s = w0.start
-       JOIN adj a ON a.s = w0.start
-        AND a.rank = CAST('0x' || substr(md5(w0.start || '|1'), 1, 8)
-                          AS BIGINT) % deg.deg),
-w2 AS (SELECT w1.start, w1.hop_1, a.d AS hop_2
-       FROM w1 JOIN deg ON deg.s = w1.hop_1
-       JOIN adj a ON a.s = w1.hop_1
-        AND a.rank = CAST('0x' || substr(md5(w1.start || '|2'), 1, 8)
-                          AS BIGINT) % deg.deg),
-w3 AS (SELECT w2.start, w2.hop_1, w2.hop_2, a.d AS hop_3
-       FROM w2 JOIN deg ON deg.s = w2.hop_2
-       JOIN adj a ON a.s = w2.hop_2
-        AND a.rank = CAST('0x' || substr(md5(w2.start || '|3'), 1, 8)
-                          AS BIGINT) % deg.deg)
-SELECT w3.start, w3.hop_1, w3.hop_2, w3.hop_3, a.d AS hop_4
-FROM w3 JOIN deg ON deg.s = w3.hop_3
-JOIN adj a ON a.s = w3.hop_3
- AND a.rank = CAST('0x' || substr(md5(w3.start || '|4'), 1, 8)
-                   AS BIGINT) % deg.deg
+w1 AS (SELECT w0.start,
+              arg_min(b.d, md5(w0.start || '|1|' || b.d)) AS hop_1
+       FROM w0 JOIN bidir b ON b.s = w0.start GROUP BY w0.start),
+w2 AS (SELECT w1.start, w1.hop_1,
+              arg_min(b.d, md5(w1.start || '|2|' || b.d)) AS hop_2
+       FROM w1 JOIN bidir b ON b.s = w1.hop_1 GROUP BY 1, 2),
+w3 AS (SELECT w2.start, w2.hop_1, w2.hop_2,
+              arg_min(b.d, md5(w2.start || '|3|' || b.d)) AS hop_3
+       FROM w2 JOIN bidir b ON b.s = w2.hop_2 GROUP BY 1, 2, 3)
+SELECT w3.start, w3.hop_1, w3.hop_2, w3.hop_3,
+       arg_min(b.d, md5(w3.start || '|4|' || b.d)) AS hop_4
+FROM w3 JOIN bidir b ON b.s = w3.hop_3 GROUP BY 1, 2, 3, 4
 """,
         "kg_two_hop": f"""
 WITH alltr AS ({_kg_triples_sql}),

@@ -218,58 +218,51 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 16) -> DataFrame:
 
 def random_walks(edges: DataFrame, starts: DataFrame,
                  length: int = 4) -> DataFrame:
-    """Deterministic uniform random walks over an undirected edge set
-    — the corpus-generation step of DeepWalk/node2vec-style graph
-    embedding training (walk sequences feed a skip-gram model), with
-    the RNG replaced by the repo's md5-rank convention so walks are
-    bit-reproducible across partitionings and in SQL.
+    """Deterministic random walks over an undirected edge set — the
+    corpus-generation step of DeepWalk/node2vec-style graph embedding
+    training (walk sequences feed a skip-gram model), with the RNG
+    replaced by RENDEZVOUS (highest-random-weight) hashing: hop t
+    from node n moves to argmin over neighbors d of
+    md5(start | t | d). Pseudo-uniform over the neighbor set,
+    bit-reproducible on any partitioning and in SQL, and walks from
+    different starts decorrelate (the start is in the hash).
 
-    ``starts`` is a one-column frame of start nodes; the result is one
-    WIDE row per start: (start, hop_1, ..., hop_length), where
-    hop_{t} extends hop_{t-1} by the neighbor at rank
-    md5(start|t)[:8 hex] mod degree(current) in the (node-ascending)
-    adjacency ranking. A node with no neighbors ends the walk early
-    (remaining hops NULL) — can only happen if a start is isolated,
-    since walking never leaves the edge-connected component.
+    ``starts`` is a one-column frame of start nodes; the result is
+    one WIDE row per start: (start, hop_1, ..., hop_length); an
+    isolated start keeps NULL hops (mid-walk dead ends cannot happen
+    on an undirected graph).
 
-    Plan: the bidirected adjacency gets per-source neighbor ranks
-    (one row_number window partitioned by source — parallel across
-    nodes; hub skew sits in single-node partitions the same way the
-    k-core degree agg does) and a degree dimension; each hop is ONE
-    equi-join on (current node, chosen rank) — `length` narrow joins
-    total, no iteration state, no Python. At 10^9 walks the joins
-    shuffle on the node key where AQE's skew split handles hot hubs.
-    """
-    from pyspark.sql import Window
-
-    bidir = (edges.select(F.col("u").alias("s"), F.col("v").alias("d"))
-             .unionByName(edges.select(F.col("v").alias("s"),
-                                       F.col("u").alias("d")))
-             .distinct())
-    # every hop references the ranked adjacency and the degree dim —
-    # pin both once or each of the `length` joins re-runs the
-    # bidir+distinct+window pipeline (measured 10.6s -> 3.4s for 4
-    # hops over the 350k-edge sf0.01 relation graph)
-    adj = bidir.withColumn(
-        "rank", F.row_number().over(
-            Window.partitionBy("s").orderBy("d")) - 1) \
-        .localCheckpoint(eager=True)
-    deg = (adj.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    Plan: NO adjacency ranking, NO degree table, NO shuffle of the
+    edge mass — the HRW argmin replaces the rank-mod-degree
+    convention precisely so the per-hop work is one broadcast probe
+    of the raw bidirected edge frame (the walk frame is tiny) plus a
+    walk-keyed min_by aggregation over ~Σ degree(frontier) rows.
+    Duplicate edge rows are harmless (argmin is idempotent), so the
+    usual bidir+distinct exchange disappears too — this variant reads
+    4.4 s warm over the 3M-pair sf0.1 relation graph vs 12.5 s for
+    the rank-window formulation (the residue is the caller's edge
+    derivation, materialized once). Hub starts contribute their full
+    neighbor list to one aggregation key: bounded by max degree, the
+    same envelope every per-node op here carries."""
+    raw = (edges.select(F.col("u").alias("s"), F.col("v").alias("d"))
+           .unionByName(edges.select(F.col("v").alias("s"),
+                                     F.col("u").alias("d")))
+           # each hop probes this frame; pin it once or the caller's
+           # upstream lineage (typically a distinct over the triple
+           # store) re-executes per hop — 8 scans for a 4-hop walk
            .localCheckpoint(eager=True))
     start_col = starts.columns[0]
-    cur = starts.select(F.col(start_col).alias("start"))
-    prev = "start"
+    base = starts.select(F.col(start_col).alias("start")).distinct()
+    cur, cols = base, ["start"]
     for t in range(1, length + 1):
-        h = F.conv(F.substring(
-            F.md5(F.concat_ws("|", F.col("start").cast("string"),
-                              F.lit(str(t)))), 1, 8), 16, 10) \
-            .cast("long")
-        cur = (cur.join(deg.withColumnRenamed("s", prev), prev, "left")
-               .withColumn("_r", F.pmod(h, F.col("deg")))
-               .drop("deg"))
-        nxt = adj.select(F.col("s").alias(prev),
-                         F.col("rank").alias("_r"),
-                         F.col("d").alias(f"hop_{t}"))
-        cur = cur.join(nxt, [prev, "_r"], "left").drop("_r")
-        prev = f"hop_{t}"
-    return cur
+        hop = f"hop_{t}"
+        nbr = raw.select(F.col("s").alias(cols[-1]),
+                         F.col("d").alias(hop))
+        weight = F.md5(F.concat_ws(
+            "|", F.col("start").cast("string"), F.lit(str(t)),
+            F.col(hop).cast("string")))
+        cur = (F.broadcast(cur).join(nbr, cols[-1])
+               .groupBy(*cols)
+               .agg(F.min_by(hop, weight).alias(hop)))
+        cols.append(hop)
+    return base.join(cur, "start", "left")

@@ -1600,17 +1600,20 @@ def test_collocations_pmi_integers(spark):
     assert by_pair[("new", "york")][0] < by_pair[("york", "the")][0]
 
 
-def test_random_walks_deterministic_md5_choice(spark):
+def test_random_walks_deterministic_hrw_choice(spark):
     """Walks on a triangle+pendant graph match a Python replay of the
-    md5-rank rule, and are invariant to input partitioning."""
+    rendezvous-hash rule (argmin over neighbors of md5(start|t|d)),
+    duplicate edge rows change nothing, isolated starts NULL-pad, and
+    the result is invariant to input partitioning."""
     import hashlib
 
     from askg_spark import graphops
 
-    edges = spark.createDataFrame(
-        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "x")],
-        "u string, v string")
-    starts = spark.createDataFrame([("a",), ("x",)], "n string")
+    rows = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "x"),
+            ("a", "b")]  # duplicate edge: argmin is idempotent
+    edges = spark.createDataFrame(rows, "u string, v string")
+    starts = spark.createDataFrame([("a",), ("x",), ("lone",)],
+                                   "n string")
     got = {r["start"]: (r["hop_1"], r["hop_2"], r["hop_3"], r["hop_4"])
            for r in graphops.random_walks(edges, starts, 4).collect()}
 
@@ -1620,13 +1623,14 @@ def test_random_walks_deterministic_md5_choice(spark):
     def replay(start):
         cur, hops = start, []
         for t in range(1, 5):
-            h = int(hashlib.md5(f"{start}|{t}".encode())
-                    .hexdigest()[:8], 16)
-            cur = nbrs[cur][h % len(nbrs[cur])]
+            cur = min(nbrs[cur], key=lambda d: hashlib.md5(
+                f"{start}|{t}|{d}".encode()).hexdigest())
             hops.append(cur)
         return tuple(hops)
 
-    assert got == {"a": replay("a"), "x": replay("x")}
+    assert got["a"] == replay("a")
+    assert got["x"] == replay("x")
+    assert got["lone"] == (None, None, None, None)
     got2 = {r["start"]: (r["hop_1"], r["hop_2"], r["hop_3"], r["hop_4"])
             for r in graphops.random_walks(
                 edges.repartition(5), starts, 4).collect()}
