@@ -951,6 +951,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (graphops.bfs_depths(edges, seeds, max_depth=4)
                 .select("node", "depth"))
 
+    def corpus_bpe_encode(spark, sf):
+        # ENCODE under a FIXED merge table (training stays rows-only;
+        # applying known merges is deterministic, so the encode half
+        # of the tokenizer story gets a hash oracle): corpus token
+        # counts after 10 literal merges
+        from askg_spark import bpe
+        return bpe.apply_merges(_t(spark, sf, "documents"),
+                                _BPE_FIXED_MERGES)
+
     def corpus_bpe_merges(spark, sf):
         # distributed BPE training: merge decisions are inherently
         # sequential (each argmax depends on all prior merges), so
@@ -1437,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_collocations": corpus_collocations,
         "stream_windowed_mentions": stream_windowed_mentions,
         "kg_random_walks": kg_random_walks,
+        "corpus_bpe_encode": corpus_bpe_encode,
         # (b) r2-binary-only rows — re-verify under the r4 binary
         "kg_id_stats": kg_id_stats,
         "kg_repo_domains": kg_repo_domains,
@@ -1561,6 +1571,14 @@ ecat AS (
 _STOPWORDS = ("'the','a','of','and','to','der','die','das','und','nicht',"
               "'el','los','las','que','y','le','la','les','et','ne',"
               "'的','是','了','在','我'")
+
+# fixed BPE merge table shared by corpus_bpe_encode and its oracle
+# (order matters: later merges consume earlier merges' symbols)
+_BPE_FIXED_MERGES = [
+    ("t", "h", 0), ("th", "e", 0), ("the", "</w>", 0),
+    ("s", "o", 0), ("so", "r", 0), ("sor", "t", 0), ("sort", "</w>", 0),
+    ("a", "n", 0), ("i", "n", 0), ("e", "</w>", 0),
+]
 
 _TOKS = "regexp_split_to_array(trim(text), '\\s+')"
 _TOKS_SAFE = (f"CASE WHEN text IS NULL OR length(trim(text)) = 0 "
@@ -1828,6 +1846,30 @@ reach AS (
   SELECT r.u, e2.v FROM reach r JOIN und e2 ON r.v = e2.u)
 SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
 """
+    # fixed BPE merge table for the encode oracle (third element =
+    # training frequency, ignored by apply_merges)
+    _sep = "chr(1)"
+    _bpe_sql = (f"{_sep} || regexp_replace(word, '(.)', "
+                f"'\\1' || {_sep} || {_sep}, 'g') || '</w>' || {_sep}")
+    for _l, _r, _ in _BPE_FIXED_MERGES:
+        # each symbol is a closed ␁sym␁ unit, so left-to-right
+        # replace() is exactly the engine's greedy adjacent-pair fold
+        _bpe_sql = (f"replace({_bpe_sql}, "
+                    f"{_sep} || '{_l}' || {_sep} || {_sep} || '{_r}' "
+                    f"|| {_sep}, {_sep} || '{_l}{_r}' || {_sep})")
+    bpe_encode_cte = f"""
+WITH w AS (SELECT unnest(string_split_regex(lower(coalesce(text, '')),
+                                            '\\s+')) AS word
+           FROM documents),
+nz AS (SELECT word FROM w WHERE word <> ''),
+seg AS (SELECT {_bpe_sql} AS s FROM nz)
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(trim(s, chr(1)),
+                                 chr(1) || chr(1))) AS token
+      FROM seg)
+GROUP BY token
+"""
+
     # k-core: the monotone peel unrolled to the engine's max_rounds
     # backstop (16) — rounds past the fixed point are no-ops (degree
     # filter keeps everything), so the unrolled form equals the fixed
@@ -3103,6 +3145,7 @@ FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
 """,
         # k-core: kcore_cte is the 16-round MATERIALIZED-CTE unrolled
         # peel built above oracle_sql()'s dict
+        "corpus_bpe_encode": bpe_encode_cte,
         "part_cooccur_kcore": kcore_cte,
         # triangle census of the part co-occurrence graph; with the
         # u < v canonical edge convention each triangle {a<b<c}

@@ -116,6 +116,7 @@ def main() -> int:
     run("catalog_pruned_scan")
     run("graph_bfs_depths")
     run("corpus_bpe_merges")
+    run("corpus_bpe_encode")
     run("web_surt_keys")
     run("web_cdx_index")
     run("web_fetch_schedule")

@@ -100,3 +100,21 @@ def test_real_corpus_sample(spark):
     got = bpe.train_bpe(bpe.word_type_counts(docs), n_merges=10)
     exp = _ref_train(_ref_word_counts(texts), 10)
     assert got == exp and len(got) == 10
+
+
+def test_apply_merges_chained_merge_units(spark):
+    """Chained merges consume earlier merges' symbols: under
+    t+h -> th, th+e -> the, the+</w> -> the</w>, the word 'the'
+    segments to exactly ['the</w>'] and 'other' keeps the 'th' unit
+    mid-word ('o t h e r' -> o, th, e, r, </w>)."""
+    docs = spark.createDataFrame([(0, "the other")],
+                                 "doc_id long, text string")
+    merges = [("t", "h", 0), ("th", "e", 0), ("the", "</w>", 0)]
+    got = {r["token"]: r["n"]
+           for r in bpe.apply_merges(docs, merges).collect()}
+    # 'the' -> the</w>; 'other' -> o th e r </w> (no 'the': the 'th'
+    # merge fires first pass, leaving [o, th, e, r]; 'th'+'e' merges
+    # next pass -> [o, the, r, </w>]... replay: merge2 th+e -> the)
+    assert got["the</w>"] == 1
+    assert got["o"] == 1 and got["r"] == 1 and got["</w>"] == 1
+    assert got["the"] == 1  # from 'other': o-[the]-r
