@@ -569,19 +569,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                          budget=64, overlap=16)
 
     def doc_top_terms(spark, sf):
-        # per-doc top-3 TF-IDF keywords, integer micro-nat idf (same
-        # quantize-then-integer-arithmetic contract as the LM op)
+        # per-doc top-3 TF-IDF keywords, exact scaled-integer idf
+        # ratio (engine-independent contract shared with the LM op)
         return textops.top_terms_tfidf(_t(spark, sf, "documents"), k=3)
 
     def corpus_collocations(spark, sf):
-        # phrase mining: top-20 adjacent bigrams by integer-quantized
-        # PMI (support >= 5) — the word2vec-phrases signal
+        # phrase mining: top-20 adjacent bigrams by exact scaled-
+        # integer PMI ratio (support >= 5) — the word2vec-phrases
+        # signal, ranking identical to log-PMI (ln is monotone)
         return textops.collocations(_t(spark, sf, "documents"),
                                     k=20, min_count=5)
 
     def doc_lm_perplexity(spark, sf):
         # CCNet-style quality bucketing: corpus-trained add-one
-        # unigram LM, integer micro-nat cross-entropy, NTILE terciles
+        # unigram LM, exact scaled-integer mean token improbability
+        # (count-ratio contract — no libm on the compare surface),
+        # NTILE terciles
         return textops.unigram_lm_scores(_t(spark, sf, "documents"))
 
     def doc_pack_assignments(spark, sf):
@@ -2704,15 +2707,13 @@ bg AS (SELECT w1, w2, count(*) AS n_pair FROM (
          WHERE len(toks) >= 2)
        GROUP BY 1, 2 HAVING count(*) >= 5),
 s AS (SELECT bg.w1, bg.w2, CAST(bg.n_pair AS BIGINT) AS n_pair,
-             CAST(floor(1000000.0 * ln(CAST(n_total AS DOUBLE)))
-                  + floor(1000000.0 * ln(CAST(bg.n_pair AS DOUBLE)))
-                  - floor(1000000.0 * ln(CAST(u1.c AS DOUBLE)))
-                  - floor(1000000.0 * ln(CAST(u2.c AS DOUBLE)))
-                  AS BIGINT) AS pmi_micro
+             CAST((CAST(1000000 AS HUGEINT) * n_total * bg.n_pair)
+                  // (CAST(u1.c AS HUGEINT) * u2.c)
+                  AS BIGINT) AS pmi_scaled
       FROM bg JOIN uni u1 ON u1.w = bg.w1
               JOIN uni u2 ON u2.w = bg.w2, tot)
-SELECT w1, w2, n_pair, pmi_micro, rnk FROM (
-  SELECT *, CAST(row_number() OVER (ORDER BY pmi_micro DESC, w1, w2)
+SELECT w1, w2, n_pair, pmi_scaled, rnk FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY pmi_scaled DESC, w1, w2)
                  AS BIGINT) AS rnk
   FROM s)
 WHERE rnk <= 20
@@ -2736,8 +2737,9 @@ SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
          AS chunk_md5
 FROM nc, unnest(generate_series(0, n_chunks - 1)) AS g(k)
 """,
-        # TF-IDF keywords: same integer-quantized-idf arithmetic;
-        # row_number tie-break mirrored exactly
+        # TF-IDF keywords: exact scaled-integer idf RATIO (same
+        # engine-independent contract as the LM op); row_number
+        # tie-break mirrored exactly
         "doc_top_terms": f"""
 WITH t AS (SELECT doc_id, {_TOKS_SAFE} AS toks FROM documents),
 e AS (SELECT doc_id, unnest(toks) AS term FROM t),
@@ -2745,45 +2747,44 @@ tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
        FROM e GROUP BY 1, 2),
 nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
 idf AS (SELECT term,
-               CAST(floor(1000000.0 *
-                    ln(CAST(n_docs AS DOUBLE) / count(*))) AS BIGINT)
-                 AS idf_micro
+               (CAST(1000000 AS HUGEINT) * n_docs) // count(*)
+                 AS idf_scaled
         FROM tf, nd GROUP BY term, n_docs),
 s AS (SELECT tf.doc_id, tf.term, tf.tf,
-             tf.tf * idf.idf_micro AS score_micro
+             CAST(tf.tf * idf.idf_scaled AS BIGINT) AS score_scaled
       FROM tf JOIN idf USING (term))
-SELECT doc_id, term, tf, score_micro,
+SELECT doc_id, term, tf, score_scaled,
        rnk
 FROM (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
-              ORDER BY score_micro DESC, term ASC) AS BIGINT) AS rnk
+              ORDER BY score_scaled DESC, term ASC) AS BIGINT) AS rnk
       FROM s)
 WHERE rnk <= 3
 """,
-        # unigram-LM bucketing: per-token logprobs quantized to
-        # integer micro-nats BEFORE the per-doc sum, so sums are
-        # order-independent; ln() 1-ulp libm drift is the documented
-        # quantized-oracle margin. (sum_lp is negative -> -sum_lp
-        # div n is a positive truncating division on both engines.)
+        # unigram-LM bucketing: per-token improbability quantized to
+        # an exact scaled-integer count RATIO before the per-doc sum
+        # (r4 gate lesson: floor(scale*ln) flips across engine libm
+        # builds; the ratio is pure integer arithmetic — HUGEINT
+        # here, DECIMAL(38,0) on the Spark side — so the hash can
+        # never drift). Sums are order-independent integers.
         "doc_lm_perplexity": f"""
 WITH t AS (SELECT doc_id, {_TOKS_SAFE} AS toks FROM documents),
 e AS (SELECT doc_id, unnest(toks) AS token FROM t),
 c AS (SELECT token, count(*) AS c FROM e GROUP BY token),
 tot AS (SELECT sum(c) AS N, count(*) AS V FROM c),
-lp AS (SELECT token,
-              CAST(floor(1000000.0 *
-                   ln(CAST(c + 1 AS DOUBLE) / (N + V))) AS BIGINT)
-                AS lp
-       FROM c, tot),
+q AS (SELECT token,
+             (CAST(1000000 AS HUGEINT) * (N + V)) // (c + 1) AS q
+      FROM c, tot),
 p AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-             sum(lp.lp) AS sum_lp
-      FROM e JOIN lp USING (token) GROUP BY e.doc_id),
+             sum(q.q) AS sum_q
+      FROM e JOIN q USING (token) GROUP BY e.doc_id),
 s AS (SELECT d.doc_id,
              coalesce(p.n_tokens, 0) AS n_tokens,
-             CASE WHEN coalesce(p.n_tokens, 0) = 0 THEN 0
-                  ELSE (-p.sum_lp) // p.n_tokens END AS score_micronat
+             CAST(CASE WHEN coalesce(p.n_tokens, 0) = 0 THEN 0
+                       ELSE p.sum_q // p.n_tokens END AS BIGINT)
+               AS score_scaled
       FROM documents d LEFT JOIN p USING (doc_id))
-SELECT doc_id, n_tokens, score_micronat,
-       CAST(ntile(3) OVER (ORDER BY score_micronat ASC, doc_id ASC)
+SELECT doc_id, n_tokens, score_scaled,
+       CAST(ntile(3) OVER (ORDER BY score_scaled ASC, doc_id ASC)
             AS BIGINT) AS bucket
 FROM s
 """,

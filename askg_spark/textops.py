@@ -799,39 +799,79 @@ def dsir_scores(raw: DataFrame, target: DataFrame,
                      .alias("score_scaled")))
 
 
+_LONG_MAX = (1 << 63) - 1
+
+
+def floor_div_exact(num: Column, den: Column) -> Column:
+    """floor(num / den) for NON-NEGATIVE integer-valued columns,
+    computed with zero float/transcendental ops so two engines can
+    never disagree: widen to DECIMAL(38,0), subtract the exact
+    remainder, divide the now-exactly-divisible pair (decimal
+    division of an exact multiple yields the exact integer at any
+    result scale), and narrow back through DECIMAL(38,0).
+
+    This is the shared quantization primitive behind the LM / TF-IDF
+    / PMI scores: the r4 gate proved floor(scale*ln(x)) is NOT an
+    engine-independent contract (a 1-ulp libm difference between two
+    DuckDB builds flipped a floor and went red), so every score here
+    is a floor of an exact count RATIO instead — bit-reproducible by
+    integer arithmetic in any SQL engine (DuckDB mirror: HUGEINT
+    `//`). Returns DECIMAL(38,0); callers cast to BIGINT behind a
+    range guard."""
+    n = num.cast("decimal(38,0)")
+    d = den.cast("decimal(38,0)")
+    return ((n - n % d) / d).cast("decimal(38,0)")
+
+
+def _guarded_long(col: Column, what: str) -> Column:
+    """CAST exact-decimal -> BIGINT that RAISES on out-of-range
+    instead of silently wrapping/nulling (advisor r4: document the
+    envelope in code, not just prose). The guard is a per-row codegen
+    branch — free next to the shuffle it follows."""
+    return (F.when(col <= F.lit(_LONG_MAX).cast("decimal(38,0)"),
+                   col.cast("long"))
+            .otherwise(F.raise_error(
+                F.lit(f"{what} exceeds BIGINT range: lower `scale` "
+                      f"for this corpus size")).cast("long")))
+
+
 def unigram_lm_scores(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id",
                       scale: int = 1_000_000,
                       n_buckets: int = 3) -> DataFrame:
     """CCNet-style language-model quality bucketing (Wenzek et al.
     2020) with the LM reduced to an add-one-smoothed UNIGRAM model
-    trained on the corpus itself: per-doc cross-entropy in nats, then
-    an NTILE split into head/middle/tail buckets.
+    trained on the corpus itself: per-doc mean token improbability,
+    then an NTILE split into head/middle/tail buckets.
 
-    -> (id_col, n_tokens, score_micronat, bucket) where
-       score_micronat = (-Σ lp_micronat(tok)) div n_tokens,
-       lp_micronat(tok) = floor(scale * ln((c_tok+1) / (N+V)))
-    and bucket ∈ 1..n_buckets by NTILE ordered on
-    (score_micronat, id_col) — 1 = head (most predictable text).
+    -> (id_col, n_tokens, score_scaled, bucket) where
+       score_scaled = (Σ q(tok)) div n_tokens,
+       q(tok) = (scale * (N + V)) div (c_tok + 1)
+    — the add-one-smoothed INVERSE probability of each token as an
+    exact scaled integer — and bucket ∈ 1..n_buckets by NTILE ordered
+    on (score_scaled, id_col); 1 = head (most predictable text).
 
-    Integer-exactness: each DISTINCT token logprob is quantized to an
-    integer once, so per-doc sums are order-independent and exactly
-    reproducible on any partitioning and in SQL. The only cross-engine
-    float op is ln() itself on ~V distinct rationals; a 1-ulp libm
-    difference flips a floor only if scale*ln(p) lands within ~1e-9 of
-    an integer (the same measured-margin trade as the quantized
-    pagerank oracle).
+    Deviation from CCNet, by design: the paper buckets on perplexity
+    (mean LOG inverse probability); logs are transcendental and the
+    r4 gate proved two engines' libm can disagree in the last ulp
+    (floor(scale*ln) went red across DuckDB builds), so this scores
+    the mean inverse probability itself — the same
+    rare-tokens-score-high quality signal, monotone per token in the
+    true logprob, but every value an exact integer a SQL oracle
+    reproduces bit-for-bit (the dsir_weights count-ratio pattern).
+    q and the per-doc sum are computed in DECIMAL(38,0) (exact at any
+    corpus size); the BIGINT output cast raises on overflow rather
+    than wrapping — lower `scale` past ~9e12-token corpora.
 
     Plan (100 TB posture): token counts are one groupBy(token) with
     map-side combine; (N, V) is a 1-row aggregate cross-joined lazily
     (broadcast); scoring joins the exploded token stream to the
-    logprob table on the token key — frequency skew lands in the
-    count aggregation, not the join, and the per-doc reduction is a
-    second keyed groupBy. The final NTILE is a single total-order
-    window: fine for per-snapshot bucketing at the quantile-threshold
-    alternative's cost; at 10^12 docs replace it with thresholds from
-    an approx-quantile pass over score_micronat (same contract,
-    documented trade)."""
+    q table on the token key — frequency skew lands in the count
+    aggregation, not the join, and the per-doc reduction is a second
+    keyed groupBy. The final NTILE is a single total-order window:
+    fine for per-snapshot bucketing; at 10^12 docs replace it with
+    thresholds from an approx-quantile pass over score_scaled (same
+    contract, documented trade)."""
     from pyspark.sql import Window
 
     toks_e = (df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
@@ -840,27 +880,32 @@ def unigram_lm_scores(df: DataFrame, text_col: str = "text",
         F.count(F.lit(1)).alias("c"))
     tot = counts.agg(F.sum("c").alias("N"),
                      F.count(F.lit(1)).alias("V"))
-    lp = (counts.crossJoin(F.broadcast(tot))
-          .select("token",
-                  F.floor(F.lit(float(scale)) *
-                          F.log((F.col("c") + 1).cast("double") /
-                                (F.col("N") + F.col("V")).cast("double")))
-                   .cast("long").alias("lp")))
-    per_doc = (toks_e.join(lp, "token")
+    q = (counts.crossJoin(F.broadcast(tot))
+         .select("token",
+                 floor_div_exact(
+                     F.lit(int(scale)).cast("decimal(38,0)") *
+                     (F.col("N") + F.col("V")).cast("decimal(38,0)"),
+                     F.col("c") + 1).alias("q")))
+    per_doc = (toks_e.join(q, "token")
                .groupBy(id_col)
                .agg(F.count(F.lit(1)).alias("n_tokens"),
-                    F.sum("lp").alias("sum_lp")))
+                    F.sum("q").alias("sum_q")))
     scored = (df.select(id_col).join(per_doc, id_col, "left")
               .select(F.col(id_col),
                       F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
-                      F.coalesce("sum_lp", F.lit(0)).alias("sum_lp"))
+                      F.coalesce(F.col("sum_q"),
+                                 F.lit(0).cast("decimal(38,0)"))
+                      .alias("sum_q"))
               .select(F.col(id_col), F.col("n_tokens"),
                       F.when(F.col("n_tokens") == 0, F.lit(0).cast("long"))
-                       .otherwise(F.expr("(-sum_lp) div n_tokens"))
-                       .alias("score_micronat")))
-    w = Window.orderBy(F.asc("score_micronat"), F.asc(id_col))
+                       .otherwise(_guarded_long(
+                           floor_div_exact(F.col("sum_q"),
+                                           F.col("n_tokens")),
+                           "unigram_lm_scores score_scaled"))
+                       .alias("score_scaled")))
+    w = Window.orderBy(F.asc("score_scaled"), F.asc(id_col))
     return scored.select(
-        F.col(id_col), "n_tokens", "score_micronat",
+        F.col(id_col), "n_tokens", "score_scaled",
         F.ntile(n_buckets).over(w).cast("long").alias("bucket"))
 
 
@@ -908,13 +953,18 @@ def top_terms_tfidf(df: DataFrame, k: int = 3, text_col: str = "text",
     """Per-document top-k keywords by TF-IDF — the classic semantic
     index / keyword-extraction primitive.
 
-    -> (id_col, term, tf, score_micro, rnk), rnk 1..k per doc by
-    (score DESC, term ASC); score_micro = tf * idf_micro with
-    idf_micro = floor(scale * ln(N_docs / df_term)) — the same
+    -> (id_col, term, tf, score_scaled, rnk), rnk 1..k per doc by
+    (score DESC, term ASC); score_scaled = tf * idf_scaled with
+    idf_scaled = (scale * N_docs) div df_term — the raw inverse
+    document frequency as an exact scaled integer, the same
     quantize-each-DISTINCT-value-then-do-integer-arithmetic contract
-    as unigram_lm_scores, so results are partitioning-independent and
-    SQL-reproducible (ln()'s 1-ulp libm drift is the one documented
-    cross-engine caveat).
+    as unigram_lm_scores. Deviation from textbook TF-IDF, by design:
+    ln(N/df) is transcendental and the r4 gate proved floor(scale*ln)
+    is not reproducible across engine libm builds, so the idf weight
+    is the count ratio itself (monotone in the true idf; corpus-wide
+    terms still sink — df=N gives the minimum weight `scale`). All
+    intermediates are exact DECIMAL(38,0); the BIGINT output cast
+    raises on overflow instead of wrapping.
 
     Plan: tf is one groupBy(doc, term) with map-side combine; df is
     one groupBy(term) over the DISTINCT doc-term frame (reuses the
@@ -933,18 +983,21 @@ def top_terms_tfidf(df: DataFrame, k: int = 3, text_col: str = "text",
     idf = (tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_"))
            .crossJoin(F.broadcast(n_docs))
            .select("term",
-                   F.floor(F.lit(float(scale)) *
-                           F.log(F.col("n_docs").cast("double") /
-                                 F.col("df_").cast("double")))
-                    .cast("long").alias("idf_micro")))
+                   floor_div_exact(
+                       F.lit(int(scale)).cast("decimal(38,0)") *
+                       F.col("n_docs").cast("decimal(38,0)"),
+                       F.col("df_")).alias("idf_scaled")))
     scored = (tf.join(idf, "term")
               .select(F.col(id_col), "term", F.col("tf").cast("long")
                       .alias("tf"),
-                      (F.col("tf") * F.col("idf_micro"))
-                      .cast("long").alias("score_micro")))
+                      _guarded_long(
+                          F.col("tf").cast("decimal(38,0)") *
+                          F.col("idf_scaled"),
+                          "top_terms_tfidf score_scaled")
+                      .alias("score_scaled")))
     w = Window.partitionBy(id_col).orderBy(
-        F.desc("score_micro"), F.asc("term"))
-    return (scored.select(F.col(id_col), "term", "tf", "score_micro",
+        F.desc("score_scaled"), F.asc("term"))
+    return (scored.select(F.col(id_col), "term", "tf", "score_scaled",
                           F.row_number().over(w).cast("long")
                           .alias("rnk"))
             .filter(F.col("rnk") <= k))
@@ -1008,14 +1061,18 @@ def collocations(df: DataFrame, k: int = 20, min_count: int = 5,
     promote "new york"-type units into a tokenizer vocabulary:
     PMI(a,b) = ln(N·c_ab / (c_a·c_b)) over corpus counts.
 
-    -> top-``k`` rows (w1, w2, n_pair, pmi_micro, rnk) among bigrams
-    with c_ab >= min_count; ordering (pmi_micro DESC, w1, w2).
+    -> top-``k`` rows (w1, w2, n_pair, pmi_scaled, rnk) among bigrams
+    with c_ab >= min_count; ordering (pmi_scaled DESC, w1, w2).
 
-    Integer contract: pmi_micro = L(N) + L(c_ab) − L(c_a) − L(c_b)
-    with L(x) = floor(scale·ln(x)) applied per DISTINCT count — the
-    sum of per-value quantizations (±2/scale of the true PMI, and
-    bit-stable across engines/partitionings, the same trade as the
-    LM/TF-IDF ops).
+    Integer contract: pmi_scaled = (scale·N·c_ab) div (c_a·c_b) — the
+    PMI RATIO as an exact scaled integer instead of its log. ln is
+    monotone, so the top-k ranking equals the true-PMI ranking up to
+    quantization ties; and because the r4 gate proved
+    floor(scale·ln(x)) flips across engine libm builds, the ratio —
+    pure DECIMAL(38,0) integer arithmetic (HUGEINT in the DuckDB
+    oracle) — is the engine-independent contract (the dsir_weights
+    pattern). The BIGINT output cast raises on overflow instead of
+    wrapping.
 
     Plan: bigram counts are one groupBy over the exploded adjacent-
     pair stream (map-side combine; the only corpus-mass shuffle),
@@ -1035,10 +1092,6 @@ def collocations(df: DataFrame, k: int = 20, min_count: int = 5,
                      F.split("bg", " ").getItem(1).alias("w2"),
                      "n_pair"))
 
-    def L(c):
-        return F.floor(F.lit(float(scale)) *
-                       F.log(c.cast("double"))).cast("long")
-
     scored = (pairs
               .join(uni.select(F.col("w").alias("w1"),
                                F.col("c").alias("c1")), "w1")
@@ -1047,16 +1100,22 @@ def collocations(df: DataFrame, k: int = 20, min_count: int = 5,
               .crossJoin(F.broadcast(n_tok))
               .select("w1", "w2", F.col("n_pair").cast("long")
                       .alias("n_pair"),
-                      (L(F.col("n_total")) + L(F.col("n_pair"))
-                       - L(F.col("c1")) - L(F.col("c2")))
-                      .alias("pmi_micro")))
+                      _guarded_long(
+                          floor_div_exact(
+                              F.lit(int(scale)).cast("decimal(38,0)") *
+                              F.col("n_total").cast("decimal(38,0)") *
+                              F.col("n_pair").cast("decimal(38,0)"),
+                              F.col("c1").cast("decimal(38,0)") *
+                              F.col("c2").cast("decimal(38,0)")),
+                          "collocations pmi_scaled")
+                      .alias("pmi_scaled")))
     from pyspark.sql import Window
 
     # orderBy().limit(k) plans as TakeOrdered (per-partition top-k +
     # driver merge of k·p rows) — the rank window then runs over just
     # the k survivors, never a corpus-wide single-partition sort
-    order = [F.desc("pmi_micro"), F.asc("w1"), F.asc("w2")]
+    order = [F.desc("pmi_scaled"), F.asc("w1"), F.asc("w2")]
     top = scored.orderBy(*order).limit(k)
-    return top.select("w1", "w2", "n_pair", "pmi_micro",
+    return top.select("w1", "w2", "n_pair", "pmi_scaled",
                       F.row_number().over(Window.orderBy(*order))
                       .cast("long").alias("rnk"))

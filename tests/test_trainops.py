@@ -1401,25 +1401,25 @@ def test_duplicate_span_stats_interval_merge(spark):
 
 
 def test_unigram_lm_scores_exact_integers(spark):
-    """Closed-form check of the integer micro-nat pipeline: token
-    counts a=3 b=2 c=1 (N=6, V=3), add-one logprobs quantized per
-    DISTINCT token, per-doc truncating-div average, NTILE buckets."""
-    import math
-
+    """Closed-form check of the exact count-ratio pipeline: token
+    counts a=3 b=2 c=1 (N=6, V=3), add-one inverse probability
+    q = (1e6*(N+V)) // (c+1) quantized per DISTINCT token (pure
+    integer arithmetic — the r5 engine-independent contract), per-doc
+    truncating-div average, NTILE buckets."""
     rows = [(0, "a a b"), (1, "a b"), (2, "c")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    lp = {t: math.floor(1e6 * math.log((c + 1) / 9.0))
-          for t, c in {"a": 3, "b": 2, "c": 1}.items()}
+    q = {t: (1_000_000 * 9) // (c + 1)
+         for t, c in {"a": 3, "b": 2, "c": 1}.items()}
     want = {
-        0: (3, (-(2 * lp["a"] + lp["b"])) // 3),
-        1: (2, (-(lp["a"] + lp["b"])) // 2),
-        2: (1, -lp["c"]),
+        0: (3, (2 * q["a"] + q["b"]) // 3),
+        1: (2, (q["a"] + q["b"]) // 2),
+        2: (1, q["c"]),
     }
     got = {r["doc_id"]: r for r in
            textops.unigram_lm_scores(df).collect()}
     for d, (n, score) in want.items():
-        assert (got[d]["n_tokens"], got[d]["score_micronat"]) == (n, score)
-    # scores order 0 < 1 < 2 (rarer tokens -> higher surprisal)
+        assert (got[d]["n_tokens"], got[d]["score_scaled"]) == (n, score)
+    # scores order 0 < 1 < 2 (rarer tokens -> higher improbability)
     assert [got[d]["bucket"] for d in (0, 1, 2)] == [1, 2, 3]
 
 
@@ -1487,11 +1487,10 @@ def test_domain_stats_rollup(spark):
 
 
 def test_top_terms_tfidf_ordering(spark):
-    """3-doc corpus with hand-computed integer idf: corpus-wide terms
-    get idf 0 and sink, doc-unique terms top the ranking, ties break
-    term-ascending."""
-    import math
-
+    """3-doc corpus with hand-computed exact-ratio idf
+    (idf = 1e6 * n_docs // df — the r5 engine-independent contract):
+    corpus-wide terms get the minimum weight and sink, doc-unique
+    terms top the ranking, ties break term-ascending."""
     rows = [(0, "common rare0 rare0 shared"),
             (1, "common rare1 shared"),
             (2, "common only2")]
@@ -1499,15 +1498,15 @@ def test_top_terms_tfidf_ordering(spark):
     got = {}
     for r in textops.top_terms_tfidf(df, k=2).collect():
         got.setdefault(r["doc_id"], []).append(
-            (r["rnk"], r["term"], r["tf"], r["score_micro"]))
-    idf = {df_: math.floor(1e6 * math.log(3 / df_)) for df_ in (1, 2, 3)}
+            (r["rnk"], r["term"], r["tf"], r["score_scaled"]))
+    idf = {df_: (1_000_000 * 3) // df_ for df_ in (1, 2, 3)}
     for d in got:
         got[d].sort()
     # doc 0: rare0 tf=2 idf(1) beats shared tf=1 idf(2)
     assert got[0] == [(1, "rare0", 2, 2 * idf[1]),
                       (2, "shared", 1, idf[2])]
-    # doc 2: only2 unique; 'common' idf == 0 still ranks (score 0)
-    assert got[2] == [(1, "only2", 1, idf[1]), (2, "common", 1, 0)]
+    # doc 2: only2 unique; corpus-wide 'common' gets the floor weight
+    assert got[2] == [(1, "only2", 1, idf[1]), (2, "common", 1, idf[3])]
 
 
 def test_chunk_assignments_boundaries(spark):
@@ -1573,26 +1572,23 @@ def test_r4c_ops_cross_partitioning_determinism(spark):
 
 def test_collocations_pmi_integers(spark):
     """Hand-computed corpus: the always-adjacent pair tops the PMI
-    ranking; quantization is per-distinct-count floor(1e6*ln)."""
-    import math
-
+    ranking; pmi_scaled = (1e6*N*c_ab) // (c_a*c_b) — the exact
+    scaled ratio (r5 engine-independent contract; ln is monotone so
+    the ranking equals log-PMI's)."""
     # 'new york' x5 always adjacent; 'the cat' x5 but 'the' also
     # appears 5 more times alone -> lower PMI
     rows = [(i, "new york the cat") for i in range(5)] + \
            [(i + 5, "the dog runs fast") for i in range(5)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    got = [(r["rnk"], r["w1"], r["w2"], r["n_pair"], r["pmi_micro"])
+    got = [(r["rnk"], r["w1"], r["w2"], r["n_pair"], r["pmi_scaled"])
            for r in textops.collocations(df, k=6, min_count=5).collect()]
     got.sort()
 
-    def L(x):
-        return math.floor(1e6 * math.log(x))
-
     n_total = 40
     # new(5) york(5) pair(5)
-    pmi_ny = L(n_total) + L(5) - L(5) - L(5)
+    pmi_ny = (1_000_000 * n_total * 5) // (5 * 5)
     # york(5) the(10) pair(5)
-    pmi_yt = L(n_total) + L(5) - L(5) - L(10)
+    pmi_yt = (1_000_000 * n_total * 5) // (5 * 10)
     by_pair = {(w1, w2): (r, n, p) for r, w1, w2, n, p in got}
     assert by_pair[("new", "york")][2] == pmi_ny
     assert by_pair[("york", "the")][2] == pmi_yt
