@@ -934,6 +934,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents").select("doc_id"))
         return multimodal.image_pixel_stats(media)
 
+    def multimodal_quarantine_stats(spark, sf):
+        # the ERROR half of the crawl-media pipeline under the hash
+        # gate (advisor r4: quarantine was pytest-only): 5 of every 8
+        # docs carry an engineered malformation (truncated PNG, bad
+        # magic, truncated GIF LZW, JPEG-SOI-then-garbage, empty), 3
+        # carry valid PNG/BMP/GIF plants; every row returns with a
+        # quarantined flag and zeroed-or-exact pixel stats, so the
+        # oracle certifies BOTH that malformed payloads quarantine
+        # and that decoding still succeeds next to them
+        media = multimodal.synth_corrupt_corpus(
+            _t(spark, sf, "documents").select("doc_id"))
+        return multimodal.quarantine_stats(media)
+
     def graph_bfs_depths(spark, sf):
         # level-synchronous multi-source BFS with a HARD oracle: the
         # iterative frontier loop vs DuckDB's recursive CTE over the
@@ -1388,20 +1401,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.count(F.lit(1)).alias("n_docs")))
 
     # Entry ORDER is part of the driver contract: the driver verifies
-    # exactly the first 50 dict entries each round. Round-4 rotation
-    # (VERDICT r3 next-round #1): the dict leads with (a) queries
-    # whose code or output changed this round (the hierarchy-gated
-    # triples family, capped kg_similar_servers, single-agg
-    # kg_two_hop, md5-seeded IVF) plus the new r4 oracle-bearing
-    # queries (quantized pagerank, LSH/IVF hard oracles, recall
-    # report, multimodal resize/frame), then (b) the 17 queries whose
-    # only driver rows predate the r3 binary (r2 positions 51-67),
-    # then (c) one-per-family re-verification of r3 greens. The tail
-    # past position 50 holds only r3-green stable queries whose
-    # current-round row stands, plus the one remaining rows-only
-    # query (web_pagerank_topk, superseded by _quantized).
+    # exactly the first 50 dict entries each round. Round-5 rotation
+    # (VERDICT r4 next-round #2): positions 1-12 are the 12 queries
+    # whose only oracle rows were two binaries stale (r2), 13-15 the
+    # rows-only stragglers (corpus_bpe_merges had NO driver row yet),
+    # 16-19 the queries changed or added this round (the three
+    # ln->exact-ratio contract rewrites plus the new quarantine
+    # surface), and 20-50 are 31 of the 39 queries whose latest row
+    # is r3 — after this round no query's newest gate row predates
+    # the r3 binary, and only 8 r3-green stable queries (first in
+    # the tail below) are older than r4. Contract growth is frozen
+    # at +1 (multimodal_quarantine_stats, VERDICT r4 ask #6).
     return {
-        # (a) changed or new in r4
+        # (a) r2-binary-only oracle rows -> re-verify first
+        "kg_dedup_report": kg_dedup_report,
+        "kg_fuzzy_groups": kg_fuzzy_groups,
+        "kg_resource_triples": kg_resource_triples,
+        "kg_github_mentions": kg_github_mentions,
+        "kg_mcpmarket_mentions": kg_mcpmarket_mentions,
+        "stream_changed_pages": stream_changed_pages,
+        "kg_relations_capped": kg_relations_capped,
+        "doc_quality_filter": doc_quality_filter,
+        "doc_quality_extended": doc_quality_extended,
+        "doc_fingerprints": doc_fingerprints,
+        "doc_category_counts": doc_category_counts,
+        "dedup_near_clusters": dedup_near_clusters,
+        # (b) rows-only entries with stale or missing driver rows
+        "corpus_bpe_merges": corpus_bpe_merges,
+        "kg_fixture_entities": kg_fixture_entities,
+        "web_pagerank_topk": web_pagerank_topk,
+        # (c) changed or new in r5 (exact-ratio contracts, quarantine)
+        "doc_lm_perplexity": doc_lm_perplexity,
+        "doc_top_terms": doc_top_terms,
+        "corpus_collocations": corpus_collocations,
+        "multimodal_quarantine_stats": multimodal_quarantine_stats,
+        # (d) r3-green rotation, one-per-family coverage
+        "kg_search": kg_search,
+        "kg_semantic_search": kg_semantic_search,
+        "kg_clean_cypher": kg_clean_cypher,
+        "registry_completeness": registry_completeness,
+        "emb_label_centroids": emb_label_centroids,
+        "docs_per_lang": docs_per_lang,
+        "part_name_normalized": part_name_normalized,
+        "doc_token_stats": doc_token_stats,
+        "doc_lang_id": doc_lang_id,
+        "corpus_token_vocab": corpus_token_vocab,
+        "dedup_exact_groups": dedup_exact_groups,
+        "dedup_minhash_pairs": dedup_minhash_pairs,
+        "dedup_ngram_pairs": dedup_ngram_pairs,
+        "dedup_simhash_pairs": dedup_simhash_pairs,
+        "dedup_embedding_pairs": dedup_embedding_pairs,
+        "web_owner_indegree": web_owner_indegree,
+        "events_asof_join": events_asof_join,
+        "events_latest_per_user": events_latest_per_user,
+        "events_sessions": events_sessions,
+        "events_cohort_retention": events_cohort_retention,
+        "top_customers_by_revenue": top_customers_by_revenue,
+        "lineitem_pricing_summary": lineitem_pricing_summary,
+        "nation_lineitem_volume": nation_lineitem_volume,
+        "doc_quality_report": doc_quality_report,
+        "doc_repetition_stats": doc_repetition_stats,
+        "doc_pii_scan": doc_pii_scan,
+        "doc_line_dedup": doc_line_dedup,
+        "doc_pack_assignments": doc_pack_assignments,
+        "doc_length_quantiles": doc_length_quantiles,
+        "doc_sample_mixture": doc_sample_mixture,
+        "doc_contamination": doc_contamination,
+        # ---- past-50 tail: 8 r3-green stable, then r4 greens ----
+        "events_funnel": events_funnel,
+        "events_type_pivot": events_type_pivot,
+        "events_rolling_weekly": events_rolling_weekly,
+        "events_counts_by_type": events_counts_by_type,
+        "events_hourly_counts": events_hourly_counts,
+        "events_json_extract": events_json_extract,
+        "doc_normalize_text": doc_normalize_text,
+        "doc_oov_rate": doc_oov_rate,
         "kg_triples": kg_triples,
         "kg_triples_diff": kg_triples_diff,
         "kg_two_hop": kg_two_hop,
@@ -1438,81 +1512,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_fetch_schedule": web_fetch_schedule,
         "dedup_substring_spans": dedup_substring_spans,
         "web_anchor_texts": web_anchor_texts,
-        "doc_lm_perplexity": doc_lm_perplexity,
         "part_cooccur_kcore": part_cooccur_kcore,
         "dedup_incremental": dedup_incremental,
         "corpus_domain_stats": corpus_domain_stats,
         "events_anomaly_hours": events_anomaly_hours,
-        "doc_top_terms": doc_top_terms,
         "doc_chunks": doc_chunks,
         "kg_negative_samples": kg_negative_samples,
-        "corpus_collocations": corpus_collocations,
         "stream_windowed_mentions": stream_windowed_mentions,
         "kg_random_walks": kg_random_walks,
         "corpus_bpe_encode": corpus_bpe_encode,
-        # (b) r2-binary-only rows — re-verify under the r4 binary
         "kg_id_stats": kg_id_stats,
         "kg_repo_domains": kg_repo_domains,
-        "kg_dedup_report": kg_dedup_report,
-        "kg_fuzzy_groups": kg_fuzzy_groups,
-        "kg_resource_triples": kg_resource_triples,
-        "kg_github_mentions": kg_github_mentions,
-        "kg_mcpmarket_mentions": kg_mcpmarket_mentions,
-        "stream_changed_pages": stream_changed_pages,
-        "kg_relations_capped": kg_relations_capped,
-        "doc_quality_filter": doc_quality_filter,
-        "doc_quality_extended": doc_quality_extended,
-        "doc_fingerprints": doc_fingerprints,
-        "doc_category_counts": doc_category_counts,
-        "dedup_near_clusters": dedup_near_clusters,
-        # (c) r3-green re-verification, one per family
-        "kg_search": kg_search,
-        "kg_semantic_search": kg_semantic_search,
-        "kg_clean_cypher": kg_clean_cypher,
-        "registry_completeness": registry_completeness,
-        "emb_label_centroids": emb_label_centroids,
-        "docs_per_lang": docs_per_lang,
-        "part_name_normalized": part_name_normalized,
-        "doc_token_stats": doc_token_stats,
-        "doc_lang_id": doc_lang_id,
-        "corpus_token_vocab": corpus_token_vocab,
-        "dedup_exact_groups": dedup_exact_groups,
-        "dedup_minhash_pairs": dedup_minhash_pairs,
-        "web_owner_indegree": web_owner_indegree,
-        "events_asof_join": events_asof_join,
-        "events_latest_per_user": events_latest_per_user,
-        "events_sessions": events_sessions,
-        "top_customers_by_revenue": top_customers_by_revenue,
-        "lineitem_pricing_summary": lineitem_pricing_summary,
-        # ---- past-50 tail: r3-green stable, current rows stand ----
-        "events_funnel": events_funnel,
-        "events_type_pivot": events_type_pivot,
-        "events_rolling_weekly": events_rolling_weekly,
-        "events_cohort_retention": events_cohort_retention,
-        "events_counts_by_type": events_counts_by_type,
-        "events_hourly_counts": events_hourly_counts,
-        "events_json_extract": events_json_extract,
-        "nation_lineitem_volume": nation_lineitem_volume,
-        "doc_quality_report": doc_quality_report,
-        "doc_repetition_stats": doc_repetition_stats,
-        "doc_pii_scan": doc_pii_scan,
-        "doc_line_dedup": doc_line_dedup,
-        "doc_normalize_text": doc_normalize_text,
-        "doc_oov_rate": doc_oov_rate,
-        "doc_pack_assignments": doc_pack_assignments,
-        "doc_length_quantiles": doc_length_quantiles,
-        "doc_sample_mixture": doc_sample_mixture,
-        "doc_contamination": doc_contamination,
-        "dedup_ngram_pairs": dedup_ngram_pairs,
-        "dedup_simhash_pairs": dedup_simhash_pairs,
-        "dedup_embedding_pairs": dedup_embedding_pairs,
-        # rows-only by design (no oracle): parity asserted in pytest;
-        # kept out of the driver's first-50 hash window so oracle-
-        # bearing queries take the slots
-        "corpus_bpe_merges": corpus_bpe_merges,
-        "kg_fixture_entities": kg_fixture_entities,
-        # rows-only by design; superseded by web_pagerank_quantized
-        "web_pagerank_topk": web_pagerank_topk,
     }
 
 
@@ -3090,6 +3100,62 @@ SELECT doc_id,
        CAST(1024 AS BIGINT) AS n_pixels,
        CAST(3 * 64 * sum(y) AS BIGINT) AS sum_pixels
 FROM v GROUP BY doc_id
+""",
+        # quarantine split: k = doc_id % 8 — 0/1/2 decode to the same
+        # closed forms as the per-codec stats oracles (PNG/BMP/GIF),
+        # 3..7 are engineered malformations that MUST come back as
+        # quarantined rows with zeroed stats
+        "multimodal_quarantine_stats": """
+WITH d AS (SELECT doc_id, doc_id % 8 AS k FROM documents),
+png AS (SELECT doc_id, 16 + doc_id % 32 AS w, 16 + (doc_id * 7) % 32 AS h
+        FROM d WHERE k = 0),
+png_s AS (
+  SELECT doc_id,
+         CAST(any_value(w) AS INTEGER) AS width,
+         CAST(any_value(h) AS INTEGER) AS height,
+         CAST(count(*) AS BIGINT) AS n_pixels,
+         CAST(sum((doc_id + rr + cc) % 256) AS BIGINT) AS sum_pixels
+  FROM (SELECT doc_id, w, h, rr, unnest(range(w)) AS cc
+        FROM (SELECT doc_id, w, h, unnest(range(h)) AS rr FROM png))
+  GROUP BY doc_id),
+bmp AS (SELECT doc_id, 12 + doc_id % 24 AS w, 12 + (doc_id * 5) % 24 AS h
+        FROM d WHERE k = 1),
+bmp_s AS (
+  SELECT doc_id,
+         CAST(any_value(w) AS INTEGER) AS width,
+         CAST(any_value(h) AS INTEGER) AS height,
+         CAST(count(*) AS BIGINT) AS n_pixels,
+         CAST(sum((doc_id + rr + cc) % 256
+                  + (doc_id + 2 * rr + cc) % 256
+                  + (doc_id + rr + 2 * cc) % 256) AS BIGINT) AS sum_pixels
+  FROM (SELECT doc_id, w, h, rr, unnest(range(w)) AS cc
+        FROM (SELECT doc_id, w, h, unnest(range(h)) AS rr FROM bmp))
+  GROUP BY doc_id),
+gif AS (SELECT doc_id, 10 + doc_id % 20 AS w, 10 + (doc_id * 3) % 20 AS h
+        FROM d WHERE k = 2),
+gif_s AS (
+  SELECT doc_id,
+         CAST(any_value(w) AS INTEGER) AS width,
+         CAST(any_value(h) AS INTEGER) AS height,
+         CAST(count(*) AS BIGINT) AS n_pixels,
+         CAST(sum(idx + (2 * idx) % 256 + (3 * idx) % 256) AS BIGINT)
+           AS sum_pixels
+  FROM (SELECT doc_id, w, h,
+               (doc_id + 3 * rr + 5 * unnest(range(w))) % 256 AS idx
+        FROM (SELECT doc_id, w, h, unnest(range(h)) AS rr FROM gif))
+  GROUP BY doc_id)
+SELECT doc_id, CAST(0 AS BIGINT) AS quarantined,
+       width, height, n_pixels, sum_pixels FROM png_s
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT), width, height, n_pixels, sum_pixels
+FROM bmp_s
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT), width, height, n_pixels, sum_pixels
+FROM gif_s
+UNION ALL
+SELECT doc_id, CAST(1 AS BIGINT), CAST(0 AS INTEGER), CAST(0 AS INTEGER),
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+FROM d WHERE k >= 3
 """,
         "multimodal_gif_stats": """
 WITH d AS (

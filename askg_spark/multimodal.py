@@ -1231,3 +1231,115 @@ def wav_sample_stats(media: DataFrame) -> DataFrame:
 
     return media.select("doc_id", "payload").mapInPandas(
         run, schema=AUDIO_STATS_SCHEMA)
+
+
+# ------------------------------------------------------------------
+# malformed-media quarantine (the error half of a crawl pipeline)
+
+def synth_corrupt_payload(doc_id: int) -> bytes:
+    """Deterministic mixed-health payload for ``doc_id``: 3 of every
+    8 docs carry a valid image (PNG / BMP / GIF — each the same
+    closed-form plant the per-codec stats queries use), the other 5
+    carry a specific malformation class real crawl data exercises:
+
+      k = doc_id % 8
+      0 valid PNG                     4 bad magic (unknown signature)
+      1 valid BMP                     5 truncated GIF LZW stream
+      2 valid GIF                     6 JPEG SOI then garbage (no
+      3 truncated PNG (cut mid-IHDR)    marker where one is required)
+      7 empty payload
+
+    Every malformation is engineered to raise ValueError in
+    decode_image_array (the quarantine contract, multimodal.py decode
+    paths), so (doc_id, quarantined) is an exact closed form of
+    doc_id % 8 that a SQL oracle states directly."""
+    k = doc_id % 8
+    if k == 0:
+        return synth_png(doc_id)
+    if k == 1:
+        return synth_bmp(doc_id)
+    if k == 2:
+        return synth_gif(doc_id)
+    if k == 3:
+        return synth_png(doc_id)[:16]
+    if k == 4:
+        return b"XXNOPE" + bytes(32)
+    if k == 5:
+        return synth_gif(doc_id)[:-6]
+    if k == 6:
+        return JPEG_SIG + bytes(24)
+    return b""
+
+
+def synth_corrupt_corpus(docs: DataFrame) -> DataFrame:
+    """Planted mixed-health media source: one `synth_corrupt_payload`
+    per doc_id — the fixture for certifying the ValueError-quarantine
+    path end-to-end under the hash gate (advisor r4: the error path
+    was pytest-only)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def mk(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_corrupt_payload(int(i)))
+
+    return docs.select(
+        "doc_id", mk("doc_id").alias("payload")
+    ).select(
+        "doc_id", "payload",
+        F.struct(
+            F.lit("application/octet-stream").alias("content_type"),
+            F.length("payload").cast("long").alias("n_bytes"),
+        ).alias("media_meta"),
+    )
+
+
+QUARANTINE_STATS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("quarantined", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_pixels", LongType()),
+    StructField("sum_pixels", LongType()),
+])
+
+
+def quarantine_stats(media: DataFrame) -> DataFrame:
+    """Decode-with-quarantine measurement surface: EVERY input row
+    comes back — decodable payloads with their exact pixel stats
+    (quarantined=0), malformed/empty ones as a quarantine row
+    (quarantined=1, zeroed stats) — unlike png_pixel_stats, which
+    drops failures. This certifies the ValueError error path itself:
+    a wrongly-swallowed decode error surfaces as a row whose
+    quarantined flag (or stats) hash-mismatches the oracle's
+    closed-form doc_id % 8 expectation.
+
+    Plan: one Arrow-batched mapInPandas pass, no shuffle — the
+    per-row python is the codec itself; at crawl scale the input is
+    already partition-parallel and this is a pure map stage."""
+    import pandas as pd
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+        cols = [f.name for f in QUARANTINE_STATS_SCHEMA]
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                q, w, h, npx, sm = 1, 0, 0, 0, 0
+                if payload is not None and len(payload) > 0:
+                    try:
+                        px, w, h = decode_image_array(bytes(payload))
+                        q = 0
+                        npx = int(px.shape[0] * px.shape[1])
+                        sm = int(px.astype(np.int64).sum())
+                    except ValueError:
+                        q, w, h = 1, 0, 0
+                out["doc_id"].append(doc_id)
+                out["quarantined"].append(q)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(npx)
+                out["sum_pixels"].append(sm)
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, schema=QUARANTINE_STATS_SCHEMA)

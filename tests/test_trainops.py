@@ -410,6 +410,32 @@ def test_multimodal_decode_schema_and_quarantine(spark):
     assert bad["width"] is None
 
 
+def test_multimodal_quarantine_stats_per_class(spark):
+    """Every corruption class in synth_corrupt_payload lands on the
+    intended side of the quarantine split, and valid payloads keep
+    their exact per-codec pixel stats (closed forms of doc_id)."""
+    ids = list(range(16))  # two full doc_id % 8 cycles
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    media = multimodal.synth_corrupt_corpus(docs)
+    got = {r["doc_id"]: r for r in
+           multimodal.quarantine_stats(media).collect()}
+    assert len(got) == 16  # EVERY row comes back, unlike pixel_stats
+    for i in ids:
+        k = i % 8
+        r = got[i]
+        if k in (0, 1, 2):  # valid PNG / BMP / GIF
+            assert r["quarantined"] == 0
+            px, w, h = multimodal.decode_image_array(
+                multimodal.synth_corrupt_payload(i))
+            assert (r["width"], r["height"]) == (w, h)
+            assert r["n_pixels"] == px.shape[0] * px.shape[1]
+            assert r["sum_pixels"] == int(px.astype("int64").sum())
+        else:  # truncated PNG / bad magic / truncated GIF / SOI+junk / empty
+            assert r["quarantined"] == 1, f"class {k} not quarantined"
+            assert (r["width"], r["height"], r["n_pixels"],
+                    r["sum_pixels"]) == (0, 0, 0, 0)
+
+
 def test_multimodal_decode_deterministic(spark, docs):
     a = multimodal.decode_media(
         multimodal.attach_payload(docs.limit(20))).collect()
