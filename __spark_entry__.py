@@ -372,7 +372,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "warc_ts", sent_base + F.expr("INTERVAL 5 HOURS"))
         out, ckpt = f"{base}/out", f"{base}/ckpt"
         for b in (b1, b2, b3, b4):
-            b.write.mode("append").parquet(f"{base}/pages")
+            # ONE parquet file per run (advisor r4): the closed-form
+            # oracle assumes each AvailableNow run is a single
+            # micro-batch; FileStreamSource may split many files
+            # across batches, advancing the watermark MID-run and
+            # dropping rows the oracle counts as accepted — with one
+            # new file per run a split is impossible, and the
+            # progress assertion below makes a violation loud
+            # instead of a flaky hash mismatch
+            b.coalesce(1).write.mode("append").parquet(f"{base}/pages")
             q = (windowed_mention_counts(spark, f"{base}/pages",
                                          watermark="1 hour",
                                          window="1 hour")
@@ -386,6 +394,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 q.stop()
                 raise RuntimeError(
                     "streaming batch did not drain within 600s")
+            data_batches = sum(
+                1 for p in q.recentProgress if p["numInputRows"] > 0)
+            if data_batches != 1:
+                raise RuntimeError(
+                    f"oracle contract violated: run processed "
+                    f"{data_batches} data micro-batches, expected 1")
         return (spark.read.parquet(out)
                 # sentinel 2 closes sentinel 1's window too; both are
                 # harness scaffolding, not corpus data — drop them
@@ -660,33 +674,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.duplicate_span_stats(_t(spark, sf, "documents"),
                                           w=15)
 
-    def _ann_frames(spark, sf):
+    def _ann_frames(spark, sf, method=None):
         # the three ANN result frames (exact / LSH / IVF, 40 rows
         # each) are consumed by four queries — memoized + persisted so
-        # the index build and rescore run once per sf, not per query
-        key = (id(spark), sf, "ann")
-        if key not in _KG_CACHE:
-            emb = _t(spark, sf, "embeddings")
-            q = emb.filter(F.col("vec_id") < 8).select(
-                F.col("vec_id").alias("query_id"), "embedding")
-            _KG_CACHE[key] = {
-                "exact": simsearch.brute_force_topk(emb, q, k=5)
-                .persist(),
-                "lsh": simsearch.lsh_topk(emb, q, k=5).persist(),
-                "ivf": simsearch.ivf_topk(emb, q, k=5, n_cells=16,
-                                          nprobe=14).persist(),
-            }
-        return _KG_CACHE[key]
+        # the index build and rescore run once per sf, not per query.
+        # Memoization is PER METHOD (r5): ivf_topk trains its k-means
+        # centroids with eager driver-side Lloyd rounds, so building
+        # all three frames in one shot charged the IVF (and LSH) index
+        # build to whichever query called first — bench.py times
+        # ann_topk first, which is why its suite number jumped 0.7s ->
+        # 2.2s when the r4 md5-seeded IVF landed. Now each query pays
+        # exactly its own build; ann_recall_report still reuses all
+        # three without recompute.
+        def build(m):
+            key = (id(spark), sf, "ann", m)
+            if key not in _KG_CACHE:
+                emb = _t(spark, sf, "embeddings")
+                q = emb.filter(F.col("vec_id") < 8).select(
+                    F.col("vec_id").alias("query_id"), "embedding")
+                if m == "exact":
+                    df = simsearch.brute_force_topk(emb, q, k=5)
+                elif m == "lsh":
+                    df = simsearch.lsh_topk(emb, q, k=5)
+                else:
+                    df = simsearch.ivf_topk(emb, q, k=5, n_cells=16,
+                                            nprobe=14)
+                _KG_CACHE[key] = df.persist()
+            return _KG_CACHE[key]
+
+        if method is not None:
+            return build(method)
+        return {m: build(m) for m in ("exact", "lsh", "ivf")}
 
     def ann_topk(spark, sf):
-        return _ann_frames(spark, sf)["exact"]
+        return _ann_frames(spark, sf, "exact")
 
     def ann_lsh_topk(spark, sf):
         # HARD oracle (r4): the md5-derived hyperplanes make the whole
         # banded-LSH + multiprobe + rescore pipeline SQL-expressible,
         # so the DuckDB oracle re-runs the identical algorithm; recall
         # vs exact is additionally pinned by ann_recall_report
-        return _ann_frames(spark, sf)["lsh"]
+        return _ann_frames(spark, sf, "lsh")
 
     def ann_ivf_topk(spark, sf):
         # HARD oracle (r4): md5-seeded exact-break k-means makes the
@@ -698,7 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cell-pruning index must probe most cells; clustered real-world
         # embedding corpora sit at small nprobe/n_cells (see
         # simsearch.ivf_topk docstring).
-        return _ann_frames(spark, sf)["ivf"]
+        return _ann_frames(spark, sf, "ivf")
 
     def ann_recall_report(spark, sf):
         # in-engine recall certification: per (method, query) count of
@@ -2675,10 +2703,10 @@ m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_h,
              sum(n_events) AS s, sum(n_events * n_events) AS ss
       FROM h GROUP BY 1)
 SELECT h.event_type, h.hour, h.n_events,
-       CAST(CASE WHEN (h.n_events * m.n_h - m.s) > 0
-                  AND (h.n_events * m.n_h - m.s)
-                      * (h.n_events * m.n_h - m.s)
-                      > 9 * (m.n_h * m.ss - m.s * m.s)
+       CAST(CASE WHEN (CAST(h.n_events AS HUGEINT) * m.n_h - m.s) > 0
+                  AND (CAST(h.n_events AS HUGEINT) * m.n_h - m.s)
+                      * (CAST(h.n_events AS HUGEINT) * m.n_h - m.s)
+                      > 9 * (CAST(m.n_h AS HUGEINT) * m.ss - CAST(m.s AS HUGEINT) * m.s)
                  THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
 FROM h JOIN m USING (event_type)
 """,

@@ -149,7 +149,8 @@ def bfs_depths(edges: DataFrame, seeds: DataFrame,
     return visited
 
 
-def kcore(edges: DataFrame, k: int, max_rounds: int = 16) -> DataFrame:
+def kcore(edges: DataFrame, k: int, max_rounds: int = 16,
+          broadcast_limit: int = 100_000_000) -> DataFrame:
     """k-core of an undirected graph — the maximal subgraph where
     every node keeps degree >= k — by the standard iterative peel:
     drop all nodes of degree < k, recompute degrees (removals cascade),
@@ -169,9 +170,14 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 16) -> DataFrame:
     data rows; the only driver sync is one scalar count per round for
     the convergence test, and each round's frame is an eager
     localCheckpoint so lineage stays flat (same bounded-loop shape as
-    bfs_depths). A node dimension too big to broadcast (10^10+ nodes)
-    drops the hint and falls back to shuffled semi-joins — same plan,
-    one knob. Rounds are data-bounded: peel cascades are shallow in
+    bfs_depths). The broadcast is gated, not forced (advisor r4:
+    F.broadcast is a hard hint — Spark attempts it regardless of size
+    and OOMs the driver rather than falling back): the loop already
+    holds each round's edge count as a driver-side int, and nodes <=
+    2*edges, so when the surviving edge count exceeds
+    ``broadcast_limit`` the hint is SKIPPED and the semi-joins run as
+    ordinary shuffled joins — same plan shape, automatic degradation.
+    Rounds are data-bounded: peel cascades are shallow in
     practice (<= 7 on the co-occurrence graphs here; max_rounds is a
     runaway backstop and the oracle unrolls the same bound — a graph
     still peeling after max_rounds raises rather than returning a
@@ -186,7 +192,9 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 16) -> DataFrame:
         deg = (cur.select(F.col("u").alias("n"))
                .unionAll(cur.select(F.col("v").alias("n")))
                .groupBy("n").agg(F.count(F.lit(1)).alias("c")))
-        keep = F.broadcast(deg.filter(F.col("c") >= k).select("n"))
+        keep = deg.filter(F.col("c") >= k).select("n")
+        if n_edges <= broadcast_limit:
+            keep = F.broadcast(keep)
         nxt = (cur.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
                .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
                .select("u", "v")

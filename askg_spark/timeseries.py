@@ -224,17 +224,20 @@ def anomaly_hours(events: DataFrame, type_col: str = "event_type",
 
         (c·n − S) > 0  AND  (c·n − S)² > k²·(n·SS − S²)
 
-    — all BIGINT arithmetic, so the flag is bit-reproducible on any
+    — integer arithmetic, so the flag is bit-reproducible on any
     partitioning and in SQL with no float tolerance at the boundary.
+    The multiplied-out terms are computed in DECIMAL(38,0)
+    unconditionally (advisor r4: the BIGINT version wrapped silently
+    past hourly counts of ~10⁶ over ~10³ hours in non-ANSI Spark —
+    wrong flags, no error; decimal lanes are exact to 38 digits,
+    envelope |c·n − S| < ~10¹⁹, far beyond any hourly count), and
+    the DuckDB oracle mirrors with HUGEINT.
 
     Plan: one groupBy(type, hour) count (map-side combine), a tiny
     per-type moment aggregate joined back broadcast, and a pure
     Column predicate — two narrow shuffles total. Only OBSERVED hours
     enter the moments (a silent hour is a missing row, not a zero);
-    at web scale the per-type moment frame stays dimension-sized.
-    BIGINT headroom: the squared deviation needs |c·n − S| < 3·10⁹;
-    hourly counts beyond ~10⁶ with ~10³ observed hours should cast
-    the predicate to DECIMAL(38,0) (same closed form, wider lanes)."""
+    at web scale the per-type moment frame stays dimension-sized."""
     hourly = (events.select(F.col(type_col).alias("event_type"),
                             F.date_trunc("hour", F.col(ts_col))
                             .alias("hour"))
@@ -244,9 +247,13 @@ def anomaly_hours(events: DataFrame, type_col: str = "event_type",
         F.count(F.lit(1)).alias("n_h"),
         F.sum("n_events").alias("s"),
         F.sum(F.col("n_events") * F.col("n_events")).alias("ss"))
-    dev = F.col("n_events") * F.col("n_h") - F.col("s")
-    var_term = (F.lit(int(sigmas) ** 2) *
-                (F.col("n_h") * F.col("ss") - F.col("s") * F.col("s")))
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    dev = d38(F.col("n_events")) * d38(F.col("n_h")) - d38(F.col("s"))
+    var_term = (F.lit(int(sigmas) ** 2).cast("decimal(38,0)") *
+                (d38(F.col("n_h")) * d38(F.col("ss"))
+                 - d38(F.col("s")) * d38(F.col("s"))))
     return (hourly.join(F.broadcast(moments), "event_type")
             .select("event_type", "hour",
                     F.col("n_events").cast("long").alias("n_events"),

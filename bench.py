@@ -49,6 +49,24 @@ def main() -> int:
         timings[name] = round(time.monotonic() - t0, 3)
         return out
 
+    # UNTIMED session warmup (disclosed in BENCH.md §movers-r5): a
+    # 200-doc pipeline pass spins up the Arrow python-worker pool
+    # (32 workers importing pandas/numpy) and compiles the hot
+    # whole-stage-codegen paths. Measured at sf0.1: the first
+    # pipeline run in a session costs ~22s, every later one ~11.5s
+    # with identical work — the ~10.9s delta is one-time JVM/worker
+    # startup, and without this pass it all lands on whichever query
+    # runs first (kg_triples), misattributing session setup as query
+    # cost. Per-query rows below are steady-state.
+    from askg_spark.pipeline import PipelineConfig, run_pipeline
+    from askg_spark.webcorpus import render_pages
+    warm_res = run_pipeline(
+        spark,
+        render_pages(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)),
+        PipelineConfig())
+    warm_res.triples.count()
+
     t_all = time.monotonic()
     steal0 = _steal_ticks()
 
@@ -110,6 +128,7 @@ def main() -> int:
     run("multimodal_audio_stats")
     run("multimodal_gif_stats")
     run("multimodal_jpeg_stats")
+    run("multimodal_quarantine_stats")
     run("warc_roundtrip")
     run("kg_ntriples_export")
     run("web_robots_filter")

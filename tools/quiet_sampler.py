@@ -109,6 +109,18 @@ def main() -> int:
         rec["gated"] = True
         if cap is not None:
             rec["capacity_probe"] = round(cap, 2)
+            # r4 finding: the gate rejects bad LAUNCH windows but a
+            # window can decay DURING the ~10-min 2-core wall (pair 8:
+            # launched at 4.63, decayed toward 2.5 mid-half). Probe
+            # again right after the sample so the analysis can keep
+            # only halves whose window held: a capacity-clean half
+            # requires min(before, after) >= gate.
+            from statistics import median
+
+            from host_probe import run_level
+            cap_after = median(4 * run_level(2) / run_level(8)
+                               for _ in range(3))
+            rec["capacity_probe_after"] = round(cap_after, 2)
         with open(args.out, "a") as fh:
             fh.write(json.dumps(rec) + "\n")
         taken += 1
