@@ -1426,6 +1426,37 @@ def test_duplicate_span_stats_interval_merge(spark):
             got[4]["dup_tokens"]) == (2, 0, 0)
 
 
+def test_floor_div_exact_and_overflow_guard(spark):
+    """The shared quantization primitive: floor(num/den) bit-equal to
+    python // across magnitudes INCLUDING values where BIGINT
+    multiplication would have wrapped (the r5 engine-independent
+    contract is pure decimal integer arithmetic); and _guarded_long
+    RAISES on a > 2^63-1 result instead of wrapping or nulling."""
+    from pyspark.sql import functions as F
+
+    cases = [(7, 3), (6, 3), (0, 5), (1, 1),
+             (10**17 * 3 + 1, 7),          # near-BIGINT numerator
+             (10**25, 10**7),              # BIGINT-overflow numerator
+             (10**25 + 123456789, 999999937)]
+    df = spark.createDataFrame(
+        [(str(n), str(d)) for n, d in cases], "n string, d string")
+    got = df.select(
+        textops.floor_div_exact(
+            F.col("n").cast("decimal(38,0)"),
+            F.col("d").cast("decimal(38,0)")).cast("string").alias("q")
+    ).collect()
+    assert [int(r["q"]) for r in got] == [n // d for n, d in cases]
+
+    ok = spark.range(1).select(
+        textops._guarded_long(F.lit(5).cast("decimal(38,0)"), "t"))
+    assert ok.collect()[0][0] == 5
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="exceeds BIGINT range"):
+        spark.range(1).select(
+            textops._guarded_long(
+                F.lit(str(2**63)).cast("decimal(38,0)"), "t")).collect()
+
+
 def test_unigram_lm_scores_exact_integers(spark):
     """Closed-form check of the exact count-ratio pipeline: token
     counts a=3 b=2 c=1 (N=6, V=3), add-one inverse probability
